@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders over the driver-generated parquet fixtures.
+  *
+  * Mirrors the reference's root-input surface (`MRInput`,
+  * tez-mapreduce/src/main/java/org/apache/tez/mapreduce/input/MRInput.java:87)
+  * re-expressed as Spark file sources: split planning, locality and
+  * grouping (TezSplitGrouper.java:72-85) are Spark's
+  * `FileSourceScanExec` partition packing, governed by
+  * `spark.sql.files.maxPartitionBytes`.
+  *
+  * Scale note (100 TB): these are plain `spark.read.parquet` scans so
+  * Catalyst pushes filters + prunes columns into the parquet reader;
+  * every query in `graft.ops` is written so its predicates and
+  * projections reach the scan (verified in PlanSpec).
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.{QueryDef, Tables}
+
+/** Scan / filter / aggregate / sort / top-k operator family.
+  *
+  * Reference behaviors re-expressed Spark-first:
+  *  - scan+project: ForwardingProcessor (tez-examples/src/main/java/org/
+  *    apache/tez/examples/HashJoinExample.java:269-275) → parquet scan with
+  *    column pruning.
+  *  - filter: FilterByWordInputProcessor (tez-tests/.../processor/
+  *    FilterByWordInputProcessor.java) → Catalyst predicate pushed to the
+  *    parquet reader.
+  *  - hash aggregate: WordCount's TokenProcessor+SumProcessor over an
+  *    ordered-partitioned edge (tez-examples/.../WordCount.java:74-199) →
+  *    `groupBy().agg()` (partial+final HashAggregate, the analog of Tez's
+  *    spill-time Combiner, tez-mapreduce/.../combine/MRCombiner.java:118).
+  *  - global sort: OrderedWordCount's second ordered edge into a single
+  *    sorter (tez-examples/.../OrderedWordCount.java:124-180) → `orderBy`
+  *    (range-partitioned SortExec; Spark samples like TotalOrderPartitioner
+  *    in tez-tests/.../Sort.java:163-165).
+  *  - secondary sort: FirstPartitioner/FirstGroupingComparator
+  *    (tez-tests/.../SecondarySort.java:136-148) → window `row_number` over
+  *    (partition key, value order), which keeps the shuffle on the group
+  *    key only.
+  *  - top-k: OrderedWordCount with parallelism 1 (OrderedWordCount.java:
+  *    163-165) → `orderBy().limit(k)` (TakeOrderedAndProject: per-partition
+  *    top-k then a driver-side merge of k·P rows — no global sort at scale).
+  *
+  * Oracle-parity rules used throughout graft.ops:
+  *  - money aggregates (2-decimal doubles) are cast to DECIMAL before SUM
+  *    and the exact decimal sum is cast back to DOUBLE: the result is
+  *    order-independent and bit-identical across engines;
+  *  - plain SUM/AVG is only used on whole-number doubles (l_quantity),
+  *    where double addition is exact;
+  *  - every query ends in ORDER BY over a unique key set.
+  */
+object CoreQueries {
+
+  /** Exact, order-independent sum of a 2-decimal money column. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private val discounted: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+
+  private val discountedSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_scan_project" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "q_filter_predicate" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Flagship: TPC-H Q1-shaped pricing summary (WordCount semantics writ large).
+    "q_agg_sum_count" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_base_price"),
+            sum(discounted).cast(DoubleType).as("sum_disc_price"),
+            avg("l_quantity").as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discountedSql) AS DOUBLE) AS sum_disc_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Multi-distinct aggregation: forces Expand + partial/final HashAggregate,
+    // the analog of the Tez combiner running at spill and merge time.
+    "q_agg_partial_final" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct("l_suppkey").as("n_supp"),
+            countDistinct("l_partkey").as("n_part"),
+            sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Agg-of-agg (MRR chained-reduce shape, tez-tests/.../MRRSleepJob.java:433-453):
+    // orders-per-customer histogram. Stage 1 shuffles on o_custkey, stage 2
+    // re-shuffles the (much smaller) per-customer rows on n_orders.
+    "q_agg_two_stage" -> QueryDef(
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        perCust.groupBy("n_orders").agg(count(lit(1)).as("n_cust"))
+          .orderBy("n_orders")
+      },
+      """SELECT n_orders, count(*) AS n_cust FROM (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        |) GROUP BY n_orders ORDER BY n_orders""".stripMargin),
+
+    "q_global_sort" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin),
+
+    // Sampled range-partitioned total-order sort (TotalOrderPartitioner +
+    // InputSampler, tez-tests/.../Sort.java:163-165): Spark's RangePartitioning
+    // samples automatically. LIMIT keeps the declared output deterministic.
+    "q_total_order_sort" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .limit(1000),
+      """SELECT l_shipdate, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000""".stripMargin),
+
+    // Secondary sort: group by l_suppkey, order values by ship date within the
+    // group; emit the first 3 per group. One shuffle on the grouping key only.
+    "q_secondary_sort" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("l_suppkey", "rn")
+      },
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin),
+
+    // Top-K via TakeOrderedAndProject: per-partition top-k, merge k·P rows on
+    // the driver — at 100 TB this never materializes a global sort.
+    "q_topk" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // Windowed ranking (free from Spark SQL; absent in Tez itself — Hive-level
+    // behavior, SURVEY.md §2c gap analysis): top-5 customers by balance per nation.
+    "q_window_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .select("c_nationkey", "c_custkey", "c_acctbal")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("c_nationkey", "rnk")
+      },
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer
+        |) WHERE rnk <= 5 ORDER BY c_nationkey, rnk""".stripMargin),
+
+    // ROLLUP grouping sets (Hive-layer behavior; free via Catalyst Expand).
+    // Explicit NULLS FIRST: Spark defaults nulls-first ASC, DuckDB nulls-last.
+    "q_rollup_agg" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  )
+}

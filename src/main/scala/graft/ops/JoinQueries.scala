@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.{QueryDef, Tables}
+
+/** Join operator family — the reference's richest surface (SURVEY.md §2c).
+  *
+  * Reference → Spark physical mapping:
+  *  - shuffled hash join: HashJoinExample with both sides on unordered
+  *    partitioned edges + in-memory HashMap build (tez-examples/.../
+  *    HashJoinExample.java:74,143-256) → `SHUFFLE_HASH` hint
+  *    (ShuffledHashJoinExec).
+  *  - broadcast hash join: small side on a BROADCAST edge
+  *    (HashJoinExample.java:234-239, UnorderedKVEdgeConfig) → `broadcast()`
+  *    (BroadcastHashJoinExec).
+  *  - sort-merge join: both sides on ordered-partitioned edges with
+  *    co-advancing KeyValuesReaders (tez-examples/.../
+  *    SortMergeJoinExample.java:188-300) → `MERGE` hint (SortMergeJoinExec).
+  *  - anti/semi: JoinValidate's co-grouped symmetric difference
+  *    (tez-examples/.../JoinValidate.java:228-262) → left_anti / left_semi.
+  *  - cartesian: the cartesian-product CUSTOM edge package
+  *    (tez-runtime-library/.../cartesianproduct/, 12 files) + JoinProcessor
+  *    filter (tez-examples/.../CartesianProduct.java:112-186) → `crossJoin`
+  *    + `filter`.
+  *  - broadcast scalar: BroadcastAndOneToOneExample (tez-tests/.../
+  *    BroadcastAndOneToOneExample.java:58-150) → broadcast of a 1-row
+  *    aggregate crossed into the stream side.
+  *
+  * Scale notes (100 TB): orders⋈customer and lineitem⋈orders are
+  * big×big — shuffled joins on the join key (hash for point lookups,
+  * merge when output feeds a downstream sort), with AQE handling skew
+  * (FairShuffleVertexManager parity). nation/region are tiny dims →
+  * always broadcast, never shuffle the fact side.
+  */
+object JoinQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+    // Big×big equi-join, hash variant (no sort needed on either side).
+    "q_hash_join_inner" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d).hint("SHUFFLE_HASH")
+        val c = Tables.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Dim-table broadcast chain: fact side never shuffles.
+    "q_broadcast_join" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select("c_custkey", "c_name", "n_name", "r_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Big×big equi-join, merge variant + downstream aggregation.
+    "q_sort_merge_join" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d).hint("MERGE")
+        val o = Tables.orders(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // JoinValidate's "missing key" side: customers with no high-value
+    // orders (the filter keeps the anti side non-empty at every SF).
+    "q_left_anti" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q_left_semi" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Cartesian product with a theta filter (CartesianProductFilter hook).
+    // Bounded dims only — an unfiltered 100 TB cross join is never the plan.
+    "q_cross_product" -> QueryDef(
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        n.crossJoin(r)
+          .filter(col("n_regionkey") =!= col("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+          .orderBy("n_nationkey", "r_regionkey")
+      },
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM nation CROSS JOIN region
+        |WHERE n_regionkey <> r_regionkey
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin),
+
+    // Broadcast of a scalar aggregate into a parallel stream
+    // (BroadcastAndOneToOneExample shape): rows above the global mean.
+    // avg(l_quantity) is exact (whole-number doubles), so the predicate is
+    // engine-stable.
+    "q_broadcast_scalar" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val avgQty = l.agg(avg("l_quantity").as("avg_qty"))
+        l.crossJoin(broadcast(avgQty))
+          .filter(col("l_quantity") > col("avg_qty") * 1.9)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every declared query runs end-to-end on sf0.001 and returns rows. */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle name has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
+
+/** Physical-plan shape assertions: each declared join picks the intended
+  * strategy (SURVEY.md §2c parity with the reference's edge choices). */
+class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkTestSession._
+
+  private def plan(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+  private def nodes(name: String): Seq[String] =
+    collect(plan(name)) { case p => p.nodeName }
+
+  test("q_hash_join_inner uses ShuffledHashJoin") {
+    assert(nodes("q_hash_join_inner").exists(_.contains("ShuffledHashJoin")))
+  }
+  test("q_broadcast_join uses BroadcastHashJoin and no shuffle of the fact side") {
+    val ns = nodes("q_broadcast_join")
+    assert(ns.count(_.contains("BroadcastHashJoin")) == 2)
+    assert(!ns.exists(_.contains("SortMergeJoin")))
+  }
+  test("q_sort_merge_join uses SortMergeJoin") {
+    assert(nodes("q_sort_merge_join").exists(_.contains("SortMergeJoin")))
+  }
+  test("q_cross_product uses CartesianProduct or BroadcastNestedLoop") {
+    val ns = nodes("q_cross_product")
+    assert(ns.exists(n => n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop")))
+  }
+  test("q_topk uses TakeOrderedAndProject (no global sort)") {
+    assert(nodes("q_topk").exists(_.contains("TakeOrderedAndProject")))
+  }
+  test("q_filter_predicate pushes filters into the parquet scan") {
+    val scan = plan("q_filter_predicate").toString
+    assert(scan.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(scan.contains("l_shipdate"), "shipdate predicate should reach the scan")
+  }
+  test("q_scan_project prunes columns at the scan") {
+    val s = plan("q_scan_project").toString
+    assert(s.contains("ReadSchema"), s)
+    // pruned: only the 4 projected columns are read
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax") && !read.contains("l_returnflag"), read)
+  }
+  test("q_agg_sum_count does partial then final hash aggregation") {
+    val ns = nodes("q_agg_sum_count")
+    assert(ns.count(_.contains("HashAggregate")) >= 2)
+  }
+}
