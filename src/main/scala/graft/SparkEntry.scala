@@ -15,7 +15,12 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     ops.CoreQueries.defs ++
       ops.JoinQueries.defs ++
-      ops.SetQueries.defs
+      ops.SetQueries.defs ++
+      ops.TextQueries.defs ++
+      ops.DedupQueries.defs ++
+      ops.SimilarityQueries.defs ++
+      ops.EventQueries.defs ++
+      ops.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -27,7 +27,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+
+  /** `events.ts` is NANOSECOND-precision parquet, which Spark's vectorized
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw int64
+    * nanos (`nanosAsLong`) and convert to a microsecond TimestampType —
+    * Spark's native precision. Declared event queries additionally floor
+    * to whole seconds for oracle parity (see graft.ops.EventQueries). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

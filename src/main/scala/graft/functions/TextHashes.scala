@@ -1,0 +1,190 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native implementations of the deterministic text-hash pipeline used by
+  * the dedup family (graft.ops.DedupQueries).
+  *
+  * The SQL-composable forms (transform + 24-term polynomial per element,
+  * nested vote folds) are evaluated per-element through the interpreted
+  * HigherOrderFunction path — on a 5000-doc corpus that is tens of
+  * millions of lambda dispatches and dominates the dedup queries' runtime.
+  * These expressions compute the IDENTICAL integer arithmetic (sum of
+  * ascii(char_i) * 31^(i-1) over the first `width` chars space-padded /
+  * truncated, mod 1e9+7) in tight JVM loops, so results remain
+  * bit-for-bit equal to the DuckDB oracle's lambda pipeline.
+  */
+object TextHash {
+  val M: Long = graft.oracle.Dialect.M
+
+  private val pow31: Array[Long] = {
+    val a = new Array[Long](64)
+    a(0) = 1L
+    for (i <- 1 until 64) a(i) = a(i - 1) * 31 % M
+    a
+  }
+
+  /** Polynomial hash of the first `width` chars, space-padded/truncated —
+    * exactly rpad(s, width, ' ') → Σ ascii(char_i)·31^(i-1) mod M. */
+  def polyHash(s: String, width: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < width) {
+      val c = if (i < s.length) s.charAt(i).toInt else 32
+      h += c.toLong * pow31(i)
+      i += 1
+    }
+    h % M
+  }
+
+  /** Hash of the space-joined word 3-gram starting at token index i
+    * (clamped), without materializing the joined string. */
+  def shingleHash(toks: Array[String], start: Int, width: Int): Long = {
+    var h = 0L
+    var pos = 0
+    var t = start
+    val end = math.min(start + 3, toks.length)
+    while (t < end && pos < width) {
+      if (t > start && pos < width) { h += 32L * pow31(pos); pos += 1 }
+      val s = toks(t)
+      var i = 0
+      while (i < s.length && pos < width) {
+        h += s.charAt(i).toLong * pow31(pos)
+        pos += 1
+        i += 1
+      }
+      t += 1
+    }
+    while (pos < width) { h += 32L * pow31(pos); pos += 1 }
+    h % M
+  }
+}
+
+/** array<string> → array<bigint>: polyHash of each element. */
+case class TokenPolyHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = TextHash.polyHash(arr.getUTF8String(i).toString, width)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenPolyHashes =
+    copy(child = c)
+}
+
+/** array<string> tokens → DISTINCT hashed word-3-gram shingles
+  * (array<bigint>); equals array_distinct(transform(shingles3(toks),
+  * s -> polyHash(s, 24))) — set-equal, which is all downstream consumers
+  * (intersections, sizes, minhash mins) depend on. */
+case class ShingleHashSet3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_set"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val nSh = math.max(n - 2, 1)
+    val seen = mutable.LinkedHashSet.empty[Long]
+    var s = 0
+    while (s < nSh) { seen += TextHash.shingleHash(toks, s, 24); s += 1 }
+    new GenericArrayData(seen.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet3 =
+    copy(child = c)
+}
+
+/** array<bigint> token hashes → SimHash signature with `bits` bits:
+  * bit i set iff Σ_h (±1 by bit i of h) > 0. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < bits) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+object TextHashFunctions {
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  /** Idempotent registration of the text-hash expression family. */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_token_hashes",
+      exprs => TokenPolyHashes(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_shingle_hash_set",
+      exprs => ShingleHashSet3(exprs(0)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_intersect_size",
+      exprs => IntersectSizeExpr(exprs(0), exprs(1)), "scala_udf")
+  }
+}
+
+/** size(array_intersect(a, b)) for BIGINT arrays without materializing
+  * the intersection array — the pair-verification hot path of the dedup
+  * family runs millions of these per stage. Inputs are already distinct
+  * per document, so the count equals the distinct-intersection size. */
+case class IntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, large) =
+      if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val set = new java.util.HashSet[Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    var n = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (set.contains(large.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectSizeExpr = copy(left = l, right = r)
+}

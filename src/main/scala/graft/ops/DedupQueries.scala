@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.oracle.{Dialect, DuckSql, SparkSql}
+import graft.{QueryDef, Tables}
+
+/** Deduplication family over `documents` — the core operators of a
+  * large-scale training-data pipeline (extension mandate; not in the Tez
+  * reference, which stops at exact key grouping à la
+  * tez-examples/.../UnionExample.java dedup).
+  *
+  * Four tiers, each with a DuckDB oracle that matches bit-for-bit:
+  *
+  *  - exact: hash-groupBy on the full text. One shuffle on the text
+  *    (at 100 TB: shuffle on a 128-bit digest of the text, not the text).
+  *  - n-gram Jaccard: exact pairs within a blocking key (lang +
+  *    ±1-adjacent length band). Correctness baseline; quadratic within
+  *    block — at scale the MinHash query below IS the plan.
+  *  - MinHash + LSH banding: 12 permutations × (4 bands × 3 rows),
+  *    candidates = pairs sharing a band bucket, verified by exact
+  *    Jaccard ≥ 0.7. Linear in corpus size + one shuffle per band; this
+  *    is the 100 TB path. The oracle replays the identical integer
+  *    pipeline, so candidate sets (not just survivors) agree exactly.
+  *  - SimHash: 48-bit signature; candidates via 6×8-bit chunk banding.
+  *    With hamming threshold ≤ 4 < 6 chunks, the pigeonhole principle
+  *    guarantees a matching chunk, so the banded plan provably equals
+  *    the oracle's brute-force all-pairs scan.
+  *
+  * Pair-stage performance: Jaccard runs on per-document DISTINCT hashed
+  * shingles (BIGINT) through native array_intersect — one set
+  * intersection per pair, no interpreted O(S²) lambda scans; the
+  * intersection size is materialized once and reused in the union size.
+  */
+object DedupQueries {
+
+  private val JaccardThreshold = 0.7
+  private val Bands = 4
+  private val Rows = 3 // minhashes per band; threshold ~ (1/4)^(1/3) ≈ 0.63
+  private val SimBits = 48
+  // Candidate banding: with HammingMax = 1, two 24-bit chunks are lossless
+  // (pigeonhole: one differing bit cannot hit both chunks) and far more
+  // selective than byte-chunks on this fixture, whose shared 31-word
+  // vocabulary makes signatures cluster (hd ≤ 1 already admits ~1% of
+  // random pairs; real corpora are much sparser).
+  private val SimChunks = 2
+  private val SimChunkBits = 24
+  private val HammingMax = 1
+
+  /** Per-doc DISTINCT hashed 3-gram shingles (BIGINT list) — DuckDB form. */
+  private def shingleHashSet(d: Dialect): String =
+    d.distinctL(d.transform(d.shingles3(d.tokens("text")), "s", d.polyHash("s", 24)))
+
+  /** Spark form of the same set via the native ShingleHashSet3 expression
+    * (identical arithmetic, tight JVM loop instead of interpreted HOFs). */
+  private val sparkShingleSet: String =
+    s"graft_shingle_hash_set(${SparkSql.tokens("text")})"
+
+  private def bandValue(d: Dialect, b: Int): String = {
+    val parts = (0 until Rows).map { r =>
+      d.castStr(Dialect.minhashPerm(d, "hs", b * Rows + r))
+    }
+    parts.mkString("concat(", ", '_', ", ")")
+  }
+
+  /** SimHash from a pre-computed token-hash list column `th`:
+    * per-bit majority vote over token hashes, bit i set when the vote is
+    * positive. Pure BIGINT arithmetic → engine-identical. */
+  private def simhashFromTh(d: Dialect): String = {
+    val vote = d.foldBig("th", "a", "h",
+      s"a + (CASE WHEN (${d.shiftR("h", "i")} % 2) = 1 THEN 1 ELSE -1 END)")
+    d.foldBig(
+      d.transform(d.seqIncl("0", (SimBits - 1).toString), "i",
+        s"CASE WHEN $vote > 0 THEN ${d.shiftL("CAST(1 AS BIGINT)", "i")} ELSE 0 END"),
+      "a", "x", "a + x")
+  }
+
+  /** intersection-size / union-size from materialized columns. */
+  private val jacFromCols = "(CAST(inter AS DOUBLE) / (sa + sb - inter))"
+
+  val defs: Map[String, QueryDef] = Map(
+    // Exact dedup: group identical texts, keep the smallest doc_id.
+    "q_dedup_exact" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("text")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id"),
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+
+    // Exact hashed-3-gram Jaccard, blocked by (lang, ±1 length band).
+    "q_dedup_ngram" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "lang",
+            s"${SparkSql.idiv("n_chars", "100")} AS band",
+            s"$sparkShingleSet AS hs")
+          .persist() // shingle sets computed once, not per self-join branch
+        // candidate id-pairs are enumerated WITHOUT the shingle arrays
+        // (nothing wide moves through the pair join); arrays then come in
+        // via broadcast lookups, so they are never shuffled per-pair
+        val ids = docs.select("doc_id", "lang", "band")
+        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band AS band_a")
+        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS band_b")
+        val cand = a.join(b, Seq("lang"))
+          .filter(abs(col("band_a") - col("band_b")) <= 1 &&
+            col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "doc_id_b")
+        val ha = docs.selectExpr("doc_id AS doc_id_a", "hs AS ha")
+        val hb = docs.selectExpr("doc_id AS doc_id_b", "hs AS hb")
+        cand.join(broadcast(ha), "doc_id_a").join(broadcast(hb), "doc_id_b")
+          .selectExpr("doc_id_a", "doc_id_b",
+            "graft_intersect_size(ha, hb) AS inter",
+            "size(ha) AS sa", "size(hb) AS sb")
+          .selectExpr("doc_id_a", "doc_id_b", s"$jacFromCols AS jaccard")
+          .filter(col("jaccard") >= JaccardThreshold)
+          .orderBy("doc_id_a", "doc_id_b")
+      }, {
+        val d = DuckSql
+        s"""WITH sh AS (SELECT doc_id, lang, ${d.idiv("n_chars", "100")} AS band,
+           |    ${shingleHashSet(d)} AS hs FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           |    ${d.sizeL(d.intersectL("a.hs", "b.hs"))} AS inter,
+           |    ${d.sizeL("a.hs")} AS sa, ${d.sizeL("b.hs")} AS sb
+           |  FROM sh a JOIN sh b
+           |    ON a.lang = b.lang AND abs(a.band - b.band) <= 1
+           |   AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
+           |FROM p WHERE $jacFromCols >= $JaccardThreshold
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      }),
+
+    // MinHash + LSH banding → exact-Jaccard verification. The scale path.
+    "q_dedup_minhash" -> QueryDef(
+      (s, d) => {
+        // shingle sets computed once and persisted; candidate pairs are
+        // deduped as bare (id, id) BEFORE re-joining the heavy arrays, so
+        // the dedup shuffle never carries shingle sets
+        graft.functions.TextHashFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", s"$sparkShingleSet AS hs")
+          .persist()
+        val bandCols = (0 until Bands).map(b =>
+          expr(bandValue(SparkSql, b)).as(s"band_$b"))
+        val banded = docs.select(col("doc_id") +: col("hs") +: bandCols: _*)
+        val long = banded.select(col("doc_id"),
+          posexplode(array((0 until Bands).map(b => col(s"band_$b")): _*)))
+          .withColumnRenamed("pos", "band_idx")
+          .withColumnRenamed("col", "band_val")
+        val cand = long.as("x").join(long.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+          .dropDuplicates("doc_id_a", "doc_id_b")
+        val a = docs.selectExpr("doc_id AS doc_id_a", "hs AS ha")
+        val b = docs.selectExpr("doc_id AS doc_id_b", "hs AS hb")
+        cand.join(a, "doc_id_a").join(b, "doc_id_b")
+          .selectExpr("doc_id_a", "doc_id_b",
+            "graft_intersect_size(ha, hb) AS inter",
+            "size(ha) AS sa", "size(hb) AS sb")
+          .selectExpr("doc_id_a", "doc_id_b", s"$jacFromCols AS jaccard")
+          .filter(col("jaccard") >= JaccardThreshold)
+          .orderBy("doc_id_a", "doc_id_b")
+      }, {
+        val d = DuckSql
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, ${bandValue(d, b)} AS band_val FROM hsets")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH hsets AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           |   AND x.doc_id < y.doc_id
+           |),
+           |p AS (
+           |  SELECT doc_id_a, doc_id_b,
+           |    ${d.sizeL(d.intersectL("a.hs", "b.hs"))} AS inter,
+           |    ${d.sizeL("a.hs")} AS sa, ${d.sizeL("b.hs")} AS sb
+           |  FROM cand
+           |  JOIN hsets a ON a.doc_id = doc_id_a
+           |  JOIN hsets b ON b.doc_id = doc_id_b
+           |)
+           |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
+           |FROM p WHERE $jacFromCols >= $JaccardThreshold
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      }),
+
+    // SimHash near-dup: banded candidates, provably equal to all-pairs.
+    "q_dedup_simhash" -> QueryDef(
+      (s, d) => {
+        // persist the tiny (doc_id, signature) frame so the self-join does
+        // not recompute the signature on both branches; signature runs in
+        // the native TokenPolyHashes + SimHashExpr loops
+        graft.functions.TextHashFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id",
+            s"graft_token_hashes(${SparkSql.tokens("text")}, 12) AS th")
+          .selectExpr("doc_id", s"CAST(graft_simhash(th, $SimBits) AS BIGINT) AS sh")
+          .persist()
+        // disjoint candidate generation — a pair joins on chunk 0, or on
+        // chunk 1 only when chunk 0 differs — so candidates are unique by
+        // construction and no dedup shuffle is needed
+        val withChunks = docs.selectExpr(Seq("doc_id", "sh") ++
+          (0 until SimChunks).map(c =>
+            s"(${SparkSql.shiftR("sh", (SimChunkBits * c).toString)} % ${1 << SimChunkBits}) AS chunk_$c"): _*)
+        val x = withChunks.selectExpr(Seq("doc_id AS doc_id_a", "sh AS sha") ++
+          (0 until SimChunks).map(c => s"chunk_$c AS xc_$c"): _*)
+        val y = withChunks.selectExpr(Seq("doc_id AS doc_id_b", "sh AS shb") ++
+          (0 until SimChunks).map(c => s"chunk_$c AS yc_$c"): _*)
+        val perChunk = (0 until SimChunks).map { c =>
+          val priorDiffer = (0 until c)
+            .map(p => col(s"xc_$p") =!= col(s"yc_$p"))
+            .foldLeft(lit(true))(_ && _)
+          x.join(y, col(s"xc_$c") === col(s"yc_$c") &&
+              col("doc_id_a") < col("doc_id_b") && priorDiffer)
+            .select(col("doc_id_a"), col("doc_id_b"), col("sha"), col("shb"))
+        }
+        perChunk.reduce(_ unionAll _)
+          .selectExpr("doc_id_a", "doc_id_b",
+            s"CAST(bit_count(${SparkSql.xorB("sha", "shb")}) AS INT) AS hamming")
+          .filter(col("hamming") <= HammingMax)
+          .orderBy("doc_id_a", "doc_id_b")
+      }, {
+        val d = DuckSql
+        s"""WITH th AS (SELECT doc_id,
+           |    ${d.transform(d.tokens("text"), "t", d.polyHash("t", 12))} AS th
+           |  FROM documents),
+           |sh AS (SELECT doc_id, CAST(${simhashFromTh(d)} AS BIGINT) AS sh FROM th)
+           |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           |  CAST(bit_count(${d.xorB("a.sh", "b.sh")}) AS INT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(${d.xorB("a.sh", "b.sh")}) <= $HammingMax
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      })
+  )
+}

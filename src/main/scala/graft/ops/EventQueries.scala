@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.oracle.DuckSql
+import graft.{QueryDef, Tables}
+
+/** Event-time windowing + JSON extraction over the `events` table.
+  *
+  * Tez is batch-only (SURVEY.md §1 — "pipelined shuffle" is not stream
+  * processing); these are the extension operators a pipeline needs for
+  * event streams, expressed as batch queries here and as Structured
+  * Streaming in graft.streaming.EventStream (same window semantics,
+  * `readStream` + watermark).
+  *
+  * Oracle-parity note: `events.ts` is NANOSECOND precision in parquet.
+  * Spark truncates to microseconds on read; DuckDB keeps ns. Every
+  * declared output therefore goes through whole-second epoch values
+  * (BIGINT) so both engines agree exactly; window membership at 30-min
+  * boundaries is unaffected by sub-second truncation.
+  */
+object EventQueries {
+
+  private def moneySumSql(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Map[String, QueryDef] = Map(
+    // Tumbling 1-hour window via Spark's native window() operator.
+    "q_window_tumbling" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select(
+            unix_timestamp(col("window.start")).as("window_start_epoch"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("window_start_epoch", "event_type"),
+      s"""SELECT ${DuckSql.epochTrunc("hour", "ts")} AS window_start_epoch,
+         |  event_type, count(*) AS n_events, ${moneySumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Sliding 1-hour window, 30-minute slide (each event in 2 windows).
+    "q_window_sliding" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select(
+            unix_timestamp(col("window.start")).as("window_start_epoch"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("window_start_epoch", "event_type"),
+      s"""WITH e AS (SELECT ${DuckSql.epochSec("ts")} AS es, event_type, value FROM events),
+         |w AS (
+         |  SELECT ((es // 1800) * 1800) AS ws, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT ((es // 1800) * 1800 - 1800) AS ws, event_type, value FROM e
+         |)
+         |SELECT ws AS window_start_epoch, event_type,
+         |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Sessionization: per-user sessions split on >30-minute gaps
+    // (lag + running sum of session-break flags — one shuffle on user_id).
+    "q_window_session" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("es")
+        Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+            col("value"))
+          .withColumn("prev_es", lag("es", 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_seq", sum("is_new").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_seq")
+          .agg(
+            min("es").as("session_start_epoch"),
+            max("es").minus(min("es")).cast(LongType).as("duration_sec"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select("user_id", "session_start_epoch", "duration_sec", "n_events", "sum_value")
+          .orderBy("user_id", "session_start_epoch")
+      },
+      s"""WITH e AS (SELECT user_id, ${DuckSql.epochSec("ts")} AS es, value FROM events),
+         |flagged AS (
+         |  SELECT user_id, es, value,
+         |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+         |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e
+         |),
+         |sess AS (
+         |  SELECT user_id, es, value,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT user_id, min(es) AS session_start_epoch,
+         |  CAST(max(es) - min(es) AS BIGINT) AS duration_sec,
+         |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start_epoch""".stripMargin),
+
+    // JSON property extraction + aggregation.
+    "q_json_extract" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"))
+          .orderBy("event_type"),
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+         |FROM (SELECT event_type,
+         |        CAST(${DuckSql.jsonGetStr("props", "k")} AS BIGINT) AS k
+         |      FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+}

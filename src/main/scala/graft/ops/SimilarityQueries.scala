@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.oracle.{Dialect, DuckSql}
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers:
+  *  - q_dedup_embedding: cosine near-duplicate pairs, brute-force within
+  *    the full (small) table — correctness baseline.
+  *  - q_ann_cosine: exact brute-force top-k neighbors for a query subset;
+  *    the query side is broadcast, the corpus never shuffles, and the
+  *    per-query top-k runs through a rank window (at 100 TB: per-partition
+  *    top-k then k·P merge).
+  *  - q_ann_lsh: random-hyperplane LSH bucketing (6 planes → 64 buckets),
+  *    neighbors searched only within a bucket: the linear-scale path.
+  *    Hyperplane coefficients come from a deterministic LCG evaluated
+  *    identically in both engines.
+  *
+  * Performance: dot products run through the custom codegen'd
+  * `graft_vec_dot` expression (graft.functions.VecDot) and each vector's
+  * squared norm is computed ONCE per row, not per pair — cosine =
+  * dot / sqrt(n2_a * n2_b). Summation order matches the DuckDB oracle's
+  * list_reduce exactly, so values stay bit-identical.
+  */
+object SimilarityQueries {
+
+  private val NearDupThreshold = 0.4
+  private val TopK = 5
+  private val NPlanes = 6
+
+  /** Deterministic pseudo-random hyperplane coefficient r_{p,d} in
+    * [-0.5, 0.5): LCG over the flattened (plane, dim) index. Exact
+    * integer arithmetic + one exact division in both engines. */
+  private def planeCoef(d: Dialect, p: String, dim: String): String = {
+    val idx = s"(($p) * 64 + ($dim))"
+    s"(CAST(((CAST(1103515245 AS BIGINT) * $idx + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5)"
+  }
+
+  /** LSH bucket id of an embedding column: bit p set iff the projection
+    * onto hyperplane p is positive. */
+  private def lshBucket(d: Dialect, emb: String): String = {
+    val proj = d.foldDbl(
+      d.transform(d.seqIncl("1", "64"), "dd",
+        s"${planeCoef(d, "p", "dd - 1")} * ${d.elemAtDbl(emb, "dd")}"),
+      "acc", "v", "acc + v")
+    d.foldBig(
+      d.transform(d.seqIncl("0", (NPlanes - 1).toString), "p",
+        s"CASE WHEN $proj > 0 THEN ${d.shiftL("CAST(1 AS BIGINT)", "p")} ELSE 0 END"),
+      "a", "x", "a + x")
+  }
+
+  /** DuckDB norm-augmented embeddings CTE (squared norm once per row). */
+  private def duckNormCte: String =
+    s"""e AS (SELECT vec_id, embedding,
+       |  ${DuckSql.dotDbl("embedding", "embedding")} AS n2 FROM embeddings)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"(${DuckSql.dotDbl(s"$a.embedding", s"$b.embedding")} / sqrt($a.n2 * $b.n2))"
+
+  val defs: Map[String, QueryDef] = Map(
+    // Brute-force cosine near-duplicate pairs.
+    "q_dedup_embedding" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2")
+        val a = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea", "n2 AS na2")
+        val b = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb", "n2 AS nb2")
+        a.crossJoin(b)
+          .filter(col("vec_id_a") < col("vec_id_b"))
+          .selectExpr("vec_id_a", "vec_id_b",
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= NearDupThreshold)
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      s"""WITH $duckNormCte
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  ${duckCos("a", "b")} AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin),
+
+    // Exact brute-force top-k: query side broadcast, corpus scanned once.
+    "q_ann_cosine" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2")
+        val q = e.filter(col("vec_id") < 20)
+          .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce", "n2 AS cn2")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        c.crossJoin(broadcast(q))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckNormCte
+         |SELECT query_id, neighbor_id, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20
+         |) WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin),
+
+    // LSH-bucketed ANN: join only within hyperplane-sign buckets.
+    "q_ann_lsh" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2",
+            s"CAST(${lshBucket(graft.oracle.SparkSql, "embedding")} AS BIGINT) AS bucket")
+        val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "bucket")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "bucket")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "bucket",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      }, {
+        val d = DuckSql
+        s"""WITH eb AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2,
+           |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
+           |  FROM embeddings)
+           |SELECT query_id, neighbor_id, bucket, cosine, rn FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+           |    ${duckCos("q", "c")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+           |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      })
+  )
+}

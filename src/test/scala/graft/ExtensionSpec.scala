@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.BinaryPipeline
+import graft.streaming.EventStream
+
+/** Multimodal binary plumbing: schema, batch shape, determinism. */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("decode pipeline produces fixed-width typed features") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sf).repartition(4)
+    val feats = BinaryPipeline.decodeFeatures(media)
+    assert(feats.schema == BinaryPipeline.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getSeq[Float](5).length == 8))
+  }
+
+  test("decode is deterministic and payload-length-faithful") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sf)
+    val a = BinaryPipeline.decodeFeatures(media).orderBy("media_id").collect()
+    val b = BinaryPipeline.decodeFeatures(media.repartition(7))
+      .orderBy("media_id").collect()
+    assert(a.sameElements(b), "decode must not depend on partitioning")
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(r => r.getLong(2) == nChars(r.getLong(0))))
+  }
+}
+
+/** Structured Streaming: batch/stream window parity on the fixture. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming tumbling counts equal the batch oracle") {
+    val q = EventStream.tumblingCounts(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select(unix_timestamp(col("window_start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start_epoch", "event_type").collect()
+    val batch = SparkEntry.queries("q_window_tumbling")(spark, sf)
+      .select("window_start_epoch", "event_type", "n_events").collect()
+    assert(streamed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  test("streaming session windows produce sane sessions") {
+    val q = EventStream.sessionAgg(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("session_out").count()
+    assert(n > 0)
+  }
+}
