@@ -157,6 +157,8 @@ object TextHashFunctions {
       exprs => SimHashExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_intersect_size",
       exprs => IntersectSizeExpr(exprs(0), exprs(1)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_text_stats",
+      exprs => TextStatsExpr(exprs(0)), "scala_udf")
   }
 }
 
@@ -187,4 +189,39 @@ case class IntersectSizeExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): IntersectSizeExpr = copy(left = l, right = r)
+}
+
+/** One-pass token statistics: struct(n_tokens, n_distinct, total_chars,
+  * stop_hits) over an array<string> token column. Replaces four separate
+  * interpreted HOF folds that each re-derived the token array; the
+  * integer outputs are identical, and downstream ratios divide the same
+  * integers in the same order as the DuckDB oracle. */
+case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val stopwords = Set("the", "a", "of", "and")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String](n * 2)
+    var chars = 0L
+    var stops = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      seen.add(t)
+      chars += t.length
+      if (stopwords.contains(t)) stops += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, seen.size.toLong, chars, stops)
+  }
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
 }

@@ -87,17 +87,32 @@ object TextQueries {
   }
 
   val defs: Map[String, QueryDef] = {
-    val (statsS, statsD) = (statsExprs(SparkSql), statsExprs(DuckSql))
+    val statsD = statsExprs(DuckSql)
     val (langS, langD) = (langExprs(SparkSql), langExprs(DuckSql))
     val (tcS, tcD) = (tokenCountExprs(SparkSql), tokenCountExprs(DuckSql))
     val (fpS, fpD) = both(fingerprintExpr)
 
     Map(
+      // Spark side runs the one-pass native TextStatsExpr; the ratio
+      // expressions divide the same integers in the same order as the
+      // oracle's HOF pipeline, so values stay bit-identical.
       "q_text_stats" -> QueryDef(
-        (s, dir) =>
+        (s, dir) => {
+          graft.functions.TextHashFunctions.register(s)
           Tables.documents(s, dir)
-            .selectExpr(Seq("doc_id", "lang") ++ statsS: _*)
-            .orderBy("doc_id"),
+            .selectExpr("doc_id", "lang",
+              s"graft_text_stats(${SparkSql.tokens("text")}) AS st")
+            .selectExpr("doc_id", "lang",
+              "st.n_tokens AS n_tokens",
+              "st.n_distinct AS n_distinct",
+              "(CAST(st.total_chars AS DOUBLE) / st.n_tokens) AS avg_token_len",
+              "(CAST(st.n_distinct AS DOUBLE) / st.n_tokens) AS distinct_ratio",
+              "(CAST(st.stop_hits AS DOUBLE) / st.n_tokens) AS stopword_ratio",
+              "(0.5 * (CAST(st.n_distinct AS DOUBLE) / st.n_tokens)" +
+                " + 0.3 * (CAST(st.stop_hits AS DOUBLE) / st.n_tokens)" +
+                " + 0.2 * least(CAST(st.n_tokens AS DOUBLE) / 100.0, 1.0)) AS quality_score")
+            .orderBy("doc_id")
+        },
         s"""SELECT doc_id, lang, ${statsD.mkString(", ")}
            |FROM documents ORDER BY doc_id""".stripMargin),
 
