@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point: registers the graft expression family
+  * at session build, so a cluster user gets `graft_vec_dot`,
+  * `graft_shingle_hash_set`, `graft_simhash`, `graft_token_hashes`,
+  * `graft_intersect_size`, `graft_text_stats` in plain SQL via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (SURVEY.md §7: custom Expression surface registered through
+  * SparkSessionExtensions.) The declared queries also self-register per
+  * session, so the extension is a convenience, not a requirement.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // injectFunction needs FunctionIdentifier+ExpressionInfo plumbing;
+    // the check-in hook below registers on first session access instead,
+    // keeping one registration code path for both entry points.
+    e.injectCheckRule { session =>
+      functions.GraftFunctions.register(session)
+      functions.TextHashFunctions.register(session)
+      _ => ()
+    }
+  }
+}

@@ -170,6 +170,35 @@ object CoreQueries {
         |  FROM lineitem
         |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin),
 
+    // Same semantics as q_secondary_sort via the typed bounded-top-k
+    // Aggregator (graft.functions.TopKByShipdate): partial top-k runs
+    // map-side (ObjectHashAggregate) so only k rows per (group, task)
+    // shuffle — the scalable form of secondary sort. Shares the
+    // q_secondary_sort oracle: both must produce identical rows.
+    "q_topk_per_group" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_shipdate"),
+            col("l_orderkey"), col("l_linenumber"))
+          .as[graft.functions.LineKeyed]
+        ds.groupByKey(_.l_suppkey)
+          .agg(new graft.functions.TopKByShipdate(3).toColumn)
+          .flatMap { case (_, top) =>
+            top.zipWithIndex.map { case (r, i) =>
+              (r.l_suppkey, r.l_shipdate, r.l_orderkey, r.l_linenumber, i + 1)
+            }
+          }
+          .toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "rn")
+          .orderBy("l_suppkey", "rn")
+      },
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin),
+
     // Top-K via TakeOrderedAndProject: per-partition top-k, merge k·P rows on
     // the driver — at 100 TB this never materializes a global sort.
     "q_topk" -> QueryDef(

@@ -56,4 +56,28 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
+
+  /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
+    * analog, SURVEY.md §2f): running per-user event count + running value
+    * sum, updated incrementally as batches arrive. */
+  case class UserState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  def statefulUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { r => n += 1; tot += r._2 }
+          state.update(UserState(n, tot))
+          UserSnapshot(user, n, tot)
+      }
+  }
 }
