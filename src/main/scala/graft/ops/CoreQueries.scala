@@ -54,13 +54,17 @@ object CoreQueries {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val defs: Map[String, QueryDef] = Map(
+    // Determinism rule: (l_orderkey, l_linenumber) is NOT unique in the
+    // fixtures, so every lineitem row query orders by ALL output columns —
+    // tied rows are then identical, making output order engine-stable.
     "q_scan_project" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_shipdate""".stripMargin),
 
     "q_filter_predicate" -> QueryDef(
       (s, d) =>
@@ -68,11 +72,11 @@ object CoreQueries {
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_quantity") > 45)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin),
 
     // Flagship: TPC-H Q1-shaped pricing summary (WordCount semantics writ large).
     "q_agg_sum_count" -> QueryDef(
@@ -141,15 +145,26 @@ object CoreQueries {
     // Sampled range-partitioned total-order sort (TotalOrderPartitioner +
     // InputSampler, tez-tests/.../Sort.java:163-165): Spark's RangePartitioning
     // samples automatically. LIMIT keeps the declared output deterministic.
+    // The LIMIT cut must fall on a TOTAL ordering (full lineitem rows are
+    // unique; any prefix of columns is not), then re-sort the projection.
     "q_total_order_sort" -> QueryDef(
-      (s, d) =>
+      (s, d) => {
+        val full = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
         Tables.lineitem(s, d)
+          .orderBy(full.head, full.tail: _*)
+          .limit(1000)
           .select("l_shipdate", "l_orderkey", "l_linenumber")
           .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-          .limit(1000),
-      """SELECT l_shipdate, l_orderkey, l_linenumber
-        |FROM lineitem
-        |ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000""".stripMargin),
+      },
+      """SELECT l_shipdate, l_orderkey, l_linenumber FROM (
+        |  SELECT * FROM lineitem
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount, l_tax, l_partkey, l_suppkey,
+        |    l_returnflag, l_linestatus
+        |  LIMIT 1000
+        |) ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin),
 
     // Secondary sort: group by l_suppkey, order values by ship date within the
     // group; emit the first 3 per group. One shuffle on the grouping key only.

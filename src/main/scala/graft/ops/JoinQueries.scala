@@ -140,10 +140,10 @@ object JoinQueries {
         l.crossJoin(broadcast(avgQty))
           .filter(col("l_quantity") > col("avg_qty") * 1.9)
           .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
       },
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
   )
 }
