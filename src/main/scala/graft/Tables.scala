@@ -41,4 +41,15 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** The fixture doc/embedding tables are single parquet files → one scan
+    * partition, which serializes the expensive per-row map work (hashing,
+    * signatures, dot products) on one core. Heavy operators read through
+    * these: an explicit round-robin repartition buys full parallelism for
+    * one cheap narrow-input shuffle. On a real many-file 100 TB corpus the
+    * scan already yields thousands of partitions and this is a no-op cost. */
+  def documentsParallel(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+  def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 }

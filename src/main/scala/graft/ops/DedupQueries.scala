@@ -94,7 +94,7 @@ object DedupQueries {
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsParallel(s, d)
           .selectExpr("doc_id", "lang",
             s"${SparkSql.idiv("n_chars", "100")} AS band",
             s"$sparkShingleSet AS hs")
@@ -142,7 +142,7 @@ object DedupQueries {
         // deduped as bare (id, id) BEFORE re-joining the heavy arrays, so
         // the dedup shuffle never carries shingle sets
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsParallel(s, d)
           .selectExpr("doc_id", s"$sparkShingleSet AS hs")
           .persist()
         val bandCols = (0 until Bands).map(b =>
@@ -202,7 +202,7 @@ object DedupQueries {
         // not recompute the signature on both branches; signature runs in
         // the native TokenPolyHashes + SimHashExpr loops
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsParallel(s, d)
           .selectExpr("doc_id",
             s"graft_token_hashes(${SparkSql.tokens("text")}, 12) AS th")
           .selectExpr("doc_id", s"CAST(graft_simhash(th, $SimBits) AS BIGINT) AS sh")

@@ -99,7 +99,7 @@ object TextQueries {
       "q_text_stats" -> QueryDef(
         (s, dir) => {
           graft.functions.TextHashFunctions.register(s)
-          Tables.documents(s, dir)
+          Tables.documentsParallel(s, dir)
             .selectExpr("doc_id", "lang",
               s"graft_text_stats(${SparkSql.tokens("text")}) AS st")
             .selectExpr("doc_id", "lang",
@@ -118,7 +118,7 @@ object TextQueries {
 
       "q_lang_id" -> QueryDef(
         (s, dir) =>
-          Tables.documents(s, dir)
+          Tables.documentsParallel(s, dir)
             .selectExpr(Seq("doc_id", "lang") ++ langS: _*)
             .orderBy("doc_id"),
         s"""SELECT doc_id, lang, ${langD.mkString(", ")}
@@ -128,7 +128,7 @@ object TextQueries {
       // (100 groups) regardless of corpus size; all heavy work is map-side.
       "q_token_count" -> QueryDef(
         (s, dir) =>
-          Tables.documents(s, dir)
+          Tables.documentsParallel(s, dir)
             .selectExpr(Seq("lang", "source") ++ tcS: _*)
             .groupBy("lang", "source")
             .agg(
@@ -146,7 +146,7 @@ object TextQueries {
 
       "q_doc_fingerprint" -> QueryDef(
         (s, dir) =>
-          Tables.documents(s, dir)
+          Tables.documentsParallel(s, dir)
             .selectExpr("doc_id", s"CAST($fpS AS BIGINT) AS fingerprint")
             .orderBy("doc_id"),
         s"""SELECT doc_id, CAST($fpD AS BIGINT) AS fingerprint
