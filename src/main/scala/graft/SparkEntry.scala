@@ -20,7 +20,8 @@ object SparkEntry {
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
       ops.EventQueries.defs ++
-      ops.MultimodalQueries.defs
+      ops.MultimodalQueries.defs ++
+      ops.FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
