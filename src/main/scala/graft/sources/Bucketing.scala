@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (pre-partitioned, co-located) tables.
+  *
+  * Tez lets Hive wire CUSTOM edges that keep both join sides partitioned
+  * identically so repeated joins skip re-shuffling (EdgeManagerPlugin,
+  * SURVEY.md §2b/§2e). Spark's first-class form is bucketing: write both
+  * fact tables bucketed+sorted by the join key once, and EVERY subsequent
+  * join/aggregation on that key runs with zero exchanges — at 100 TB
+  * this converts the recurring multi-TB shuffle of a daily
+  * lineitem⋈orders pipeline into a one-time write-side cost.
+  */
+object Bucketing {
+
+  /** One-time bucketed materialization (bucketBy requires saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — planner sees both
+    * sides pre-distributed and skips the exchange (asserted in
+    * BucketingSpec). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

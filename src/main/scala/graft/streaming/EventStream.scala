@@ -57,6 +57,15 @@ object EventStream {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup within the watermark horizon — the streaming
+    * twin of q_dedup_exact: late duplicates beyond the watermark age out
+    * of state instead of accumulating forever (the only state-bounded
+    * way to dedup an unbounded 100 TB/day stream). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
     * sum, updated incrementally as batches arrive. */

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketing
+import graft.streaming.EventStream
+
+/** Co-located bucketed joins: zero exchanges on the bucket key. */
+class BucketingSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkTestSession._
+
+  test("join of bucketed tables runs without a shuffle exchange") {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf), "orders_b", "o_custkey", 8)
+    Bucketing.writeBucketed(
+      Tables.customer(spark, sf)
+        .withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "orders_b", "customer_b", "o_custkey")
+      joined.collect()
+      val nodes = collect(joined.queryExecution.executedPlan) { case p => p.nodeName }
+      assert(nodes.exists(_.contains("SortMergeJoin")), nodes.mkString(","))
+      assert(!nodes.exists(_.contains("ShuffleExchange")),
+        s"bucketed join must not shuffle: ${nodes.mkString(",")}")
+      assert(joined.count() == Tables.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming dedup within watermark preserves distinct events") {
+    val q = EventStream.dedupedEvents(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_out").count()
+    // fixture event_ids are unique → dedup is lossless there
+    assert(n == Tables.events(spark, sf).count())
+  }
+}
