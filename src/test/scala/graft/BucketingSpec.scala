@@ -10,7 +10,18 @@ import graft.streaming.EventStream
 class BucketingSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession._
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("join of bucketed tables runs without a shuffle exchange") {
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both before writing
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
     Bucketing.writeBucketed(
       Tables.orders(spark, sf), "orders_b", "o_custkey", 8)
     Bucketing.writeBucketed(
