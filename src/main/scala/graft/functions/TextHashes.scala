@@ -159,6 +159,8 @@ object TextHashFunctions {
       exprs => IntersectSizeExpr(exprs(0), exprs(1)), "scala_udf")
     r.createOrReplaceTempFunction("graft_text_stats",
       exprs => TextStatsExpr(exprs(0)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_ivf_cell",
+      exprs => IvfCellExpr(exprs(0), litInt(exprs(1))), "scala_udf")
   }
 }
 
@@ -223,5 +225,43 @@ case class TextStatsExpr(child: Expression)
       n.toLong, seen.size.toLong, chars, stops)
   }
   override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
+}
+
+/** IVF coarse-quantizer cell for a 64-dim float embedding: argmin of
+  * squared L2 distance to `nCells` deterministic LCG-generated centroids
+  * (same formula as the SQL-composable form in SimilarityQueries — exact
+  * integer LCG, one exact division, strict left-to-right double sums —
+  * so cell ids are bit-identical to the DuckDB oracle's). First-minimum
+  * tie-break matches list_position(dists, list_min(dists)). Returns the
+  * 1-based cell index. */
+case class IvfCellExpr(child: Expression, nCells: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_cell"
+
+  private def coef(idx: Long): Double =
+    ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < nCells) {
+      var dist = 0.0
+      var dd = 1
+      while (dd <= 64) {
+        val c = coef((7000L + j) * 64 + (dd - 1))
+        val x = arr.getFloat(dd - 1).toDouble
+        dist += (x - c) * (x - c)
+        dd += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = j }
+      j += 1
+    }
+    best + 1
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCellExpr =
     copy(child = c)
 }

@@ -59,6 +59,22 @@ object BinaryPipeline {
     (n % 640, n % 480, feat.map(f => f + (h % 97) / 97.0f))
   }
 
+  /** STUB frame sampler: n evenly-spaced "frames" (byte slices) hashed
+    * deterministically — the video-frame-sampling plumbing with the codec
+    * replaced by arithmetic. Returns min(n, payload-length) hashes. */
+  def sampleFrameHashes(payload: Array[Byte], n: Int): Array[Long] = {
+    val len = math.max(payload.length, 1)
+    val k = math.min(n, len)
+    Array.tabulate(k) { f =>
+      val start = (f.toLong * len / k).toInt
+      val end = math.min(((f + 1).toLong * len / k).toInt, payload.length)
+      var h = 17L
+      var i = start
+      while (i < end) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+      h
+    }
+  }
+
   /** Build a media table from `documents` (text bytes standing in for an
     * image/audio payload — the fixture set carries no real media). */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
@@ -68,6 +84,22 @@ object BinaryPipeline {
         lit("image").as("kind"),
         col("text").cast(BinaryType).as("payload"),
         col("source").as("meta_source"))
+
+  /** Frame-sample surface: one row per sampled frame (media_id,
+    * frame_idx, frame_hash), the exploded shape a downstream embedding
+    * stage consumes. Runs partition-local like decodeFeatures. */
+  def frameSample(media: DataFrame, nFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .map { r =>
+        (r.getLong(0), sampleFrameHashes(r.getAs[Array[Byte]]("payload"), nFrames))
+      }
+      .toDF("media_id", "hashes")
+      .select(col("media_id"), posexplode(col("hashes")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_hash")
+  }
 
   /** Partition-local batched decode: binary in, fixed-width features out. */
   def decodeFeatures(media: DataFrame): DataFrame = {

@@ -54,6 +54,28 @@ object SimilarityQueries {
       "a", "x", "a + x")
   }
 
+  private val NCells = 16
+
+  /** IVF coarse-quantizer cell: argmin over NCells deterministic
+    * pseudo-random centroids of squared L2 distance. Centroid coords use
+    * the same LCG as the LSH planes with a decorrelating index offset;
+    * `list_position(dists, min)` gives a deterministic first-min
+    * tie-break in both engines. */
+  private def ivfCell(d: Dialect, emb: String): String = {
+    val dist = d.foldDbl(
+      d.transform(d.seqIncl("1", "64"), "dd",
+        s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")}) * " +
+          s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")})"),
+      "acc", "v", "acc + v")
+    val dists = d.transform(d.seqIncl("0", (NCells - 1).toString), "jj", dist)
+    d match {
+      case graft.oracle.SparkSql =>
+        s"array_position($dists, array_min($dists))"
+      case _ =>
+        s"list_position($dists, list_min($dists))"
+    }
+  }
+
   /** DuckDB norm-augmented embeddings CTE (squared norm once per row). */
   private def duckNormCte: String =
     s"""e AS (SELECT vec_id, embedding,
@@ -149,6 +171,50 @@ object SimilarityQueries {
            |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
            |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
            |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }),
+
+    // IVF-flat ANN: coarse-quantize into NCells Voronoi cells, then search
+    // only within the query's cell. The other linear-scale path next to
+    // hyperplane LSH: at 100 TB the corpus is write-time partitioned by
+    // cell, so a query touches one partition (plus neighbor cells for
+    // recall, not modeled here).
+    "q_ann_ivf" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        graft.functions.TextHashFunctions.register(s)
+        // native argmin expression (bit-identical to the SQL fold) +
+        // persist so the self-join doesn't assign cells twice
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2",
+            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell")
+          .persist()
+        val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "cell")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      }, {
+        val d = DuckSql
+        s"""WITH eb AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2,
+           |    CAST(${ivfCell(d, "embedding")} AS INT) AS cell
+           |  FROM embeddings)
+           |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+           |    ${duckCos("q", "c")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+           |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       })
   )

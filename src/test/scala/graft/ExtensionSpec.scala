@@ -19,6 +19,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Float](5).length == 8))
   }
 
+  test("frame sampling yields n frames per media row") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sf)
+    val frames = BinaryPipeline.frameSample(media, 4)
+    assert(frames.count() == 500 * 4)
+    assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
   test("decode is deterministic and payload-length-faithful") {
     val media = BinaryPipeline.mediaFromDocuments(spark, sf)
     val a = BinaryPipeline.decodeFeatures(media).orderBy("media_id").collect()
