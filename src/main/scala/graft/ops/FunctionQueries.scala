@@ -82,6 +82,21 @@ object FunctionQueries {
         |  count(DISTINCT CAST(extract(dow FROM o_orderdate) AS INT)) AS n_dows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Sketch aggregates: HLL++ internals differ from DuckDB's sketch, so
+    // no SQL oracle is declared — the driver records the weaker
+    // rows-only check. The exact distinct count rides along so the
+    // result itself witnesses the approximation error (< 5% rsd).
+    "q_approx_distinct" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct("l_partkey", 0.05).as("approx_parts"),
+            countDistinct("l_partkey").as("exact_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      None),
+
     "q_percentile_agg" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)
