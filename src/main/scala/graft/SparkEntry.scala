@@ -21,7 +21,8 @@ object SparkEntry {
       ops.SimilarityQueries.defs ++
       ops.EventQueries.defs ++
       ops.MultimodalQueries.defs ++
-      ops.FunctionQueries.defs
+      ops.FunctionQueries.defs ++
+      ops.TemporalJoinQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
