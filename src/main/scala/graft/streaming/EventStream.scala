@@ -66,6 +66,29 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's events in the following 10 minutes — the streaming twin of
+    * q_range_join. Watermarks on BOTH sides bound the join state: a
+    * purchase can stop waiting once the event-side watermark passes its
+    * window, which is what makes this runnable forever at 100 TB/day. */
+  def purchaseFollowUps(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val follows = events
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(follows,
+      col("p_user") === col("e_user") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("event_id"), col("event_type"))
+  }
+
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
     * sum, updated incrementally as batches arrive. */

@@ -40,6 +40,20 @@ class BucketingSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val q = EventStream.purchaseFollowUps(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("followups_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("followups_out")
+      .select("user_id", "purchase_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("q_range_join")(spark, sf)
+      .select("user_id", "purchase_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming dedup within watermark preserves distinct events") {
     val q = EventStream.dedupedEvents(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("dedup_out")
