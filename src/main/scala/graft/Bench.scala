@@ -22,22 +22,28 @@ object Bench {
       SparkEntry.queries.get("q_agg_sum_count").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // median of 3 passes, clearing the DataFrame cache between passes so
-    // per-query persist() calls don't bleed across measurements
+    // per-query persist() calls don't bleed across measurements. A query
+    // that throws is recorded as the -1.0 sentinel (never a timing) and
+    // listed under "errors", so a broken query cannot masquerade as fast.
+    val errors = scala.collection.mutable.SortedSet.empty[String]
     val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => errors += name; false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
     val results = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).sorted.apply(1)
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,21 +30,29 @@ object TextHash {
     a
   }
 
-  /** Polynomial hash of the first `width` chars, space-padded/truncated —
-    * exactly rpad(s, width, ' ') → Σ ascii(char_i)·31^(i-1) mod M. */
+  /** Polynomial hash of the first `width` characters, space-padded /
+    * truncated — exactly rpad(s, width, ' ') → Σ ascii(char_i)·31^(i-1)
+    * mod M. Iterates by Unicode CODE POINT (not UTF-16 unit) because the
+    * SQL forms it must match bit-for-bit — ascii(substr(...)) in both
+    * Spark and DuckDB — index and value characters by code point. */
   def polyHash(s: String, width: Int): Long = {
     var h = 0L
-    var i = 0
+    var i = 0  // code-point position in the padded string
+    var ci = 0 // UTF-16 index into s
     while (i < width) {
-      val c = if (i < s.length) s.charAt(i).toInt else 32
-      h += c.toLong * pow31(i)
+      val cp =
+        if (ci < s.length) {
+          val c = s.codePointAt(ci); ci += Character.charCount(c); c
+        } else 32
+      h += cp.toLong * pow31(i)
       i += 1
     }
     h % M
   }
 
   /** Hash of the space-joined word 3-gram starting at token index i
-    * (clamped), without materializing the joined string. */
+    * (clamped), without materializing the joined string. Code-point
+    * iteration for the same oracle-parity reason as [[polyHash]]. */
   def shingleHash(toks: Array[String], start: Int, width: Int): Long = {
     var h = 0L
     var pos = 0
@@ -53,11 +61,11 @@ object TextHash {
     while (t < end && pos < width) {
       if (t > start && pos < width) { h += 32L * pow31(pos); pos += 1 }
       val s = toks(t)
-      var i = 0
-      while (i < s.length && pos < width) {
-        h += s.charAt(i).toLong * pow31(pos)
+      var ci = 0
+      while (ci < s.length && pos < width) {
+        val cp = s.codePointAt(ci); ci += Character.charCount(cp)
+        h += cp.toLong * pow31(pos)
         pos += 1
-        i += 1
       }
       t += 1
     }
@@ -217,7 +225,9 @@ case class TextStatsExpr(child: Expression)
     while (i < n) {
       val t = arr.getUTF8String(i).toString
       seen.add(t)
-      chars += t.length
+      // length() in both Spark and DuckDB counts code points, not UTF-16
+      // units — match that so parity holds beyond the BMP
+      chars += t.codePointCount(0, t.length)
       if (stopwords.contains(t)) stops += 1
       i += 1
     }

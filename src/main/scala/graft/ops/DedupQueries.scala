@@ -22,10 +22,11 @@ import graft.{QueryDef, Tables}
   *    Jaccard ≥ 0.7. Linear in corpus size + one shuffle per band; this
   *    is the 100 TB path. The oracle replays the identical integer
   *    pipeline, so candidate sets (not just survivors) agree exactly.
-  *  - SimHash: 48-bit signature; candidates via 6×8-bit chunk banding.
-  *    With hamming threshold ≤ 4 < 6 chunks, the pigeonhole principle
-  *    guarantees a matching chunk, so the banded plan provably equals
-  *    the oracle's brute-force all-pairs scan.
+  *  - SimHash: 48-bit signature; candidates via 2×24-bit chunk banding.
+  *    With hamming threshold ≤ 1 < 2 chunks, the pigeonhole principle
+  *    guarantees the single differing bit cannot hit both chunks, so a
+  *    matching chunk always exists and the banded plan provably equals
+  *    the oracle's brute-force all-pairs scan (constants at lines 46-48).
   *
   * Pair-stage performance: Jaccard runs on per-document DISTINCT hashed
   * shingles (BIGINT) through native array_intersect — one set

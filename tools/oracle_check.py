@@ -79,14 +79,15 @@ def main(sf_dir, out_dir):
             print(f"PASS* {name} ({len(grows)} rows, within 1e-9; exact diff: {err_exact})")
             n_pass += 1
             continue
-        # row-order-insensitive fallback
+        # row-order-insensitive diagnostic: the driver's gate hashes rows
+        # IN ORDER, so an order-only mismatch (broken ORDER BY) is a FAIL
+        # here too — the sorted compare only sharpens the diagnosis.
         err_sorted = cmp_rows(sorted(grows, key=repr), sorted(wrows, key=repr), 1e-9)
         if err_sorted is None:
-            print(f"PASS~ {name} (row order differs only: {err_exact})")
-            n_pass += 1
+            print(f"FAIL {name}: row order differs (values match unordered): {err_exact}")
         else:
             print(f"FAIL {name}: {err_exact} | sorted: {err_sorted}")
-            n_fail += 1
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
