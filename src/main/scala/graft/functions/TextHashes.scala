@@ -1,10 +1,9 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,6 +18,11 @@ import org.apache.spark.sql.types._
   * ascii(char_i) * 31^(i-1) over the first `width` chars space-padded /
   * truncated, mod 1e9+7) in tight JVM loops, so results remain
   * bit-for-bit equal to the DuckDB oracle's lambda pipeline.
+  *
+  * Every expression here implements `doGenCode` as a call into the static
+  * kernels of [[TextHashKernels]] (Scala objects expose JVM static
+  * forwarders), so the doc-processing stages stay inside whole-stage
+  * codegen instead of falling back to interpreted eval per row.
   */
 object TextHash {
   val M: Long = graft.oracle.Dialect.M
@@ -74,13 +78,14 @@ object TextHash {
   }
 }
 
-/** array<string> → array<bigint>: polyHash of each element. */
-case class TokenPolyHashes(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_token_hashes"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+/** Static kernels shared by interpreted eval and generated code. Scala
+  * compiles these to static forwarder methods, so generated Java can call
+  * `graft.functions.TextHashKernels.simhash(arr, 48)` directly — one
+  * monomorphic call per row, loop bodies JIT-compiled once. */
+object TextHashKernels {
+
+  /** array<string> → array<bigint> of per-element polyHashes. */
+  def tokenPolyHashes(arr: ArrayData, width: Int): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -90,42 +95,22 @@ case class TokenPolyHashes(child: Expression, width: Int)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): TokenPolyHashes =
-    copy(child = c)
-}
 
-/** array<string> tokens → DISTINCT hashed word-3-gram shingles
-  * (array<bigint>); equals array_distinct(transform(shingles3(toks),
-  * s -> polyHash(s, 24))) — set-equal, which is all downstream consumers
-  * (intersections, sizes, minhash mins) depend on. */
-case class ShingleHashSet3(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hash_set"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** array<string> tokens → DISTINCT hashed word-3-gram shingles. */
+  def shingleHashSet(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[String](n)
     var i = 0
     while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
     val nSh = math.max(n - 2, 1)
-    val seen = mutable.LinkedHashSet.empty[Long]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
     var s = 0
     while (s < nSh) { seen += TextHash.shingleHash(toks, s, 24); s += 1 }
     new GenericArrayData(seen.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): ShingleHashSet3 =
-    copy(child = c)
-}
 
-/** array<bigint> token hashes → SimHash signature with `bits` bits:
-  * bit i set iff Σ_h (±1 by bit i of h) > 0. */
-case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** array<bigint> token hashes → SimHash signature with `bits` bits. */
+  def simhash(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](bits)
     var j = 0
@@ -146,6 +131,110 @@ case class SimHashExpr(child: Expression, bits: Int)
     }
     sig
   }
+
+  /** size(array_intersect(a, b)) for BIGINT arrays, no materialization. */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    var n = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (set.contains(large.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  private val stopwords = java.util.Set.of("the", "a", "of", "and")
+
+  /** One-pass (n_tokens, n_distinct, total_chars, stop_hits) over tokens. */
+  def textStats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String](n * 2)
+    var chars = 0L
+    var stops = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      seen.add(t)
+      // length() in both Spark and DuckDB counts code points, not UTF-16
+      // units — match that so parity holds beyond the BMP
+      chars += t.codePointCount(0, t.length)
+      if (stopwords.contains(t)) stops += 1
+      i += 1
+    }
+    InternalRow(n.toLong, seen.size.toLong, chars, stops)
+  }
+
+  private def ivfCoef(idx: Long): Double =
+    ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  /** 1-based IVF coarse cell: argmin squared-L2 to LCG centroids. */
+  def ivfCell(arr: ArrayData, nCells: Int): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < nCells) {
+      var dist = 0.0
+      var dd = 1
+      while (dd <= 64) {
+        val c = ivfCoef((7000L + j) * 64 + (dd - 1))
+        val x = arr.getFloat(dd - 1).toDouble
+        dist += (x - c) * (x - c)
+        dd += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = j }
+      j += 1
+    }
+    best + 1
+  }
+}
+
+/** array<string> → array<bigint>: polyHash of each element. */
+case class TokenPolyHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.tokenPolyHashes(input.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.tokenPolyHashes($c, $width)")
+  override protected def withNewChildInternal(c: Expression): TokenPolyHashes =
+    copy(child = c)
+}
+
+/** array<string> tokens → DISTINCT hashed word-3-gram shingles
+  * (array<bigint>); equals array_distinct(transform(shingles3(toks),
+  * s -> polyHash(s, 24))) — set-equal, which is all downstream consumers
+  * (intersections, sizes, minhash mins) depend on. */
+case class ShingleHashSet3(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_set"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleHashSet(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.shingleHashSet($c)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet3 =
+    copy(child = c)
+}
+
+/** array<bigint> token hashes → SimHash signature with `bits` bits:
+  * bit i set iff Σ_h (±1 by bit i of h) > 0. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.simhash($c, $bits)")
   override protected def withNewChildInternal(c: Expression): SimHashExpr =
     copy(child = c)
 }
@@ -177,26 +266,15 @@ object TextHashFunctions {
   * family runs millions of these per stage. Inputs are already distinct
   * per document, so the count equals the distinct-intersection size. */
 case class IntersectSizeExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_size"
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val (small, large) =
-      if (x.numElements() <= y.numElements()) (x, y) else (y, x)
-    val set = new java.util.HashSet[Long](small.numElements() * 2)
-    var i = 0
-    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
-    var n = 0
-    i = 0
-    while (i < large.numElements()) {
-      if (set.contains(large.getLong(i))) n += 1
-      i += 1
-    }
-    n
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.intersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashKernels.intersectSize($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): IntersectSizeExpr = copy(left = l, right = r)
 }
@@ -207,33 +285,18 @@ case class IntersectSizeExpr(left: Expression, right: Expression)
   * integer outputs are identical, and downstream ratios divide the same
   * integers in the same order as the DuckDB oracle. */
 case class TextStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  private val stopwords = Set("the", "a", "of", "and")
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
     StructField("total_chars", LongType, nullable = false),
     StructField("stop_hits", LongType, nullable = false)))
   override def prettyName: String = "graft_text_stats"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val seen = new java.util.HashSet[String](n * 2)
-    var chars = 0L
-    var stops = 0L
-    var i = 0
-    while (i < n) {
-      val t = arr.getUTF8String(i).toString
-      seen.add(t)
-      // length() in both Spark and DuckDB counts code points, not UTF-16
-      // units — match that so parity holds beyond the BMP
-      chars += t.codePointCount(0, t.length)
-      if (stopwords.contains(t)) stops += 1
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.InternalRow(
-      n.toLong, seen.size.toLong, chars, stops)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.textStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.textStats($c)")
   override protected def withNewChildInternal(c: Expression): TextStatsExpr =
     copy(child = c)
 }
@@ -246,32 +309,14 @@ case class TextStatsExpr(child: Expression)
   * tie-break matches list_position(dists, list_min(dists)). Returns the
   * 1-based cell index. */
 case class IvfCellExpr(child: Expression, nCells: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_ivf_cell"
-
-  private def coef(idx: Long): Double =
-    ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    var best = 0
-    var bestDist = Double.MaxValue
-    var j = 0
-    while (j < nCells) {
-      var dist = 0.0
-      var dd = 1
-      while (dd <= 64) {
-        val c = coef((7000L + j) * 64 + (dd - 1))
-        val x = arr.getFloat(dd - 1).toDouble
-        dist += (x - c) * (x - c)
-        dd += 1
-      }
-      if (dist < bestDist) { bestDist = dist; best = j }
-      j += 1
-    }
-    best + 1
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.ivfCell(input.asInstanceOf[ArrayData], nCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.ivfCell($c, $nCells)")
   override protected def withNewChildInternal(c: Expression): IvfCellExpr =
     copy(child = c)
 }
