@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.TextHashFunctions.register(session)
       _ => ()
     }
+    // custom operator: AS-OF join logical node, lowered at analysis time
+    // to the single-shuffle union-sort composition (graft.plans)
+    e.injectResolutionRule(_ => plans.RewriteAsOfJoin)
   }
 }
