@@ -26,16 +26,21 @@ object Bench {
     // that throws is recorded as the -1.0 sentinel (never a timing) and
     // listed under "errors", so a broken query cannot masquerade as fast.
     val errors = scala.collection.mutable.SortedSet.empty[String]
+    // optional arg: comma-separated query names, for single-query iteration
+    // (the driver passes no args → full suite, unchanged)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args(0).split(',').toSet).toMap
     val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => errors += name; false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = selected.keys.map { name =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
     }.toMap

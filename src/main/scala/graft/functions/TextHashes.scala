@@ -46,7 +46,13 @@ object TextHash {
     while (i < width) {
       val cp =
         if (ci < s.length) {
-          val c = s.codePointAt(ci); ci += Character.charCount(c); c
+          // ASCII fast path: a char < 0x80 IS its code point and cannot
+          // start a surrogate pair, so codePointAt is skipped on the
+          // overwhelmingly common case. Non-ASCII falls through to full
+          // code-point decoding — parity with ascii(substr(...)) intact.
+          val c0 = s.charAt(ci)
+          if (c0 < 0x80) { ci += 1; c0.toInt }
+          else { val c = s.codePointAt(ci); ci += Character.charCount(c); c }
         } else 32
       h += cp.toLong * pow31(i)
       i += 1
@@ -67,7 +73,11 @@ object TextHash {
       val s = toks(t)
       var ci = 0
       while (ci < s.length && pos < width) {
-        val cp = s.codePointAt(ci); ci += Character.charCount(cp)
+        // same ASCII fast path as polyHash
+        val c0 = s.charAt(ci)
+        val cp =
+          if (c0 < 0x80) { ci += 1; c0.toInt }
+          else { val c = s.codePointAt(ci); ci += Character.charCount(c); c }
         h += cp.toLong * pow31(pos)
         pos += 1
       }

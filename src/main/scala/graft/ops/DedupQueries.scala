@@ -101,18 +101,29 @@ object DedupQueries {
             s"$sparkShingleSet AS hs")
           .persist() // shingle sets computed once, not per self-join branch
         // candidate id-pairs are enumerated WITHOUT the shingle arrays
-        // (nothing wide moves through the pair join); arrays then come in
-        // via broadcast lookups, so they are never shuffled per-pair
+        // (nothing wide moves through the pair join). The |band_a-band_b|≤1
+        // predicate is turned into an equi-join on (lang, band): side b
+        // probes bands {band-1, band, band+1}, so a qualifying pair matches
+        // EXACTLY ONE probe row (its band_a equals one of three distinct
+        // values) — no dedup shuffle, and the join key has
+        // |lang|×|bands| cardinality instead of |lang|≈5 (the round-2
+        // skew-at-scale defect). Same bucket±1 banding as q_range_join.
         val ids = docs.select("doc_id", "lang", "band")
-        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band AS band_a")
-        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS band_b")
-        val cand = a.join(b, Seq("lang"))
-          .filter(abs(col("band_a") - col("band_b")) <= 1 &&
-            col("doc_id_a") < col("doc_id_b"))
+        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band")
+        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS bb")
+        val probes = Seq("bb - 1", "bb", "bb + 1").map(pb =>
+          b.selectExpr("doc_id_b", "lang", s"($pb) AS band"))
+          .reduce(_ unionAll _)
+        val cand = a.join(probes, Seq("lang", "band"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
           .select("doc_id_a", "doc_id_b")
+        // arrays come back via SHUFFLED equi-joins on doc_id (as the
+        // minhash path does): candidate volume per doc is bounded by the
+        // block size, and nothing is broadcast — at corpus scale the
+        // shingle table does not fit on one executor.
         val ha = docs.selectExpr("doc_id AS doc_id_a", "hs AS ha")
         val hb = docs.selectExpr("doc_id AS doc_id_b", "hs AS hb")
-        cand.join(broadcast(ha), "doc_id_a").join(broadcast(hb), "doc_id_b")
+        cand.join(ha, "doc_id_a").join(hb, "doc_id_b")
           .selectExpr("doc_id_a", "doc_id_b",
             "graft_intersect_size(ha, hb) AS inter",
             "size(ha) AS sa", "size(hb) AS sb")
