@@ -34,6 +34,15 @@ object Tables {
     * Spark's native precision. Declared event queries additionally floor
     * to whole seconds for oracle parity (see graft.ops.EventQueries). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // SESSION CONTRACT: nanosAsLong cannot be scoped per-read — Spark's
+    // ParquetFileFormat re-copies the session-conf value into every scan's
+    // hadoopConf at execution, overriding a DataFrameReader option
+    // (verified: the option passes driver-side schema inference but
+    // executor-side ParquetToSparkSchemaConverter still throws
+    // PARQUET_TYPE_ILLEGAL). The blast radius is narrow and one-directional:
+    // the flag only affects TIMESTAMP(NANOS) parquet columns, which Spark
+    // otherwise rejects outright — so the only behavior change for other
+    // reads in the session is "ns-precision files stop erroring".
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(

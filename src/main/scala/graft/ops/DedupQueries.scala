@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.oracle.{Dialect, DuckSql, SparkSql}
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, ScratchCache, Tables}
 
 /** Deduplication family over `documents` — the core operators of a
   * large-scale training-data pipeline (extension mandate; not in the Tez
@@ -95,11 +95,12 @@ object DedupQueries {
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documentsParallel(s, d)
+        // shingle sets computed once (scratch-persisted, released by the
+        // runner via ScratchCache.release), not per self-join branch
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
           .selectExpr("doc_id", "lang",
             s"${SparkSql.idiv("n_chars", "100")} AS band",
-            s"$sparkShingleSet AS hs")
-          .persist() // shingle sets computed once, not per self-join branch
+            s"$sparkShingleSet AS hs"))
         // candidate id-pairs are enumerated WITHOUT the shingle arrays
         // (nothing wide moves through the pair join). The |band_a-band_b|≤1
         // predicate is turned into an equi-join on (lang, band): side b
@@ -154,9 +155,8 @@ object DedupQueries {
         // deduped as bare (id, id) BEFORE re-joining the heavy arrays, so
         // the dedup shuffle never carries shingle sets
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documentsParallel(s, d)
-          .selectExpr("doc_id", s"$sparkShingleSet AS hs")
-          .persist()
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"$sparkShingleSet AS hs"))
         val bandCols = (0 until Bands).map(b =>
           expr(bandValue(SparkSql, b)).as(s"band_$b"))
         val banded = docs.select(col("doc_id") +: col("hs") +: bandCols: _*)
@@ -214,11 +214,10 @@ object DedupQueries {
         // not recompute the signature on both branches; signature runs in
         // the native TokenPolyHashes + SimHashExpr loops
         graft.functions.TextHashFunctions.register(s)
-        val docs = Tables.documentsParallel(s, d)
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
           .selectExpr("doc_id",
             s"graft_token_hashes(${SparkSql.tokens("text")}, 12) AS th")
-          .selectExpr("doc_id", s"CAST(graft_simhash(th, $SimBits) AS BIGINT) AS sh")
-          .persist()
+          .selectExpr("doc_id", s"CAST(graft_simhash(th, $SimBits) AS BIGINT) AS sh"))
         // disjoint candidate generation — a pair joins on chunk 0, or on
         // chunk 1 only when chunk 0 differs — so candidates are unique by
         // construction and no dedup shuffle is needed

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.oracle.{Dialect, DuckSql}
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, ScratchCache, Tables}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -185,11 +185,10 @@ object SimilarityQueries {
         graft.functions.TextHashFunctions.register(s)
         // native argmin expression (bit-identical to the SQL fold) +
         // persist so the self-join doesn't assign cells twice
-        val e = Tables.embeddings(s, d)
+        val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell")
-          .persist()
+            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "cell")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",

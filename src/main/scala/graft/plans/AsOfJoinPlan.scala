@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -14,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
   *
   * Semantics: for every left row, attach the `payload` of the LATEST right
   * row with the same `on` keys whose `rightTs` ≤ the left row's `leftTs`
-  * (inclusive; ties among right rows broken by largest payload). This is
+  * (inclusive; ties among right rows broken by largest payload; right rows
+  * whose payload is NULL are skipped — see [[RewriteAsOfJoin.expand]]).
+  * This is
   * the operator the reference cannot express as a single edge — Tez
   * would need a custom secondary-sorted SCATTER_GATHER edge
   * (tez-runtime-library/.../OrderedPartitionedKVOutput.java:67 with a
@@ -61,28 +62,44 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
       case j: AsOfJoinPlan if j.childrenResolved => expand(j)
     }
 
-  private def ua(name: String) = UnresolvedAttribute.quoted(name)
-
   private val TsCol = "__graft_asof_ts"
   private val SideCol = "__graft_asof_side"
   private val PvalCol = "__graft_asof_pval"
 
+  /** NULL-payload note: the running aggregate is `last(payload, ignoreNulls
+    * = true)` because left rows carry a NULL payload slot that must be
+    * skipped — a consequence is that a RIGHT row whose payload is NULL is
+    * also invisible (the previous non-null payload wins, not NULL). The
+    * DuckDB oracle mirrors this; callers needing "matched row with NULL
+    * payload" ≠ "no match" should select a non-null payload (e.g. a struct
+    * of the row).
+    *
+    * All intermediate references are bound by exprId (never re-resolved by
+    * name), so duplicate column names in the left input are legal and user
+    * columns may share the helper names. The single name-level restriction
+    * is `outName`, which must not collide with a left column.
+    */
   def expand(j: AsOfJoinPlan): LogicalPlan = {
     def attrOf(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asof join: column '$name' not found in ${p.output.map(_.name)}"))
+    require(!j.left.output.exists(_.name == j.outName),
+      s"asof join: output column '${j.outName}' already exists in the left input")
 
     val payloadAttr = attrOf(j.right, j.payload)
     val pt = payloadAttr.dataType
 
     // Tagged union, positionally aligned: all left columns (right side
     // NULL-fills non-key left columns), then ts / side / payload helpers.
+    // Union derives its output exprIds from the FIRST child, so the
+    // aliases created for leftProj are the post-union attributes.
+    val tsAlias = Alias(attrOf(j.left, j.leftTs), TsCol)()
+    val sideAlias = Alias(Literal(1, IntegerType), SideCol)()
+    val pvalAlias = Alias(Cast(Literal(null), pt), PvalCol)()
     val leftProj = Project(
-      j.left.output.map(a => a: NamedExpression) ++ Seq(
-        Alias(attrOf(j.left, j.leftTs), TsCol)(),
-        Alias(Literal(1, IntegerType), SideCol)(),
-        Alias(Cast(Literal(null), pt), PvalCol)()),
+      j.left.output.map(a => a: NamedExpression) ++
+        Seq(tsAlias, sideAlias, pvalAlias),
       j.left)
     val rightProj = Project(
       j.left.output.map { a =>
@@ -94,26 +111,31 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
         Alias(payloadAttr, PvalCol)()),
       j.right)
     val union = Union(leftProj, rightProj)
+    val tsAttr = tsAlias.toAttribute
+    val sideAttr = sideAlias.toAttribute
+    val pvalAttr = pvalAlias.toAttribute
 
     // last(payload ignore nulls) over (partition by keys
     //   order by ts, side, payload rows unbounded preceding..current row):
     // right rows sort before left rows at equal ts → inclusive as-of.
     val orderSpec = Seq(
-      SortOrder(ua(TsCol), Ascending),
-      SortOrder(ua(SideCol), Ascending),
-      SortOrder(ua(PvalCol), Ascending))
-    val partSpec = j.on.map(ua(_): Expression)
+      SortOrder(tsAttr, Ascending),
+      SortOrder(sideAttr, Ascending),
+      SortOrder(pvalAttr, Ascending))
+    val partSpec = j.on.map(attrOf(j.left, _): Expression)
     val frame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val lastAgg = AggregateExpression(
-      Last(ua(PvalCol), ignoreNulls = true), Complete, isDistinct = false)
+      Last(pvalAttr, ignoreNulls = true), Complete, isDistinct = false)
     val winExpr = Alias(
       WindowExpression(lastAgg, WindowSpecDefinition(partSpec, orderSpec, frame)),
       j.outName)()
     val win = Window(Seq(winExpr), partSpec, orderSpec, union)
 
-    val onlyLeft = Filter(EqualTo(ua(SideCol), Literal(1, IntegerType)), win)
-    Project(j.left.output.map(a => ua(a.name): NamedExpression) :+ ua(j.outName), onlyLeft)
+    val onlyLeft = Filter(EqualTo(sideAttr, Literal(1, IntegerType)), win)
+    Project(
+      j.left.output.map(a => a: NamedExpression) :+ winExpr.toAttribute,
+      onlyLeft)
   }
 }
 

@@ -31,6 +31,8 @@ object EventStream {
 
   /** Streaming read of the events fixture directory. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // session-conf, not per-read option: see Tables.events for why this
+    // key cannot be scoped (executor-side scans re-read the session value)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)

@@ -80,6 +80,22 @@ class AsOfPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("helper-name collisions and duplicate left columns are tolerated") {
+    val (l0, r) = toyFrames(spark)
+    // a user column named like an internal helper must not be shadowed or
+    // cause ambiguity — references are bound by exprId, not name
+    val l1 = l0.withColumn("__graft_asof_ts", lit(99))
+    check(AsOfJoin.asof(l1, r, Seq("k"), "ts", "rts", "v", "asof_v").collect())
+    // duplicate column names in the left input (legal after joins)
+    val l2 = l0.select(col("k"), col("ts"), col("row_id"), col("ts"))
+    check(AsOfJoin.asof(l2, r, Seq("k"), "ts", "rts", "v", "asof_v").collect())
+    // outName colliding with an existing left column is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l0, r, Seq("k"), "ts", "rts", "v", "row_id")
+    }
+    assert(e.getMessage.contains("row_id"))
+  }
+
   test("single shuffle: one exchange below the window") {
     val (l, r) = toyFrames(spark)
     val out = AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", "v", "asof_v")
@@ -89,18 +105,45 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("q_asof_plan equals the composed q_asof_join on shared columns") {
+  test("q_asof_plan equals the composed q_asof_join up to equal-ts ties") {
     val a = SparkEntry.queries("q_asof_join")(spark, sf)
       .select("user_id", "event_id", "last_purchase_val")
       .orderBy("user_id", "event_id").collect()
     val b = SparkEntry.queries("q_asof_plan")(spark, sf)
       .select("user_id", "event_id", "last_purchase_val")
       .orderBy("user_id", "event_id").collect()
-    // same keys; payload may differ only where the composed query's
-    // event_id tiebreak and the node's payload tiebreak pick different
-    // equal-ts purchases — values still must come from the same ts set.
     assert(a.length == b.length)
-    val diff = a.zip(b).count { case (x, y) => x != y }
-    assert(diff.toDouble / a.length < 0.01, s"$diff of ${a.length} differ")
+    // EXACT tie normalization (no row-difference budget): the two queries
+    // use different tiebreaks among purchases at the same qualifying ts
+    // (event_id vs payload), so for every event we compute the full set of
+    // valid payloads — the purchases at the MAXIMUM ts ≤ the event's ts —
+    // and assert each side's answer is a member (None iff the set is empty).
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"), col("value")).collect()
+    val purchases = ev.filter(_.getString(3) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .groupBy(_._1)
+    val valid: Map[(Long, Long), Set[Option[Double]]] = ev.map { r =>
+      val (u, es, eid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val qual = purchases.getOrElse(u, Array.empty[(Long, Long, Double)])
+        .filter(_._2 <= es)
+      val vs: Set[Option[Double]] =
+        if (qual.isEmpty) Set(None)
+        else {
+          val m = qual.map(_._2).max
+          qual.filter(_._2 == m).map(p => Option(p._3)).toSet
+        }
+      (u, eid) -> vs
+    }.toMap
+    def payload(r: Row): Option[Double] =
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1),
+        s"key mismatch: $x vs $y")
+      val vs = valid((x.getLong(0), x.getLong(1)))
+      assert(vs.contains(payload(x)), s"q_asof_join row $x not in valid set $vs")
+      assert(vs.contains(payload(y)), s"q_asof_plan row $y not in valid set $vs")
+    }
   }
 }
