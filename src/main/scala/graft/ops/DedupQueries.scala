@@ -36,6 +36,12 @@ import graft.{QueryDef, ScratchCache, Tables}
 object DedupQueries {
 
   private val JaccardThreshold = 0.7
+  // weighted variant: drop shingles with df > max(DfCapMin, n_docs/DfCapDiv);
+  // integer-quantized IDF weights w = WScale div df; verify at WJacThreshold
+  private val DfCapMin = 2
+  private val DfCapDiv = 100
+  private val WScale = 1000
+  private val WJacThreshold = 0.6
   private val Bands = 4
   private val Rows = 3 // minhashes per band; threshold ~ (1/4)^(1/3) ≈ 0.63
   private val SimBits = 48
@@ -204,6 +210,98 @@ object DedupQueries {
            |)
            |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
            |FROM p WHERE $jacFromCols >= $JaccardThreshold
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      }),
+
+    // Weighted MinHash with doc-frequency-filtered shingles — the
+    // real-corpus noise control for the dedup family (SURVEY §8 item 3):
+    // boilerplate shingles (df above ~1% of the corpus) are dropped BEFORE
+    // banding so they neither create candidates nor inflate similarity,
+    // and the verification metric is an IDF-weighted Jaccard
+    // Σw(A∩B)/Σw(A∪B) with integer-quantized weights w = 1000 div df —
+    // BIGINT sums are order-independent, so both engines agree exactly;
+    // the single double division happens once at the end.
+    // Scale shape: df is one map-combinable shuffle on the shingle hash;
+    // banding/candidates are the q_dedup_minhash plan on the filtered
+    // sets; the intersection weight is a shingle-level equi-join bounded
+    // to candidate pairs (never all-pairs).
+    "q_dedup_minhash_weighted" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        val ex = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"explode($sparkShingleSet) AS s"))
+        val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .filter(expr(s"df <= greatest(CAST($DfCapMin AS BIGINT), n_docs div $DfCapDiv)"))
+          .select("s", "df")
+        val keep = ScratchCache.scratch(ex.join(dfTab, "s")
+          .selectExpr("doc_id", "s", s"($WScale div df) AS w"))
+        val fsh = ScratchCache.scratch(keep.groupBy("doc_id")
+          .agg(collect_list(col("s")).as("hs"), sum("w").as("tw")))
+        val bandCols = (0 until Bands).map(b =>
+          expr(bandValue(SparkSql, b)).as(s"band_$b"))
+        val long = fsh.select(col("doc_id") +: bandCols: _*)
+          .select(col("doc_id"),
+            posexplode(array((0 until Bands).map(b => col(s"band_$b")): _*)))
+          .withColumnRenamed("pos", "band_idx")
+          .withColumnRenamed("col", "band_val")
+        val cand = long.as("x").join(long.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+          .dropDuplicates("doc_id_a", "doc_id_b")
+        val ia = keep.selectExpr("doc_id AS doc_id_a", "s", "w")
+        val ib = keep.selectExpr("doc_id AS doc_id_b", "s")
+        val iw = cand.join(ia, "doc_id_a").join(ib, Seq("doc_id_b", "s"))
+          .groupBy("doc_id_a", "doc_id_b").agg(sum("w").as("iw"))
+        val ta = fsh.selectExpr("doc_id AS doc_id_a", "tw AS wa")
+        val tb = fsh.selectExpr("doc_id AS doc_id_b", "tw AS wb")
+        iw.join(ta, "doc_id_a").join(tb, "doc_id_b")
+          .selectExpr("doc_id_a", "doc_id_b",
+            "(CAST(iw AS DOUBLE) / (wa + wb - iw)) AS wjaccard")
+          .filter(col("wjaccard") >= WJacThreshold)
+          .orderBy("doc_id_a", "doc_id_b")
+      }, {
+        val d = DuckSql
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, ${bandValue(d, b)} AS band_val FROM fsh")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH ex AS (SELECT doc_id, unnest(${shingleHashSet(d)}) AS s FROM documents),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
+           |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+           |keep AS (
+           |  SELECT doc_id, ex.s, CAST(($WScale // df) AS BIGINT) AS w
+           |  FROM ex JOIN dfq ON ex.s = dfq.s, nd
+           |  WHERE df <= greatest($DfCapMin, n_docs // $DfCapDiv)
+           |),
+           |fsh AS (
+           |  SELECT doc_id, list(s) AS hs, CAST(sum(w) AS BIGINT) AS tw
+           |  FROM keep GROUP BY doc_id
+           |),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           |   AND x.doc_id < y.doc_id
+           |),
+           |iw AS (
+           |  SELECT doc_id_a, doc_id_b, CAST(sum(ka.w) AS BIGINT) AS iw
+           |  FROM cand
+           |  JOIN keep ka ON ka.doc_id = doc_id_a
+           |  JOIN keep kb ON kb.doc_id = doc_id_b AND kb.s = ka.s
+           |  GROUP BY doc_id_a, doc_id_b
+           |)
+           |SELECT doc_id_a, doc_id_b,
+           |  (CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw)) AS wjaccard
+           |FROM iw
+           |JOIN fsh ta ON ta.doc_id = doc_id_a
+           |JOIN fsh tb ON tb.doc_id = doc_id_b
+           |WHERE (CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw)) >= $WJacThreshold
            |ORDER BY doc_id_a, doc_id_b""".stripMargin
       }),
 

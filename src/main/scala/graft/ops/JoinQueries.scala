@@ -129,6 +129,45 @@ object JoinQueries {
         |WHERE n_regionkey <> r_regionkey
         |ORDER BY n_nationkey, r_regionkey""".stripMargin),
 
+    // Big×big PARTITIONED theta join — the reference's partitioned
+    // cartesian-product edge for non-tiny inputs
+    // (tez-runtime-library/.../cartesianproduct/CartesianProductVertexManager.java:62,224
+    // routes partition pairs; CartesianProduct.java:79,112-143 applies the
+    // filter per pair). Spark-first rendition: the inequality
+    // |o_totalprice − c_acctbal| ≤ W is banded into an EQUI-join on
+    // floor(value/W) buckets — the customer side probes buckets
+    // {b−1, b, b+1}, so a qualifying pair matches exactly one probe row
+    // (no dedup) and NO unfiltered cartesian of the full inputs ever
+    // materializes. 15k × 150k here; at 100 TB the bucket key keeps both
+    // sides hash-partitioned and the pair count bounded by band density,
+    // which is the same contract the reference's partitioned edge gives.
+    "q_theta_band" -> QueryDef(
+      (s, d) => {
+        val W = 100
+        val c = Tables.customer(s, d)
+          .selectExpr("c_custkey", "c_acctbal",
+            s"CAST(floor(c_acctbal / $W) AS BIGINT) AS cb")
+        val probes = Seq("cb - 1", "cb", "cb + 1").map(pb =>
+          c.selectExpr("c_custkey", "c_acctbal", s"($pb) AS bucket"))
+          .reduce(_ unionAll _)
+        val o = Tables.orders(s, d)
+          .selectExpr("o_orderkey", "o_totalprice",
+            s"CAST(floor(o_totalprice / $W) AS BIGINT) AS bucket")
+        probes.join(o, Seq("bucket"))
+          .filter(abs(col("o_totalprice") - col("c_acctbal")) <= W)
+          .groupBy("c_custkey")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer c JOIN orders o
+        |  ON abs(o.o_totalprice - c.c_acctbal) <= 100
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
     // Broadcast of a scalar aggregate into a parallel stream
     // (BroadcastAndOneToOneExample shape): rows above the global mean.
     // avg(l_quantity) is exact (whole-number doubles), so the predicate is

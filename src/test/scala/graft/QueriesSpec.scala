@@ -70,6 +70,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val ns = nodes("q_cross_product")
     assert(ns.exists(n => n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop")))
   }
+  test("q_theta_band never materializes an unfiltered cartesian") {
+    val ns = nodes("q_theta_band")
+    // the inequality is banded into an equi-join on buckets: the plan must
+    // contain an equi-join and NO cartesian / nested-loop of the inputs
+    assert(!ns.exists(_.contains("CartesianProduct")), ns)
+    assert(!ns.exists(_.contains("BroadcastNestedLoop")), ns)
+    assert(ns.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), ns)
+  }
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
     assert(nodes("q_topk").exists(_.contains("TakeOrderedAndProject")))
   }
