@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // local[4,2]: 4 executor threads, 2 task attempts — task retries on,
+    // so FaultToleranceSpec can exercise the scheduler's re-run path the
+    // way the reference's TestFaultTolerance does. Correctness-neutral for
+    // every other suite (a passing task never reaches attempt 1).
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
