@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// SpeculationClusterSpec boots a local-cluster master (real executor JVMs,
+// needs SPARK_HOME and a JVM with no pre-existing SparkContext), so it runs
+// in its own forked JVM; everything else shares one JVM + SparkTestSession.
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    // SPARK_SCALA_VERSION: the in-process Worker launches executors via
+    // WorkerCommandBuilder without sourcing load-spark-env.sh, and a
+    // release dist has no launcher/target build dirs to infer it from.
+    .withEnvVars(Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13"))
+  val (cluster, rest) = (Test / definedTests).value.partition(_.name.endsWith("ClusterSpec"))
+  Seq(
+    Tests.Group("graft", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("cluster", cluster, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,118 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Speculative-execution parity with the reference's LegacySpeculator
+  * (tez-dag/src/main/java/org/apache/tez/dag/app/dag/speculation/legacy/LegacySpeculator.java:63):
+  * a straggling task attempt gets a redundant speculative copy on another
+  * executor; whichever attempt finishes first wins and the other is
+  * killed, with no effect on results.
+  *
+  * Spark's speculation thread only starts on a NON-local scheduler
+  * (TaskSchedulerImpl guards it with `!isLocal`), so this suite runs on
+  * `local-cluster[2,1,1024]` — a real standalone master + 2 workers, each
+  * launching a separate single-core executor JVM. That makes this the one
+  * suite that also proves our classes + codegen survive executor-side
+  * distribution (separate processes, not driver threads). sbt runs it in
+  * its own JVM (see Test/testGrouping in build.sbt) because the shared
+  * SparkTestSession already owns this JVM's SparkContext.
+  *
+  * Scale note: at 100 TB stragglers are routine (slow disks, hot nodes);
+  * `spark.speculation` is the knob a production deployment of this
+  * library would enable, and this spec is the evidence it composes with
+  * our operators.
+  */
+class SpeculationClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // Executors are fresh JVMs: they need the same JDK17 --add-opens set the
+  // driver gets from build.sbt, plus our compiled classes on the classpath.
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private val speculativeTasks = new AtomicInteger(0)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local-cluster[2,1,1024]")
+      .appName("graft-speculation")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.2")
+      .config("spark.speculation.quantile", "0.5")
+      // Efficiency-gated speculation (3.4+) judges tasks by data-processing
+      // rate; a straggler that is *stalled* (no input progress at all, like
+      // a hung disk read) has no rate to judge — classic duration-based
+      // speculation is the behavior the reference's LegacySpeculator models.
+      .config("spark.speculation.efficiency.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.addSparkListener(new SparkListener {
+      // The submission event is the scheduler-side proof the speculation
+      // engine flagged the straggler. The actual copy LAUNCH additionally
+      // requires a free slot on a host with no existing attempt
+      // (TaskSetManager.dequeueSpeculativeTask excludes same-host), which a
+      // single-machine local-cluster — both workers report `localhost` —
+      // can never satisfy. On a real multi-host cluster the same signal is
+      // followed by a launch; we count both, and assert on the signal.
+      override def onSpeculativeTaskSubmitted(e: SparkListenerSpeculativeTaskSubmitted): Unit =
+        speculativeTasks.incrementAndGet()
+      override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+        if (ts.taskInfo.speculative) speculativeTasks.incrementAndGet()
+    })
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("straggler task is submitted for speculation and the result is exact") {
+    speculativeTasks.set(0)
+    val n = 8000L
+    // Partition 7 stalls ~4s; the remaining 7 finish in milliseconds, so
+    // the 0.5-quantile median is tiny and the straggler trips the
+    // multiplier immediately and is submitted for speculation.
+    val sum = spark.sparkContext
+      .parallelize(0L until n, 8)
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (pid == 7) Thread.sleep(4000)
+        it
+      }
+      .sum()
+    assert(sum == (n * (n - 1) / 2).toDouble, "speculation corrupted the result")
+    // The listener bus is asynchronous: the TaskStart event for the
+    // speculative copy can trail the job's completion by a beat.
+    val deadline = System.currentTimeMillis() + 10000
+    while (speculativeTasks.get() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(speculativeTasks.get() >= 1,
+      "straggler was never submitted for speculation")
+  }
+
+  test("declared queries run on real multi-process executors (codegen ships)") {
+    // q_token_count exercises the custom codegen'd text-hash expression
+    // family on executor JVMs that are NOT the driver — proves class
+    // distribution + whole-stage codegen compile on a real cluster shape.
+    val tok = SparkEntry.queries("q_token_count")(spark, SparkTestSession.sf)
+    assert(tok.count() > 0)
+    val agg = SparkEntry.queries("q_agg_sum_count")(spark, SparkTestSession.sf)
+    assert(agg.count() > 0)
+  }
+}
