@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -158,6 +158,23 @@ object TextHashKernels {
     n
   }
 
+  /** Σ wa[i] over i where ha[i] ∈ hb — the IDF-weighted intersection
+    * weight of two distinct-shingle sets, with weights carried alongside
+    * the left set (weights are a global function of the shingle, so either
+    * side's copy is the same number). BIGINT sum → order-independent. */
+  def weightedIntersect(ha: ArrayData, wa: ArrayData, hb: ArrayData): Long = {
+    val set = new java.util.HashSet[Long](hb.numElements() * 2)
+    var i = 0
+    while (i < hb.numElements()) { set.add(hb.getLong(i)); i += 1 }
+    var s = 0L
+    i = 0
+    while (i < ha.numElements()) {
+      if (set.contains(ha.getLong(i))) s += wa.getLong(i)
+      i += 1
+    }
+    s
+  }
+
   private val stopwords = java.util.Set.of("the", "a", "of", "and")
 
   /** One-pass (n_tokens, n_distinct, total_chars, stop_hits) over tokens. */
@@ -264,6 +281,8 @@ object TextHashFunctions {
       exprs => SimHashExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_intersect_size",
       exprs => IntersectSizeExpr(exprs(0), exprs(1)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_weighted_intersect",
+      exprs => WeightedIntersectExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")
     r.createOrReplaceTempFunction("graft_text_stats",
       exprs => TextStatsExpr(exprs(0)), "scala_udf")
     r.createOrReplaceTempFunction("graft_ivf_cell",
@@ -287,6 +306,30 @@ case class IntersectSizeExpr(left: Expression, right: Expression)
       s"graft.functions.TextHashKernels.intersectSize($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): IntersectSizeExpr = copy(left = l, right = r)
+}
+
+/** IDF-weighted intersection weight Σ_{s ∈ A∩B} w(s) for distinct BIGINT
+  * shingle sets, weights aligned index-wise with the left set (both arrays
+  * split from one collect_list(struct(s, w)), so alignment is structural).
+  * Replaces a shingle-level (doc_id, s) equi-join + re-aggregation in the
+  * weighted-dedup verifier with one expression call per candidate pair —
+  * the same array-rejoin shape the unweighted MinHash verifier uses. */
+case class WeightedIntersectExpr(ha: Expression, wa: Expression, hb: Expression)
+    extends TernaryExpression {
+  override def first: Expression = ha
+  override def second: Expression = wa
+  override def third: Expression = hb
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_weighted_intersect"
+  override protected def nullSafeEval(a: Any, w: Any, b: Any): Any =
+    TextHashKernels.weightedIntersect(a.asInstanceOf[ArrayData],
+      w.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, w, b) =>
+      s"graft.functions.TextHashKernels.weightedIntersect($a, $w, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WeightedIntersectExpr =
+    copy(ha = f, wa = s, hb = t)
 }
 
 /** One-pass token statistics: struct(n_tokens, n_distinct, total_chars,

@@ -223,8 +223,9 @@ object DedupQueries {
     // the single double division happens once at the end.
     // Scale shape: df is one map-combinable shuffle on the shingle hash;
     // banding/candidates are the q_dedup_minhash plan on the filtered
-    // sets; the intersection weight is a shingle-level equi-join bounded
-    // to candidate pairs (never all-pairs).
+    // sets; the intersection weight re-joins the (shingle, weight) arrays
+    // by doc_id and runs one codegen'd graft_weighted_intersect call per
+    // candidate pair (never all-pairs, nothing broadcast).
     "q_dedup_minhash_weighted" -> QueryDef(
       (s, d) => {
         graft.functions.TextHashFunctions.register(s)
@@ -235,10 +236,17 @@ object DedupQueries {
           .crossJoin(broadcast(nd))
           .filter(expr(s"df <= greatest(CAST($DfCapMin AS BIGINT), n_docs div $DfCapDiv)"))
           .select("s", "df")
-        val keep = ScratchCache.scratch(ex.join(dfTab, "s")
-          .selectExpr("doc_id", "s", s"($WScale div df) AS w"))
-        val fsh = ScratchCache.scratch(keep.groupBy("doc_id")
-          .agg(collect_list(col("s")).as("hs"), sum("w").as("tw")))
+        // one collect per doc carrying (shingle, weight) structs: splitting
+        // the struct list keeps hs/ws index-aligned by construction (two
+        // independent collect_lists would not guarantee a shared order)
+        val fsh = ScratchCache.scratch(ex.join(dfTab, "s")
+          .selectExpr("doc_id", "s", s"($WScale div df) AS w")
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("s"), col("w"))).as("sw"))
+          .selectExpr("doc_id",
+            "transform(sw, x -> x.s) AS hs",
+            "transform(sw, x -> x.w) AS ws",
+            "aggregate(sw, CAST(0 AS BIGINT), (a, x) -> a + x.w) AS tw"))
         val bandCols = (0 until Bands).map(b =>
           expr(bandValue(SparkSql, b)).as(s"band_$b"))
         val long = fsh.select(col("doc_id") +: bandCols: _*)
@@ -252,13 +260,16 @@ object DedupQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
           .dropDuplicates("doc_id_a", "doc_id_b")
-        val ia = keep.selectExpr("doc_id AS doc_id_a", "s", "w")
-        val ib = keep.selectExpr("doc_id AS doc_id_b", "s")
-        val iw = cand.join(ia, "doc_id_a").join(ib, Seq("doc_id_b", "s"))
-          .groupBy("doc_id_a", "doc_id_b").agg(sum("w").as("iw"))
-        val ta = fsh.selectExpr("doc_id AS doc_id_a", "tw AS wa")
-        val tb = fsh.selectExpr("doc_id AS doc_id_b", "tw AS wb")
-        iw.join(ta, "doc_id_a").join(tb, "doc_id_b")
+        // array re-join on doc_id (the q_dedup_minhash shape): the weighted
+        // intersection is ONE codegen'd expression call per candidate pair
+        // instead of a shingle-level (doc_id, s) shuffle + re-aggregation
+        val fa = fsh.selectExpr("doc_id AS doc_id_a", "hs AS ha_arr",
+          "ws AS wa_arr", "tw AS wa")
+        val fb = fsh.selectExpr("doc_id AS doc_id_b", "hs AS hb_arr", "tw AS wb")
+        cand.join(fa, "doc_id_a").join(fb, "doc_id_b")
+          .selectExpr("doc_id_a", "doc_id_b",
+            "graft_weighted_intersect(ha_arr, wa_arr, hb_arr) AS iw",
+            "wa", "wb")
           .selectExpr("doc_id_a", "doc_id_b",
             "(CAST(iw AS DOUBLE) / (wa + wb - iw)) AS wjaccard")
           .filter(col("wjaccard") >= WJacThreshold)

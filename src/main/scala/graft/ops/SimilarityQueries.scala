@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.oracle.{Dialect, DuckSql}
@@ -32,6 +33,11 @@ object SimilarityQueries {
   private val NearDupThreshold = 0.4
   private val TopK = 5
   private val NPlanes = 6
+  // Salted variant: split any LSH bucket larger than this many rows into
+  // ceil(n/cap) salt shards. The cap is deliberately tiny so the fixture
+  // actually exercises multi-shard buckets; a production corpus sets it to
+  // whatever pair count one reducer can chew (e.g. 10k rows → 1e8 pairs).
+  private val SaltBucketRows = 8
 
   /** Deterministic pseudo-random hyperplane coefficient r_{p,d} in
     * [-0.5, 0.5): LCG over the flattened (plane, dim) index. Exact
@@ -42,16 +48,29 @@ object SimilarityQueries {
   }
 
   /** LSH bucket id of an embedding column: bit p set iff the projection
-    * onto hyperplane p is positive. */
-  private def lshBucket(d: Dialect, emb: String): String = {
+    * onto hyperplane p is positive. `nPlanes` is the scale knob — buckets
+    * = 2^nPlanes, chosen so per-bucket pair counts stay tractable as the
+    * corpus grows (more planes → smaller buckets → fewer pairs/bucket). */
+  private def lshBucket(d: Dialect, emb: String, nPlanes: Int = NPlanes): String = {
     val proj = d.foldDbl(
       d.transform(d.seqIncl("1", "64"), "dd",
         s"${planeCoef(d, "p", "dd - 1")} * ${d.elemAtDbl(emb, "dd")}"),
       "acc", "v", "acc + v")
     d.foldBig(
-      d.transform(d.seqIncl("0", (NPlanes - 1).toString), "p",
+      d.transform(d.seqIncl("0", (nPlanes - 1).toString), "p",
         s"CASE WHEN $proj > 0 THEN ${d.shiftL("CAST(1 AS BIGINT)", "p")} ELSE 0 END"),
       "a", "x", "a + x")
+  }
+
+  /** Embeddings with squared norm + LSH bucket for a caller-chosen plane
+    * count — the parameterized entry point the AnnLshSpec scale test and
+    * both LSH queries build on. */
+  def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"CAST(${lshBucket(graft.oracle.SparkSql, "embedding", nPlanes)} AS BIGINT) AS bucket")
   }
 
   private val NCells = 16
@@ -83,6 +102,25 @@ object SimilarityQueries {
 
   private def duckCos(a: String, b: String): String =
     s"(${DuckSql.dotDbl(s"$a.embedding", s"$b.embedding")} / sqrt($a.n2 * $b.n2))"
+
+  /** Shared oracle for q_ann_lsh and q_ann_lsh_salted: salting never
+    * changes WHICH pairs meet (every corpus row lands in exactly one salt
+    * shard and every query probes all shards), so both queries must
+    * reproduce this same bucket join bit-for-bit. */
+  private lazy val lshOracle: String = {
+    val d = DuckSql
+    s"""WITH eb AS (SELECT vec_id, embedding,
+       |    ${d.dotDbl("embedding", "embedding")} AS n2,
+       |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, bucket, cosine, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     // Brute-force cosine near-duplicate pairs.
@@ -141,11 +179,7 @@ object SimilarityQueries {
     // LSH-bucketed ANN: join only within hyperplane-sign buckets.
     "q_ann_lsh" -> QueryDef(
       (s, d) => {
-        GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
-          .selectExpr("vec_id", "embedding",
-            "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(${lshBucket(graft.oracle.SparkSql, "embedding")} AS BIGINT) AS bucket")
+        val e = lshBucketed(s, d, NPlanes)
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "bucket")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -159,20 +193,39 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .orderBy("query_id", "rn")
-      }, {
-        val d = DuckSql
-        s"""WITH eb AS (SELECT vec_id, embedding,
-           |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
-           |  FROM embeddings)
-           |SELECT query_id, neighbor_id, bucket, cosine, rn FROM (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
-           |    ${duckCos("q", "c")} AS cosine,
-           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-           |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-      }),
+      }, lshOracle),
+
+    // Salted LSH ANN: same semantics as q_ann_lsh (same oracle — salting
+    // is a pure re-partitioning of the bucket join), but a bucket with
+    // more than SaltBucketRows corpus rows is split into ceil(n/cap) salt
+    // shards: corpus rows hash to ONE shard, query rows probe ALL shards
+    // of their bucket. A hot bucket (skewed hyperplane region — at 100 TB
+    // some region of embedding space is always over-dense) therefore
+    // becomes ceil(n/cap) bounded reducers instead of one giant one. The
+    // per-bucket count frame is 2^NPlanes rows → broadcast.
+    "q_ann_lsh_salted" -> QueryDef(
+      (s, d) => {
+        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
+        val counts = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        val sized = e.join(broadcast(counts), Seq("bucket"))
+          .withColumn("nsalt",
+            greatest(lit(1L), ceil(col("bn") / lit(SaltBucketRows))).cast("int"))
+        val c = sized.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "bucket",
+          "CAST(pmod(xxhash64(vec_id), nsalt) AS INT) AS salt")
+        val q = sized.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "bucket", "nsalt")
+          .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("bucket", "salt"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "bucket",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      }, lshOracle),
 
     // IVF-flat ANN: coarse-quantize into NCells Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
