@@ -91,6 +91,29 @@ object EventStream {
         col("event_id"), col("event_type"))
   }
 
+  /** foreachBatch sink into a bucketed table (graft.sources.Bucketing):
+    * each micro-batch appends parquet files in the table's bucket layout,
+    * so EVERY downstream batch join or aggregation on the bucket key runs
+    * exchange-free (asserted in BucketingSpec). This is the piece that
+    * connects streaming ingest to the zero-shuffle join story: at
+    * 100 TB/day the ingest pays the bucketing cost once per micro-batch
+    * (a local sort + hash-route, no cluster shuffle of historic data) and
+    * the daily analytical joins over the accumulated table never shuffle.
+    * bucketBy requires the table-catalog write path, which streaming
+    * writers lack — foreachBatch is the documented bridge. */
+  def sinkToBucketedTable(events: DataFrame, table: String, key: String,
+      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .format("parquet")
+          .saveAsTable(table)
+      }
+      .start()
+
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
     * sum, updated incrementally as batches arrive. */

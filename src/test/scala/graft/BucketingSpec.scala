@@ -40,6 +40,31 @@ class BucketingSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("foreachBatch sink lands a bucketed table with exchange-free follow-up joins") {
+    spark.sql("DROP TABLE IF EXISTS events_b")
+    rmrf(new java.io.File("/tmp/graft_warehouse/events_b"))
+    val q = EventStream.sinkToBucketedTable(
+      EventStream.readEvents(spark, sf), "events_b", "user_id", 8)
+    try q.processAllAvailable() finally q.stop()
+
+    assert(spark.table("events_b").count() == Tables.events(spark, sf).count())
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // per-user totals joined back to the bucketed events: BOTH the
+      // aggregation and the join ride the bucket distribution — the plan
+      // must contain no shuffle exchange at all
+      val totals = spark.table("events_b").groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.sum("value").as("total"))
+      val joined = spark.table("events_b").join(totals, "user_id")
+      joined.collect()
+      val nodes = collect(joined.queryExecution.executedPlan) { case p => p.nodeName }
+      assert(!nodes.exists(_.contains("ShuffleExchange")),
+        s"bucketed ingest must make downstream agg+join shuffle-free: ${nodes.mkString(",")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val q = EventStream.purchaseFollowUps(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("followups_out")
