@@ -146,6 +146,46 @@ object SimilarityQueries {
          |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin),
 
+    // Bucketed near-dup pairs — the scale path for q_dedup_embedding's
+    // declared-weak all-pairs crossJoin. Multi-probe hyperplane LSH:
+    // candidate pairs are those whose plane-sign buckets differ in AT MOST
+    // ONE bit (a near-dup pair that straddles a single hyperplane is still
+    // found; brute force remains the recall oracle). Probe-side rows emit
+    // their bucket plus its NPlanes single-bit flips, the corpus side
+    // keeps its exact bucket, so a qualifying pair matches EXACTLY ONE
+    // probe row — disjoint candidates, no dedup shuffle (the SimHash
+    // trick). Corpus never broadcasts; the join is a (NPlanes+1)-fold
+    // replicated equi-join on bucket — linear, not quadratic.
+    "q_dedup_embedding_lsh" -> QueryDef(
+      (s, d) => {
+        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
+        val flips = (0 until NPlanes)
+          .map(p => s"CAST(${graft.oracle.SparkSql.xorB("bucket", (1L << p).toString)} AS BIGINT)")
+          .mkString(", ")
+        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+            "n2 AS na2", s"explode(array(bucket, $flips)) AS bucket")
+        val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
+          "n2 AS nb2", "bucket")
+        probes.join(corpus, Seq("bucket"))
+          .filter(col("vec_id_a") < col("vec_id_b"))
+          .selectExpr("vec_id_a", "vec_id_b",
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= NearDupThreshold)
+          .orderBy("vec_id_a", "vec_id_b")
+      }, {
+        val d = DuckSql
+        s"""WITH eb AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2,
+           |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           |  ${duckCos("a", "b")} AS cosine
+           |FROM eb a JOIN eb b ON a.vec_id < b.vec_id
+           |  AND bit_count(${d.xorB("a.bucket", "b.bucket")}) <= 1
+           |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
+           |ORDER BY vec_id_a, vec_id_b""".stripMargin
+      }),
+
     // Exact brute-force top-k: query side broadcast, corpus scanned once.
     "q_ann_cosine" -> QueryDef(
       (s, d) => {
