@@ -199,6 +199,57 @@ object TextHashKernels {
   private def ivfCoef(idx: Long): Double =
     ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
+  /** Random-hyperplane LSH bucket of a 64-dim float embedding: bit p set
+    * iff the projection onto LCG-generated hyperplane p is positive.
+    * Strict left-to-right double summation per plane — identical to the
+    * SQL fold form in SimilarityQueries.lshBucket, hence to the oracle. */
+  def lshBucket(arr: ArrayData, nPlanes: Int): Long = {
+    var b = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var d = 0
+      while (d < 64) {
+        s += ivfCoef(p.toLong * 64 + d) * arr.getFloat(d).toDouble
+        d += 1
+      }
+      if (s > 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  /** One-pass token accounting over the raw text: struct(n_ws_tokens,
+    * n_re_tokens, n_bpe_units). Semantics match the HOF forms exactly —
+    * ws tokens are maximal runs of non-space (split on ' ', empties
+    * filtered), re tokens are maximal [a-z0-9] runs (split on
+    * '[^a-z0-9]+'), bpe units are Σ (run_codepoints + 3) div 4 — without
+    * materializing either token array. */
+  def tokenCounts(str: String): InternalRow = {
+    var nWs = 0L
+    var nRe = 0L
+    var nBpe = 0L
+    var inWs = false
+    var reLen = 0L
+    var ci = 0
+    while (ci < str.length) {
+      // same ASCII fast path as polyHash; separators are all ASCII so a
+      // non-ASCII code point is simply "not a separator" for both splits
+      val c0 = str.charAt(ci)
+      val cp =
+        if (c0 < 0x80) { ci += 1; c0.toInt }
+        else { val c = str.codePointAt(ci); ci += Character.charCount(c); c }
+      if (cp == ' ') inWs = false
+      else { if (!inWs) nWs += 1; inWs = true }
+      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        if (reLen == 0) nRe += 1
+        reLen += 1
+      } else if (reLen > 0) { nBpe += (reLen + 3) / 4; reLen = 0 }
+    }
+    if (reLen > 0) nBpe += (reLen + 3) / 4
+    InternalRow(nWs, nRe, nBpe)
+  }
+
   /** 1-based IVF coarse cell: argmin squared-L2 to LCG centroids. */
   def ivfCell(arr: ArrayData, nCells: Int): Int = {
     var best = 0
@@ -287,6 +338,10 @@ object TextHashFunctions {
       exprs => TextStatsExpr(exprs(0)), "scala_udf")
     r.createOrReplaceTempFunction("graft_ivf_cell",
       exprs => IvfCellExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucketExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_token_counts",
+      exprs => TokenCountsExpr(exprs(0)), "scala_udf")
   }
 }
 
@@ -361,6 +416,45 @@ case class TextStatsExpr(child: Expression)
   * so cell ids are bit-identical to the DuckDB oracle's). First-minimum
   * tie-break matches list_position(dists, list_min(dists)). Returns the
   * 1-based cell index. */
+/** Hyperplane-sign LSH bucket (bit p = sign of projection onto LCG plane
+  * p) for a 64-dim float embedding. Replaces a ~6×64-term interpreted HOF
+  * fold per row with one tight codegen'd loop; double summation order is
+  * strictly left-to-right per plane, so bucket ids are bit-identical to
+  * the SQL fold and the DuckDB oracle. `nPlanes` is the scale knob:
+  * buckets = 2^nPlanes. */
+case class LshBucketExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.lshBucket(input.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.lshBucket($c, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr =
+    copy(child = c)
+}
+
+/** One-pass token accounting over raw text: struct(n_ws_tokens,
+  * n_re_tokens, n_bpe_units) with HOF-identical semantics (see
+  * [[TextHashKernels.tokenCounts]]) and zero array materialization —
+  * the corpus-accounting scan is pure map-side arithmetic. */
+case class TokenCountsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws_tokens", LongType, nullable = false),
+    StructField("n_re_tokens", LongType, nullable = false),
+    StructField("n_bpe_units", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.tokenCounts(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.tokenCounts($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokenCountsExpr =
+    copy(child = c)
+}
+
 case class IvfCellExpr(child: Expression, nCells: Int)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType

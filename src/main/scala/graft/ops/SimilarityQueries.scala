@@ -64,13 +64,16 @@ object SimilarityQueries {
 
   /** Embeddings with squared norm + LSH bucket for a caller-chosen plane
     * count — the parameterized entry point the AnnLshSpec scale test and
-    * both LSH queries build on. */
+    * the LSH queries build on. Bucketing runs through the native
+    * codegen'd `graft_lsh_bucket` (bit-identical to the SQL fold form the
+    * DuckDB oracle evaluates — see graft.functions.LshBucketExpr). */
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     GraftFunctions.register(s)
+    graft.functions.TextHashFunctions.register(s)
     Tables.embeddings(s, d)
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
-        s"CAST(${lshBucket(graft.oracle.SparkSql, "embedding", nPlanes)} AS BIGINT) AS bucket")
+        s"graft_lsh_bucket(embedding, $nPlanes) AS bucket")
   }
 
   private val NCells = 16
@@ -216,10 +219,12 @@ object SimilarityQueries {
          |  WHERE q.vec_id < 20
          |) WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin),
 
-    // LSH-bucketed ANN: join only within hyperplane-sign buckets.
+    // LSH-bucketed ANN: join only within hyperplane-sign buckets. The
+    // bucketed frame is scratch-persisted so the self-join's two branches
+    // don't each recompute norms + buckets over the corpus.
     "q_ann_lsh" -> QueryDef(
       (s, d) => {
-        val e = lshBucketed(s, d, NPlanes)
+        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "bucket")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",

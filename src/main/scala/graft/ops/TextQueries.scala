@@ -89,7 +89,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = {
     val statsD = statsExprs(DuckSql)
     val (langS, langD) = (langExprs(SparkSql), langExprs(DuckSql))
-    val (tcS, tcD) = (tokenCountExprs(SparkSql), tokenCountExprs(DuckSql))
+    val tcD = tokenCountExprs(DuckSql)
     val (fpS, fpD) = both(fingerprintExpr)
 
     Map(
@@ -126,17 +126,26 @@ object TextQueries {
 
       // Per-(lang, source) corpus token accounting — the shuffle is tiny
       // (100 groups) regardless of corpus size; all heavy work is map-side.
+      // The Spark side runs the one-pass native TokenCountsExpr (no token
+      // arrays materialized); integer outputs equal the oracle's dual HOF
+      // splits exactly (graft.functions.TextHashKernels.tokenCounts).
       "q_token_count" -> QueryDef(
-        (s, dir) =>
+        (s, dir) => {
+          graft.functions.TextHashFunctions.register(s)
           Tables.documentsParallel(s, dir)
-            .selectExpr(Seq("lang", "source") ++ tcS: _*)
+            .selectExpr("lang", "source", "graft_token_counts(text) AS tc")
+            .selectExpr("lang", "source",
+              "tc.n_ws_tokens AS n_ws_tokens",
+              "tc.n_re_tokens AS n_re_tokens",
+              "tc.n_bpe_units AS n_bpe_units")
             .groupBy("lang", "source")
             .agg(
               count(lit(1)).as("n_docs"),
               sum("n_ws_tokens").as("sum_ws_tokens"),
               sum("n_re_tokens").as("sum_re_tokens"),
               sum("n_bpe_units").as("sum_bpe_units"))
-            .orderBy("lang", "source"),
+            .orderBy("lang", "source")
+        },
         s"""SELECT lang, source, count(*) AS n_docs,
            |  CAST(sum(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
            |  CAST(sum(n_re_tokens) AS BIGINT) AS sum_re_tokens,
