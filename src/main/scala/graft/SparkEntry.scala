@@ -17,6 +17,7 @@ object SparkEntry {
       ops.JoinQueries.defs ++
       ops.SetQueries.defs ++
       ops.TextQueries.defs ++
+      ops.CurationQueries.defs ++
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
       ops.EventQueries.defs ++

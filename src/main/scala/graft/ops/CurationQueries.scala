@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.oracle.{Dialect, DuckSql, SparkSql}
+import graft.{QueryDef, ScratchCache, Tables}
+
+/** Corpus-curation family over `documents` — the remaining pipeline
+  * stages a training-data build runs between dedup and tokenization
+  * (extension mandate, same rationale as graft.ops.TextQueries; the Tez
+  * reference stops at generic key grouping, e.g.
+  * tez-examples/src/main/java/org/apache/tez/examples/WordCount.java:44).
+  *
+  *  - q_hash_split: deterministic train/val/test assignment by content
+  *    hash of the document key. At 100 TB, sampling state (random() plus
+  *    a seed table) is a reproducibility hazard — a pure hash of the key
+  *    gives the same split on every rerun, every engine, every shard
+  *    layout, with no coordination. Map-side only; the shuffle carries 3
+  *    groups.
+  *  - q_contamination: benchmark decontamination — count per-document
+  *    hashed-shingle overlap against an "eval set" (deterministic subset
+  *    standing in for a benchmark suite). The eval shingle blocklist is
+  *    BROADCAST: real benchmark suites are MBs against a 100 TB corpus,
+  *    so the corpus-side explode never shuffles — the join is map-side.
+  *  - q_text_redact: regex redaction (PII-shaped scrub) with match
+  *    counts and a post-redaction fingerprint. Patterns live in the
+  *    Java-regex ∩ RE2 common subset with prefix-free alternation so
+  *    Spark and DuckDB match identically; the fixture vocabulary has no
+  *    emails/digits, so the surrogate terms below stand in for PII
+  *    lexica (mechanism over fixture, as with q_lang_id's markers).
+  *    Pure map-side scan.
+  */
+object CurationQueries {
+
+  private val TrainPct = 80
+  private val ValPct = 90
+  // every EvalEvery-th doc is the held-out "benchmark" set
+  private val EvalEvery = 50
+  // surrogate PII lexicon + digit runs; prefix-free alternation
+  private val RedactRe = "customer|vector|[0-9]+"
+  private val RedactTo = "<PII>"
+
+  /** split-bucket expression: polynomial content hash of the doc key,
+    * reduced mod 100 — engine-identical BIGINT arithmetic. */
+  private def splitPct(d: Dialect): String =
+    s"(${d.polyHash(d.castStr("doc_id"), 12)} % 100)"
+
+  private def splitCase(d: Dialect): String =
+    s"""CASE WHEN ${splitPct(d)} < $TrainPct THEN 'train'
+       |     WHEN ${splitPct(d)} < $ValPct THEN 'val'
+       |     ELSE 'test' END""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** DISTINCT hashed 3-gram shingles (DuckDB HOF form). */
+  private def shingleHashSet(d: Dialect): String =
+    d.distinctL(d.transform(d.shingles3(d.tokens("text")), "s", d.polyHash("s", 24)))
+
+  /** Rolling fingerprint over the tokens of an arbitrary text expression
+    * (same form as TextQueries.q_doc_fingerprint). */
+  private def fingerprintOf(d: Dialect, text: String): String = {
+    val tokHashes = d.transform(d.tokens(text), "t", d.polyHash("t", 12))
+    d.foldBig(tokHashes, "acc", "h", s"(acc * 131 + h) % ${Dialect.M}")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // Deterministic split assignment + per-split accounting. Plain scan
+    // (no documentsParallel round-robin): the per-row work is a 12-term
+    // hash, so file-split parallelism is already enough at any scale.
+    "q_hash_split" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(s"${splitCase(SparkSql)} AS split", "doc_id", "n_chars")
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc_id"),
+            max("doc_id").as("max_doc_id"))
+          .orderBy("split"),
+      s"""SELECT ${splitCase(DuckSql)} AS split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin),
+
+    // Benchmark decontamination: shingle overlap vs the eval subset.
+    "q_contamination" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            s"graft_shingle_hash_set(${SparkSql.tokens("text")}) AS hs"))
+        val bl = docs.filter(s"doc_id % $EvalEvery = 0")
+          .selectExpr("explode(hs) AS s").distinct()
+        val ex = docs.filter(s"doc_id % $EvalEvery <> 0")
+          .selectExpr("doc_id", "size(hs) AS n_shingles", "explode(hs) AS s")
+        // hs is distinct per doc, so count(*) after the membership join is
+        // |hs ∩ blocklist|; the blocklist broadcast keeps the corpus side
+        // shuffle-free up to the tiny (doc_id, counts) aggregate
+        ex.join(broadcast(bl), "s")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .selectExpr("doc_id", "n_shingles", "n_contaminated",
+            "(CAST(n_contaminated AS DOUBLE) / n_shingles) AS contamination_ratio")
+          .orderBy("doc_id")
+      }, {
+        val d = DuckSql
+        s"""WITH sh AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+           |bl AS (SELECT DISTINCT unnest(hs) AS s FROM sh WHERE doc_id % $EvalEvery = 0),
+           |ex AS (SELECT doc_id, ${d.sizeL("hs")} AS n_shingles, unnest(hs) AS s
+           |  FROM sh WHERE doc_id % $EvalEvery <> 0)
+           |SELECT doc_id, n_shingles, count(*) AS n_contaminated,
+           |  (CAST(count(*) AS DOUBLE) / n_shingles) AS contamination_ratio
+           |FROM ex JOIN bl USING (s)
+           |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
+      }),
+
+    // Regex redaction scrub with counts + post-redaction fingerprint.
+    "q_text_redact" -> QueryDef(
+      (s, d) => {
+        val sq = SparkSql
+        val red = sq.regexReplaceAll("text", RedactRe, RedactTo)
+        Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            s"CAST(${sq.regexCount("text", RedactRe)} AS BIGINT) AS n_redactions",
+            s"CAST(${fingerprintOf(sq, red)} AS BIGINT) AS redacted_fp")
+          .orderBy("doc_id")
+      }, {
+        val d = DuckSql
+        val red = d.regexReplaceAll("text", RedactRe, RedactTo)
+        s"""SELECT doc_id,
+           |  CAST(${d.regexCount("text", RedactRe)} AS BIGINT) AS n_redactions,
+           |  CAST(${fingerprintOf(d, red)} AS BIGINT) AS redacted_fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -55,6 +55,12 @@ abstract class Dialect {
   def epochSec(ts: String): String
   /** epoch seconds of ts truncated to the given unit ('hour'...). */
   def epochTrunc(unit: String, ts: String): String
+  /** replace ALL matches of a regex with a literal replacement. Patterns
+    * must stay in the Java-regex ∩ RE2 common subset with unambiguous
+    * (prefix-free) alternation so both engines match identically. */
+  def regexReplaceAll(s: String, re: String, rep: String): String
+  /** number of non-overlapping matches of a regex. */
+  def regexCount(s: String, re: String): String
 
   // ---- shared derived fragments (dialect-independent composition) ----
 
@@ -152,6 +158,9 @@ object SparkSql extends Dialect {
   def jsonGetStr(col: String, key: String) = s"get_json_object($col, '$$.$key')"
   def epochSec(ts: String) = s"unix_timestamp($ts)"
   def epochTrunc(unit: String, ts: String) = s"unix_timestamp(date_trunc('$unit', $ts))"
+  def regexReplaceAll(s: String, re: String, rep: String) =
+    s"regexp_replace($s, '$re', '$rep')"
+  def regexCount(s: String, re: String) = s"regexp_count($s, '$re')"
 }
 
 object DuckSql extends Dialect {
@@ -183,4 +192,7 @@ object DuckSql extends Dialect {
   def jsonGetStr(col: String, key: String) = s"json_extract_string($col, '$$.$key')"
   def epochSec(ts: String) = s"CAST(floor(epoch($ts)) AS BIGINT)"
   def epochTrunc(unit: String, ts: String) = s"CAST(epoch(date_trunc('$unit', $ts)) AS BIGINT)"
+  def regexReplaceAll(s: String, re: String, rep: String) =
+    s"regexp_replace($s, '$re', '$rep', 'g')"
+  def regexCount(s: String, re: String) = s"len(regexp_extract_all($s, '$re'))"
 }

@@ -101,4 +101,18 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val ns = nodes("q_agg_sum_count")
     assert(ns.count(_.contains("HashAggregate")) >= 2)
   }
+  test("q_contamination broadcasts the eval blocklist, never the corpus") {
+    // benchmark suites are MBs vs a 100 TB corpus: the membership join
+    // must be a broadcast of the blocklist side, not a corpus shuffle
+    val ns = nodes("q_contamination")
+    assert(ns.exists(_.contains("BroadcastHashJoin")), ns)
+    assert(!ns.exists(_.contains("SortMergeJoin")), ns)
+  }
+  test("q_hash_split is map-side up to a 3-group aggregate") {
+    val ns = nodes("q_hash_split")
+    assert(ns.count(_.contains("HashAggregate")) >= 2, ns) // partial+final
+    // one exchange for the split groups, one for the output sort — the
+    // document scan itself never shuffles
+    assert(ns.count(_.contains("Exchange")) <= 2, ns)
+  }
 }
