@@ -52,7 +52,27 @@ object Bench {
     val total =
       if (errors.nonEmpty) -1.0 else results.values.filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // AQE-coalesce evidence (full-suite runs only): one shuffle-heavy
+    // query swept across shuffle-partition settings — AQE re-coalesces
+    // post-shuffle partitions at runtime, so times stay ~flat instead of
+    // degrading with over-partitioning (single timed pass per setting)
+    val sweepJson =
+      if (args.nonEmpty) "{}"
+      else {
+        val sweepQ = "q_dedup_minhash"
+        val entries = Seq("8", "32", "128").map { n =>
+          spark.conf.set("spark.sql.shuffle.partitions", n)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(sweepQ)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+            finally ScratchCache.release()
+          s"\"p$n\":" + (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        entries.mkString(s"""{"query":"$sweepQ",""", ",", "}")
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sweep":$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
