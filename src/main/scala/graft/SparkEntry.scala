@@ -21,6 +21,7 @@ object SparkEntry {
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
       ops.EventQueries.defs ++
+      ops.StreamQueries.defs ++
       ops.MultimodalQueries.defs ++
       ops.FunctionQueries.defs ++
       ops.TemporalJoinQueries.defs

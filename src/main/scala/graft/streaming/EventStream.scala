@@ -50,6 +50,19 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Batch-identical tumbling aggregate (whole-second epochs + decimal
+    * money sum) — the streaming side of the oracle-gated
+    * `q_stream_tumbling` declared query (graft.ops.StreamQueries); its
+    * output columns match graft.ops.EventQueries.q_window_tumbling
+    * exactly, so both run against the same DuckDB oracle. */
+  def tumblingCountsEpoch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Session windows with a 30-minute gap per user. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
