@@ -316,6 +316,71 @@ object DedupQueries {
            |ORDER BY doc_id_a, doc_id_b""".stripMargin
       }),
 
+    // Incremental-corpus dedup: a batch of ARRIVING docs (doc_id % 10 = 0
+    // stands in for the next ingest micro-batch) is checked for near-dups
+    // against the EXISTING corpus only — never arrival×arrival or
+    // corpus×corpus. This is the streaming half of the dedup story: at
+    // 100 TB the corpus band table is computed once, written bucketed by
+    // (band_idx, band_val), and each batch's cost scales with the BATCH
+    // size (band its docs, bucket-join, verify candidates) — not with
+    // corpus size. Same banding + verification arithmetic as
+    // q_dedup_minhash, so the oracle replays it exactly.
+    "q_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"$sparkShingleSet AS hs"))
+        val bandCols = (0 until Bands).map(b =>
+          expr(bandValue(SparkSql, b)).as(s"band_$b"))
+        val long = docs.select(col("doc_id") +: col("hs") +: bandCols: _*)
+          .select(col("doc_id"),
+            posexplode(array((0 until Bands).map(b => col(s"band_$b")): _*)))
+          .withColumnRenamed("pos", "band_idx")
+          .withColumnRenamed("col", "band_val")
+        val corpus = long.filter(col("doc_id") % 10 =!= 0)
+        val arrivals = long.filter(col("doc_id") % 10 === 0)
+        val cand = arrivals.as("x").join(corpus.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val"))
+          .select(col("x.doc_id").as("arrival_id"), col("y.doc_id").as("corpus_id"))
+          .dropDuplicates("arrival_id", "corpus_id")
+        val a = docs.selectExpr("doc_id AS arrival_id", "hs AS ha")
+        val b = docs.selectExpr("doc_id AS corpus_id", "hs AS hb")
+        cand.join(a, "arrival_id").join(b, "corpus_id")
+          .selectExpr("arrival_id", "corpus_id",
+            "graft_intersect_size(ha, hb) AS inter",
+            "size(ha) AS sa", "size(hb) AS sb")
+          .selectExpr("arrival_id", "corpus_id", s"$jacFromCols AS jaccard")
+          .filter(col("jaccard") >= JaccardThreshold)
+          .orderBy("arrival_id", "corpus_id")
+      }, {
+        val d = DuckSql
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, ${bandValue(d, b)} AS band_val FROM hsets")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH hsets AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS arrival_id, y.doc_id AS corpus_id
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+           |),
+           |p AS (
+           |  SELECT arrival_id, corpus_id,
+           |    ${d.sizeL(d.intersectL("a.hs", "b.hs"))} AS inter,
+           |    ${d.sizeL("a.hs")} AS sa, ${d.sizeL("b.hs")} AS sb
+           |  FROM cand
+           |  JOIN hsets a ON a.doc_id = arrival_id
+           |  JOIN hsets b ON b.doc_id = corpus_id
+           |)
+           |SELECT arrival_id, corpus_id, $jacFromCols AS jaccard
+           |FROM p WHERE $jacFromCols >= $JaccardThreshold
+           |ORDER BY arrival_id, corpus_id""".stripMargin
+      }),
+
     // SimHash near-dup: banded candidates, provably equal to all-pairs.
     "q_dedup_simhash" -> QueryDef(
       (s, d) => {

@@ -18,7 +18,7 @@ class CodegenSpec extends AnyFunSuite {
   private val exprHeavy = Seq(
     "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_minhash_weighted", "q_ann_lsh_salted", "q_dedup_embedding_lsh",
-    "q_contamination",
+    "q_contamination", "q_dedup_incremental",
     "q_text_stats", "q_token_count", "q_ann_ivf", "q_ann_cosine",
     "q_dedup_embedding")
 
