@@ -97,6 +97,92 @@ object FunctionQueries {
           .orderBy("l_returnflag"),
       None),
 
+    // Analytic window functions beyond rank: lag, running frame sums,
+    // ntile, row_number over a deterministic per-customer order. Money
+    // arithmetic stays in DECIMAL(18,2) inside the frame (running double
+    // sums are evaluation-order-dependent; DuckDB may use a segment tree)
+    // and casts to DOUBLE once at the end.
+    "q_window_analytics" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            row_number().over(w).as("order_seq"),
+            ntile(4).over(w).as("quartile"),
+            (col("price_dec") - coalesce(lag("price_dec", 1).over(w),
+              col("price_dec"))).cast(DoubleType).as("price_delta"),
+            sum("price_dec").over(run).cast(DoubleType).as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS order_seq,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    - coalesce(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w,
+        |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_delta,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Array construction + manipulation over grouped data: sorted
+    // collect, size, element access, join-to-string, membership.
+    "q_array_funcs" -> QueryDef(
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(sort_array(collect_list("n_name")).as("nations"))
+          .selectExpr("r_name", "nations",
+            "CAST(size(nations) AS INT) AS n_nations",
+            "element_at(nations, 1) AS first_nation",
+            "element_at(nations, size(nations)) AS last_nation",
+            "array_join(slice(nations, 1, 3), ',') AS top3",
+            "array_contains(nations, 'CANADA') AS has_canada")
+          .orderBy("r_name"),
+      """SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+        |  CAST(len(list(n_name ORDER BY n_name)) AS INT) AS n_nations,
+        |  (list(n_name ORDER BY n_name))[1] AS first_nation,
+        |  (list(n_name ORDER BY n_name))[len(list(n_name ORDER BY n_name))]
+        |    AS last_nation,
+        |  array_to_string((list(n_name ORDER BY n_name))[1:3], ',') AS top3,
+        |  list_contains(list(n_name ORDER BY n_name), 'CANADA') AS has_canada
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // Bitwise function family over exact integers (AND/OR/XOR, shifts,
+    // popcount) — pure map-side arithmetic, engine-identical.
+    "q_bitwise_funcs" -> QueryDef(
+      (s, d) => {
+        val sq = graft.oracle.SparkSql
+        Tables.part(s, d)
+          .selectExpr("p_partkey",
+            "CAST((p_partkey & 255) AS BIGINT) AS low_band",
+            "CAST((p_partkey | 1024) AS BIGINT) AS with_flag",
+            s"CAST(${sq.xorB("p_partkey", "p_size")} AS BIGINT) AS key_xor_size",
+            s"CAST(${sq.shiftL("p_size", "3")} AS BIGINT) AS size_x8",
+            s"CAST(${sq.shiftR("p_partkey", "4")} AS BIGINT) AS key_div16",
+            "CAST(bit_count(p_partkey) AS INT) AS key_bits")
+          .orderBy("p_partkey")
+      }, {
+        val d = graft.oracle.DuckSql
+        s"""SELECT p_partkey,
+           |  CAST((p_partkey & 255) AS BIGINT) AS low_band,
+           |  CAST((p_partkey | 1024) AS BIGINT) AS with_flag,
+           |  CAST(${d.xorB("p_partkey", "p_size")} AS BIGINT) AS key_xor_size,
+           |  CAST(${d.shiftL("p_size", "3")} AS BIGINT) AS size_x8,
+           |  CAST(${d.shiftR("p_partkey", "4")} AS BIGINT) AS key_div16,
+           |  CAST(bit_count(p_partkey) AS INT) AS key_bits
+           |FROM part ORDER BY p_partkey""".stripMargin
+      }),
+
     "q_percentile_agg" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)
