@@ -45,6 +45,10 @@ object CurationQueries {
   private def splitPct(d: Dialect): String =
     s"(${d.polyHash(d.castStr("doc_id"), 12)} % 100)"
 
+  /** Spark-side split expression, exposed for the curated write path
+    * (CuratedWriteSpec partitions output directories by this column). */
+  def splitExpr: String = splitCase(SparkSql)
+
   private def splitCase(d: Dialect): String =
     s"""CASE WHEN ${splitPct(d)} < $TrainPct THEN 'train'
        |     WHEN ${splitPct(d)} < $ValPct THEN 'val'
