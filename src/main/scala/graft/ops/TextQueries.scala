@@ -153,6 +153,74 @@ object TextQueries {
            |FROM (SELECT lang, source, ${tcD.mkString(", ")} FROM documents)
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
 
+      // Per-doc repetition ratio: the fraction of word-3-gram slots whose
+      // shingle repeats an earlier one (1 - distinct/total). Repetitive
+      // boilerplate is a primary removal signal in corpus curation; the
+      // arithmetic is two integers and one division, so both engines
+      // agree exactly. Map-side only.
+      "q_repetition" -> QueryDef(
+        (s, dir) => {
+          graft.functions.TextHashFunctions.register(s)
+          val toks = SparkSql.tokens("text")
+          Tables.documentsParallel(s, dir)
+            .selectExpr("doc_id",
+              s"greatest(size($toks) - 2, 1) AS n_shingles",
+              s"size(graft_shingle_hash_set($toks)) AS n_distinct_shingles")
+            .selectExpr("doc_id", "n_shingles", "n_distinct_shingles",
+              "(CAST(n_shingles - n_distinct_shingles AS DOUBLE) / n_shingles)" +
+                " AS repetition_ratio")
+            .orderBy("doc_id")
+        }, {
+          val d = DuckSql
+          val toks = d.tokens("text")
+          val distinctSh =
+            d.sizeL(d.distinctL(d.transform(d.shingles3(toks), "s", d.polyHash("s", 24))))
+          s"""SELECT doc_id, n_shingles, n_distinct_shingles,
+             |  (CAST(n_shingles - n_distinct_shingles AS DOUBLE) / n_shingles)
+             |    AS repetition_ratio
+             |FROM (SELECT doc_id,
+             |    greatest(${d.sizeL(toks)} - 2, 1) AS n_shingles,
+             |    $distinctSh AS n_distinct_shingles
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin
+        }),
+
+      // Gopher-style quality gate: boolean removal flags composed from
+      // the one-pass stats, plus the surviving-document verdict. The
+      // thresholds are fixture-scaled; the mechanism (flag columns a
+      // curation pipeline audits before dropping) is what is checked.
+      "q_quality_filter" -> QueryDef(
+        (s, dir) => {
+          graft.functions.TextHashFunctions.register(s)
+          Tables.documentsParallel(s, dir)
+            .selectExpr("doc_id",
+              s"graft_text_stats(${SparkSql.tokens("text")}) AS st")
+            .selectExpr("doc_id",
+              "(st.n_tokens < 20) AS too_short",
+              "(st.n_tokens > 500) AS too_long",
+              "((CAST(st.n_distinct AS DOUBLE) / st.n_tokens) < 0.3) AS low_diversity",
+              "((CAST(st.stop_hits AS DOUBLE) / st.n_tokens) < 0.01) AS low_stopwords")
+            .selectExpr("doc_id", "too_short", "too_long", "low_diversity",
+              "low_stopwords",
+              "(NOT (too_short OR too_long OR low_diversity OR low_stopwords)) AS keep")
+            .orderBy("doc_id")
+        }, {
+          val d = DuckSql
+          val toks = d.tokens("text")
+          val nTok = d.sizeL(toks)
+          val nDis = d.sizeL(d.distinctL(toks))
+          val stops = d.sizeL(d.filterL(toks, "t", "t IN ('the', 'a', 'of', 'and')"))
+          s"""SELECT doc_id, too_short, too_long, low_diversity, low_stopwords,
+             |  (NOT (too_short OR too_long OR low_diversity OR low_stopwords)) AS keep
+             |FROM (SELECT doc_id,
+             |    ($nTok < 20) AS too_short,
+             |    ($nTok > 500) AS too_long,
+             |    ((CAST($nDis AS DOUBLE) / $nTok) < 0.3) AS low_diversity,
+             |    ((CAST($stops AS DOUBLE) / $nTok) < 0.01) AS low_stopwords
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin
+        }),
+
       "q_doc_fingerprint" -> QueryDef(
         (s, dir) =>
           Tables.documentsParallel(s, dir)
