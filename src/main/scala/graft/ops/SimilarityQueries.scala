@@ -272,6 +272,49 @@ object SimilarityQueries {
           .orderBy("query_id", "rn")
       }, lshOracle),
 
+    // Incremental ANN: a batch of ARRIVING vectors (vec_id % 10 = 0, the
+    // next ingest micro-batch) probes the EXISTING corpus's IVF cells
+    // for neighbors — never arrival×arrival or corpus×corpus. At 100 TB
+    // the corpus is write-time partitioned by cell (cells are stable:
+    // deterministic centroids), so each batch reads only the cells its
+    // vectors quantize to; per-batch cost ∝ batch size, not corpus size
+    // — the vector twin of q_dedup_incremental.
+    "q_ann_incremental" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        graft.functions.TextHashFunctions.register(s)
+        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2",
+            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .selectExpr("vec_id AS arrival_id", "embedding AS qe", "n2 AS qn2", "cell")
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .selectExpr("vec_id AS neighbor_id", "embedding AS ce", "n2 AS cn2", "cell")
+        val w = Window.partitionBy("arrival_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .selectExpr("arrival_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("arrival_id", "rn")
+      }, {
+        val d = DuckSql
+        s"""WITH eb AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2,
+           |    CAST(${ivfCell(d, "embedding")} AS INT) AS cell
+           |  FROM embeddings)
+           |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
+           |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
+           |    ${duckCos("q", "c")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+           |  FROM eb q JOIN eb c ON q.cell = c.cell
+           |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+           |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
+      }),
+
     // IVF-flat ANN: coarse-quantize into NCells Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
     // hyperplane LSH: at 100 TB the corpus is write-time partitioned by

@@ -54,6 +54,83 @@ object StreamQueries {
          |FROM events
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // Sliding 1-hour/30-minute window computed by the streaming engine;
+    // same output contract (and oracle) as q_window_sliding. Window
+    // membership is unaffected by the oracle's whole-second flooring
+    // because boundaries sit on 1800-second multiples.
+    "q_stream_sliding" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.readEvents(s, d)
+            .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                .cast("double").as("sum_value"))
+            .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
+              col("event_type"), col("n_events"), col("sum_value")),
+          "graft_stream_sliding", "complete")
+          .orderBy("window_start_epoch", "event_type"), {
+        val d = DuckSql
+        s"""WITH e AS (SELECT ${d.epochSec("ts")} AS es, event_type, value FROM events),
+           |w AS (
+           |  SELECT ((es // 1800) * 1800) AS ws, event_type, value FROM e
+           |  UNION ALL
+           |  SELECT ((es // 1800) * 1800 - 1800) AS ws, event_type, value FROM e
+           |)
+           |SELECT ws AS window_start_epoch, event_type,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // Per-user gap sessions computed by the streaming session_window
+    // operator. The batch twin (q_window_session) defines "same session"
+    // as whole-second gap <= 1800; session_window merges on an INCLUSIVE
+    // next <= prev + gap bound (verified against the fixture's exact
+    // 1801-second gap at user 69), so after truncating timestamps to
+    // whole seconds the same 1800-second gap makes the rules identical.
+    // Duration is window.end - gap - window.start = max(es) - min(es).
+    "q_stream_session" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.readEvents(s, d)
+            .select(col("user_id"),
+              expr("timestamp_seconds(unix_timestamp(ts))").as("tss"),
+              col("value"))
+            .groupBy(session_window(col("tss"), "1800 seconds"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                .cast("double").as("sum_value"))
+            .select(col("user_id"),
+              unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+              (unix_timestamp(col("session_window.end")) - lit(1800L)
+                - unix_timestamp(col("session_window.start"))).as("duration_sec"),
+              col("n_events"), col("sum_value")),
+          "graft_stream_session", "complete")
+          .orderBy("user_id", "session_start_epoch"), {
+        val d = DuckSql
+        s"""WITH e AS (SELECT user_id, ${d.epochSec("ts")} AS es, value FROM events),
+           |flagged AS (
+           |  SELECT user_id, es, value,
+           |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+           |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM e
+           |),
+           |sess AS (
+           |  SELECT user_id, es, value,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, min(es) AS session_start_epoch,
+           |  CAST(max(es) - min(es) AS BIGINT) AS duration_sec,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM sess GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_start_epoch""".stripMargin
+      }),
+
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
     // KEY SET, which is deterministic regardless of which arrival won
