@@ -85,6 +85,67 @@ object DedupQueries {
   /** intersection-size / union-size from materialized columns. */
   private val jacFromCols = "(CAST(inter AS DOUBLE) / (sa + sb - inter))"
 
+  /** DuckDB CTE chain ending in `p` = candidate pairs with materialized
+    * inter/sa/sb columns — shared by the q_dedup_minhash and
+    * q_dedup_cluster oracles. */
+  private def minhashPairsCte(d: Dialect): String = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band_idx, ${bandValue(d, b)} AS band_val FROM hsets")
+      .mkString("\n  UNION ALL\n  ")
+    s"""hsets AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id
+       |),
+       |p AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    ${d.sizeL(d.intersectL("a.hs", "b.hs"))} AS inter,
+       |    ${d.sizeL("a.hs")} AS sa, ${d.sizeL("b.hs")} AS sb
+       |  FROM cand
+       |  JOIN hsets a ON a.doc_id = doc_id_a
+       |  JOIN hsets b ON b.doc_id = doc_id_b
+       |)""".stripMargin
+  }
+
+  /** Verified near-duplicate pairs via MinHash + LSH banding — the
+    * shared core of q_dedup_minhash (which just orders it) and
+    * q_dedup_cluster (which runs connected components over it). Shingle
+    * sets are computed once and scratch-persisted; candidate pairs are
+    * deduped as bare (id, id) BEFORE re-joining the heavy arrays, so the
+    * dedup shuffle never carries shingle sets. */
+  private def minhashVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.TextHashFunctions.register(s)
+    val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
+      .selectExpr("doc_id", s"$sparkShingleSet AS hs"))
+    val bandCols = (0 until Bands).map(b =>
+      expr(bandValue(SparkSql, b)).as(s"band_$b"))
+    val banded = docs.select(col("doc_id") +: col("hs") +: bandCols: _*)
+    val long = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band_$b")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val cand = long.as("x").join(long.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    val a = docs.selectExpr("doc_id AS doc_id_a", "hs AS ha")
+    val b = docs.selectExpr("doc_id AS doc_id_b", "hs AS hb")
+    cand.join(a, "doc_id_a").join(b, "doc_id_b")
+      .selectExpr("doc_id_a", "doc_id_b",
+        "graft_intersect_size(ha, hb) AS inter",
+        "size(ha) AS sa", "size(hb) AS sb")
+      .selectExpr("doc_id_a", "doc_id_b", s"$jacFromCols AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // Exact dedup: group identical texts, keep the smallest doc_id.
     "q_dedup_exact" -> QueryDef(
@@ -156,62 +217,73 @@ object DedupQueries {
 
     // MinHash + LSH banding → exact-Jaccard verification. The scale path.
     "q_dedup_minhash" -> QueryDef(
+      (s, d) => minhashVerifiedPairs(s, d).orderBy("doc_id_a", "doc_id_b"),
+      s"""WITH ${minhashPairsCte(DuckSql)}
+         |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
+         |FROM p WHERE $jacFromCols >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin),
+
+    // Duplicate-cluster resolution: connected components over the
+    // verified MinHash pairs, labeling every clustered doc with its
+    // component's minimum doc_id and a canonical-keeper verdict — the
+    // final stage that turns pairwise near-dup hits into keep/drop sets.
+    // Distributed shape: iterative min-label propagation (the
+    // Pregel/GraphX-CC pattern) — each round is one bounded shuffle
+    // (neighbor-min groupBy + label join); rounds ≤ component diameter,
+    // which for dedup clusters is tiny (dup clusters are near-cliques:
+    // banding links most members directly). The driver-side loop holds
+    // only the convergence COUNT, never data. The DuckDB oracle computes
+    // the same labels via a recursive min-reachability CTE.
+    "q_dedup_cluster" -> QueryDef(
       (s, d) => {
-        // shingle sets computed once and persisted; candidate pairs are
-        // deduped as bare (id, id) BEFORE re-joining the heavy arrays, so
-        // the dedup shuffle never carries shingle sets
-        graft.functions.TextHashFunctions.register(s)
-        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
-          .selectExpr("doc_id", s"$sparkShingleSet AS hs"))
-        val bandCols = (0 until Bands).map(b =>
-          expr(bandValue(SparkSql, b)).as(s"band_$b"))
-        val banded = docs.select(col("doc_id") +: col("hs") +: bandCols: _*)
-        val long = banded.select(col("doc_id"),
-          posexplode(array((0 until Bands).map(b => col(s"band_$b")): _*)))
-          .withColumnRenamed("pos", "band_idx")
-          .withColumnRenamed("col", "band_val")
-        val cand = long.as("x").join(long.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
-          .dropDuplicates("doc_id_a", "doc_id_b")
-        val a = docs.selectExpr("doc_id AS doc_id_a", "hs AS ha")
-        val b = docs.selectExpr("doc_id AS doc_id_b", "hs AS hb")
-        cand.join(a, "doc_id_a").join(b, "doc_id_b")
-          .selectExpr("doc_id_a", "doc_id_b",
-            "graft_intersect_size(ha, hb) AS inter",
-            "size(ha) AS sa", "size(hb) AS sb")
-          .selectExpr("doc_id_a", "doc_id_b", s"$jacFromCols AS jaccard")
-          .filter(col("jaccard") >= JaccardThreshold)
-          .orderBy("doc_id_a", "doc_id_b")
-      }, {
-        val d = DuckSql
-        val bandSelects = (0 until Bands).map(b =>
-          s"SELECT doc_id, $b AS band_idx, ${bandValue(d, b)} AS band_val FROM hsets")
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH hsets AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
-           |bands AS (
-           |  $bandSelects
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
-           |  FROM bands x JOIN bands y
-           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-           |   AND x.doc_id < y.doc_id
-           |),
-           |p AS (
-           |  SELECT doc_id_a, doc_id_b,
-           |    ${d.sizeL(d.intersectL("a.hs", "b.hs"))} AS inter,
-           |    ${d.sizeL("a.hs")} AS sa, ${d.sizeL("b.hs")} AS sb
-           |  FROM cand
-           |  JOIN hsets a ON a.doc_id = doc_id_a
-           |  JOIN hsets b ON b.doc_id = doc_id_b
-           |)
-           |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
-           |FROM p WHERE $jacFromCols >= $JaccardThreshold
-           |ORDER BY doc_id_a, doc_id_b""".stripMargin
-      }),
+        val pairs = ScratchCache.scratch(
+          minhashVerifiedPairs(s, d).select("doc_id_a", "doc_id_b"))
+        val edges = ScratchCache.scratch(
+          pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+            .unionAll(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst")))
+        var labels = ScratchCache.scratch(
+          edges.select(col("src").as("id")).distinct()
+            .withColumn("cluster", col("id")))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy("src").agg(min("cluster").as("nbr_min"))
+          val next = ScratchCache.scratch(
+            labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+              .select(labels("id"),
+                least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+                  .as("cluster")))
+          changed = next.as("n")
+            .join(labels.as("o"), col("n.id") === col("o.id"))
+            .filter(col("n.cluster") < col("o.cluster")).count()
+          labels = next
+          rounds += 1
+        }
+        labels
+          .selectExpr("id AS doc_id", "cluster AS cluster_id",
+            "(cluster = id) AS is_canonical")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${minhashPairsCte(DuckSql)},
+         |pairs AS (
+         |  SELECT doc_id_a, doc_id_b FROM p
+         |  WHERE $jacFromCols >= $JaccardThreshold
+         |),
+         |edges AS (
+         |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_id_b, doc_id_a FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+         |)
+         |SELECT id AS doc_id, min(reach) AS cluster_id,
+         |  (min(reach) = id) AS is_canonical
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
 
     // Weighted MinHash with doc-frequency-filtered shingles — the
     // real-corpus noise control for the dedup family (SURVEY §8 item 3):
