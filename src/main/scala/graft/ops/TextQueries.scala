@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{count, expr, lit, sum}
 
 import graft.oracle.{Dialect, DuckSql, SparkSql}
 import graft.{QueryDef, Tables}
@@ -85,6 +85,45 @@ object TextQueries {
     val tokHashes = d.transform(toks, "t", d.polyHash("t", 12))
     d.foldBig(tokHashes, "acc", "h", s"(acc * 131 + h) % ${Dialect.M}")
   }
+
+  // ---- q_entropy: per-document token-distribution entropy ----
+  // Shannon entropy over the token frequency distribution, normalized
+  // entropy (H / log2(vocab)), and perplexity (2^H) — the model-free
+  // "how predictable is this document" scores a curation pipeline uses
+  // next to the Gopher gates. Float determinism: the fold runs over the
+  // SORTED distinct-token list (engine-native distinct orders differ),
+  // every per-token term is computed with identical op order in both
+  // engines, and the transcendental outputs (log2 implementations may
+  // differ in the last ulp) are rounded to 6 decimals.
+  private def entropyFold(d: Dialect): String = {
+    val cnt = d.sizeL(d.filterL("toks", "x", "x = t"))
+    // tokens → per-token DOUBLE terms first: foldDbl's accumulator-seed
+    // trick needs a numeric element type in both engines.
+    val terms = d.transform(
+      d.sortL(d.distinctL("toks")), "t",
+      s"(CAST($cnt AS DOUBLE) / n_tokens)" +
+        s" * log2(CAST(n_tokens AS DOUBLE) / $cnt)")
+    d.foldDbl(terms, "acc", "v", "acc + v")
+  }
+
+  private val entropyFinal = Seq(
+    "round(h, 6) AS token_entropy",
+    "round(CASE WHEN n_distinct > 1 THEN h / log2(CAST(n_distinct AS DOUBLE))" +
+      " ELSE 0.0 END, 6) AS norm_entropy",
+    "round(power(2.0, h), 6) AS perplexity")
+
+  // ---- q_unigram_lm: per-language unigram language-model statistics ----
+  // Corpus-level token distribution → entropy/perplexity of the unigram
+  // LM per language. Plan shape: explode → count per (lang, token) —
+  // the shuffle is bounded by VOCABULARY size, not corpus size — then
+  // one tiny per-lang reduce whose state is the per-token count list
+  // (again vocab-bounded). The final fold runs over counts ordered by
+  // token so both engines accumulate in the same order.
+  private def lmTotal(d: Dialect): String = d.foldBig("counts", "a", "c", "a + c")
+  private def lmH(d: Dialect): String =
+    d.foldDbl("counts", "acc", "c",
+      "acc + (CAST(c AS DOUBLE) / total_tokens)" +
+        " * log2(CAST(total_tokens AS DOUBLE) / c)")
 
   val defs: Map[String, QueryDef] = {
     val statsD = statsExprs(DuckSql)
@@ -219,6 +258,76 @@ object TextQueries {
              |    ((CAST($stops AS DOUBLE) / $nTok) < 0.01) AS low_stopwords
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin
+        }),
+
+      // Per-doc Shannon entropy / perplexity of the token distribution.
+      // Map-side only (no shuffle but the final ORDER BY): scan-bound at
+      // 100 TB like the rest of the text family.
+      "q_entropy" -> QueryDef(
+        (s, dir) =>
+          Tables.documentsParallel(s, dir)
+            .selectExpr("doc_id", s"${SparkSql.tokens("text")} AS toks")
+            .selectExpr("doc_id", "toks",
+              "CAST(size(toks) AS BIGINT) AS n_tokens",
+              "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct")
+            .selectExpr("doc_id", "n_tokens", "n_distinct",
+              s"${entropyFold(SparkSql)} AS h")
+            .selectExpr(Seq("doc_id", "n_tokens", "n_distinct") ++ entropyFinal: _*)
+            .orderBy("doc_id"), {
+          val d = DuckSql
+          s"""SELECT doc_id, n_tokens, n_distinct, ${entropyFinal.mkString(", ")}
+             |FROM (
+             |  SELECT doc_id, n_tokens, n_distinct, ${entropyFold(d)} AS h
+             |  FROM (
+             |    SELECT doc_id, toks,
+             |      CAST(${d.sizeL("toks")} AS BIGINT) AS n_tokens,
+             |      CAST(${d.sizeL(d.distinctL("toks"))} AS BIGINT) AS n_distinct
+             |    FROM (SELECT doc_id, ${d.tokens("text")} AS toks FROM documents)))
+             |ORDER BY doc_id""".stripMargin
+        }),
+
+      // Per-language unigram language model: vocabulary size, token mass,
+      // entropy and perplexity of the corpus token distribution. The
+      // explode→count shuffle is bounded by vocabulary (not corpus) size;
+      // the per-lang reduce state is one count per vocab entry.
+      "q_unigram_lm" -> QueryDef(
+        (s, dir) =>
+          Tables.documentsParallel(s, dir)
+            .selectExpr("lang", s"explode(${SparkSql.tokens("text")}) AS token")
+            .groupBy("lang", "token")
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("lang")
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(token, cnt))), x -> x.cnt)")
+              .as("counts"))
+            .selectExpr("lang", "counts",
+              "CAST(size(counts) AS BIGINT) AS vocab_size",
+              s"${lmTotal(SparkSql)} AS total_tokens")
+            .selectExpr("lang", "vocab_size", "total_tokens",
+              s"${lmH(SparkSql)} AS h")
+            .selectExpr("lang", "vocab_size", "total_tokens",
+              "round(h, 6) AS unigram_entropy",
+              "round(power(2.0, h), 6) AS perplexity")
+            .orderBy("lang"), {
+          val d = DuckSql
+          s"""SELECT lang, vocab_size, total_tokens,
+             |  round(h, 6) AS unigram_entropy,
+             |  round(power(2.0, h), 6) AS perplexity
+             |FROM (
+             |  SELECT lang, vocab_size, total_tokens, ${lmH(d)} AS h
+             |  FROM (
+             |    SELECT lang, counts,
+             |      CAST(${d.sizeL("counts")} AS BIGINT) AS vocab_size,
+             |      ${lmTotal(d)} AS total_tokens
+             |    FROM (
+             |      SELECT lang, list(cnt ORDER BY token) AS counts
+             |      FROM (
+             |        SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+             |        FROM (SELECT lang, unnest(${d.tokens("text")}) AS token
+             |              FROM documents)
+             |        GROUP BY lang, token)
+             |      GROUP BY lang)))
+             |ORDER BY lang""".stripMargin
         }),
 
       "q_doc_fingerprint" -> QueryDef(

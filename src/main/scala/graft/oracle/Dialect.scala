@@ -22,6 +22,9 @@ abstract class Dialect {
   /** left fold over a DOUBLE list with init 0.0. */
   def foldDbl(l: String, a: String, x: String, body: String): String
   def distinctL(l: String): String
+  /** ascending sort of a list — a deterministic fold order for float
+    * accumulation (engine-native distinct/group orders differ). */
+  def sortL(l: String): String
   /** distinct elements present in both lists (both engines dedup). */
   def intersectL(a: String, b: String): String
   def containsL(l: String, x: String): String
@@ -137,6 +140,7 @@ object SparkSql extends Dialect {
   def foldDbl(l: String, a: String, x: String, body: String) =
     s"aggregate($l, CAST(0 AS DOUBLE), ($a, $x) -> $body)"
   def distinctL(l: String) = s"array_distinct($l)"
+  def sortL(l: String) = s"array_sort($l)"
   def intersectL(a: String, b: String) = s"array_intersect($a, $b)"
   def containsL(l: String, x: String) = s"array_contains($l, $x)"
   def sizeL(l: String) = s"size($l)"
@@ -171,6 +175,7 @@ object DuckSql extends Dialect {
   def foldDbl(l: String, a: String, x: String, body: String) =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $l), ($a, $x) -> $body)"
   def distinctL(l: String) = s"list_distinct($l)"
+  def sortL(l: String) = s"list_sort($l)"
   def intersectL(a: String, b: String) = s"list_intersect($a, $b)"
   def containsL(l: String, x: String) = s"list_contains($l, $x)"
   def sizeL(l: String) = s"len($l)"
