@@ -54,6 +54,21 @@ object CurationQueries {
        |     WHEN ${splitPct(d)} < $ValPct THEN 'val'
        |     ELSE 'test' END""".stripMargin.replaceAll("\n\\s*", " ")
 
+  /** Per-language sampling rates (percent). Fixture-scaled constants;
+    * the mechanism — a salted key hash against a per-stratum threshold —
+    * is what the oracle checks. */
+  private val SampleRates =
+    Seq("en" -> 60, "de" -> 40, "es" -> 30, "fr" -> 20)
+  private val DefaultRate = 10
+
+  private def sampleKeep(d: Dialect): String = {
+    val h = d.polyHash(s"concat('s#', ${d.castStr("doc_id")})", 12)
+    val rate = SampleRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    s"(($h % 100) < $rate)"
+  }
+
   /** DISTINCT hashed 3-gram shingles (DuckDB HOF form). */
   private def shingleHashSet(d: Dialect): String =
     d.distinctL(d.transform(d.shingles3(d.tokens("text")), "s", d.polyHash("s", 24)))
@@ -116,6 +131,41 @@ object CurationQueries {
            |FROM ex JOIN bl USING (s)
            |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
       }),
+
+    // Deterministic per-language stratified sampling: keep a doc when a
+    // salted content hash of its key lands under the language's target
+    // rate. Same reproducibility argument as q_hash_split (no sampler
+    // state, identical sample on any engine/shard layout); the salt
+    // decorrelates the sample from the train/val/test split that hashes
+    // the unsalted key. Map-side scan up to a 5-group aggregate.
+    "q_stratified_sample" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr("lang", "doc_id",
+            s"CASE WHEN ${sampleKeep(SparkSql)} THEN 1 ELSE 0 END AS keep")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("keep").as("n_sampled"),
+            min(when(col("keep") === 1, col("doc_id"))).as("min_sampled_id"),
+            max(when(col("keep") === 1, col("doc_id"))).as("max_sampled_id"))
+          .selectExpr("lang", "n_docs", "n_sampled",
+            "(CAST(n_sampled AS DOUBLE) / n_docs) AS sample_rate",
+            "min_sampled_id", "max_sampled_id")
+          .orderBy("lang"),
+      s"""SELECT lang, n_docs, n_sampled,
+         |  (CAST(n_sampled AS DOUBLE) / n_docs) AS sample_rate,
+         |  min_sampled_id, max_sampled_id
+         |FROM (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(keep) AS BIGINT) AS n_sampled,
+         |    min(CASE WHEN keep = 1 THEN doc_id END) AS min_sampled_id,
+         |    max(CASE WHEN keep = 1 THEN doc_id END) AS max_sampled_id
+         |  FROM (SELECT lang, doc_id,
+         |      CASE WHEN ${sampleKeep(DuckSql)} THEN 1 ELSE 0 END AS keep
+         |    FROM documents)
+         |  GROUP BY lang)
+         |ORDER BY lang""".stripMargin),
 
     // Regex redaction scrub with counts + post-redaction fingerprint.
     "q_text_redact" -> QueryDef(

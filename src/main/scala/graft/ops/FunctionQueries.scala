@@ -183,6 +183,154 @@ object FunctionQueries {
            |FROM part ORDER BY p_partkey""".stripMargin
       }),
 
+    // Full outer join: acct-filtered customers vs per-customer order
+    // rollup. Both null sides are exercised (filtered-out customers make
+    // orphan order groups; order-less customers make null aggregates);
+    // the coalesced key keeps the ORDER BY total and unique.
+    "q_full_outer" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .filter("c_acctbal > 5000").select("c_custkey", "c_name")
+        val oagg = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_price"))
+        cust.join(oagg, col("c_custkey") === col("o_custkey"), "full_outer")
+          .selectExpr("coalesce(c_custkey, o_custkey) AS custkey", "c_name",
+            "n_orders", "sum_price")
+          .orderBy("custkey")
+      },
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |  n_orders, sum_price
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin),
+
+    // Explicit GROUPING SETS (beyond the CUBE/ROLLUP shorthands): the
+    // two single-column marginals plus the grand total, with the
+    // grouping-id bitmask witnessing which rows belong to which set.
+    "q_grouping_sets" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            expr("CAST(grouping_id() AS BIGINT)").as("gid"))
+          .orderBy(col("gid"),
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // Pivot (long→wide): order counts per priority × status. Spark's
+    // relational pivot leaves empty cells NULL while a CASE/FILTER
+    // aggregate yields 0 — the coalesce pins both engines to 0.
+    "q_pivot" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .selectExpr("o_orderpriority",
+            "coalesce(F, 0) AS n_f", "coalesce(O, 0) AS n_o",
+            "coalesce(P, 0) AS n_p")
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Conditional / null-handling family: CASE bands, nullif→coalesce
+    // round-trip, least/greatest. Map-side only.
+    "q_conditional_funcs" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .selectExpr("o_orderkey",
+            """CASE WHEN o_totalprice >= 200000 THEN 'high'
+              |     WHEN o_totalprice >= 100000 THEN 'mid'
+              |     ELSE 'low' END AS price_band""".stripMargin,
+            "coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'none') AS prio_or_none",
+            "least(o_orderkey, o_custkey * 1000) AS lo_key",
+            "greatest(o_orderkey, o_custkey * 1000) AS hi_key",
+            "(o_orderstatus = 'F') AS is_final")
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |       WHEN o_totalprice >= 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'none') AS prio_or_none,
+        |  least(o_orderkey, o_custkey * 1000) AS lo_key,
+        |  greatest(o_orderkey, o_custkey * 1000) AS hi_key,
+        |  (o_orderstatus = 'F') AS is_final
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Regex extraction family over raw text (group capture, match
+    // counting, boolean match) — patterns in the Java-regex ∩ RE2
+    // subset; the ''→'<none>' normalization pins the engines' different
+    // no-match conventions to one value.
+    "q_regex_extract" -> QueryDef(
+      (s, d) => {
+        val sq = graft.oracle.SparkSql
+        Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            "coalesce(nullif(regexp_extract(text, 'fast ([a-z]+)', 1), ''), '<none>')" +
+              " AS after_fast",
+            s"CAST(${sq.regexCount("text", "fast")} AS BIGINT) AS n_fast",
+            "(text RLIKE 'vector') AS has_vector")
+          .orderBy("doc_id")
+      }, {
+        val d = graft.oracle.DuckSql
+        s"""SELECT doc_id,
+           |  coalesce(nullif(regexp_extract(text, 'fast ([a-z]+)', 1), ''), '<none>')
+           |    AS after_fast,
+           |  CAST(${d.regexCount("text", "fast")} AS BIGINT) AS n_fast,
+           |  regexp_matches(text, 'vector') AS has_vector
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // arg-min/arg-max + conditional-count aggregates. The by-measure is
+    // made UNIQUE (exact cents × 1e7 + orderkey, pure BIGINT arithmetic)
+    // so argmin/argmax ties cannot occur and both engines agree exactly.
+    "q_minmax_agg" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .selectExpr("o_orderpriority", "o_orderkey", "o_orderstatus",
+            "(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)" +
+              " AS price_key")
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("max_by(o_orderkey, price_key)").as("priciest_order"),
+            expr("min_by(o_orderkey, price_key)").as("cheapest_order"),
+            expr("count_if(o_orderstatus = 'F')").as("n_final"),
+            expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, price_key) AS priciest_order,
+        |  arg_min(o_orderkey, price_key) AS cheapest_order,
+        |  count_if(o_orderstatus = 'F') AS n_final,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(*) AS n_orders
+        |FROM (SELECT o_orderpriority, o_orderkey, o_orderstatus,
+        |    (CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |      AS price_key
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     "q_percentile_agg" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)

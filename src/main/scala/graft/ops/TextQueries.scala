@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{count, expr, lit, sum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, row_number, sum}
 
 import graft.oracle.{Dialect, DuckSql, SparkSql}
 import graft.{QueryDef, Tables}
@@ -258,6 +259,59 @@ object TextQueries {
              |    ((CAST($stops AS DOUBLE) / $nTok) < 0.01) AS low_stopwords
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin
+        }),
+
+      // TF-IDF top-5 terms per language. Classic corpus analytics over
+      // the same explode→count shape as q_unigram_lm: the tf shuffle is
+      // bounded by lang×vocab, df by vocab, and the tf⋈df join keys on
+      // the term (vocab-sized, never corpus-sized); the doc count is a
+      // broadcast scalar. Ranking orders by the ROUNDED score with a
+      // term tie-break, so both engines rank identically even if log2
+      // differs in the last ulp.
+      "q_tfidf" -> QueryDef(
+        (s, dir) => {
+          val docs = Tables.documentsParallel(s, dir)
+          // ONE corpus scan + explode: tf and df both derive from the
+          // per-(doc, token) count (a doc has exactly one lang, so the
+          // per-token row count of this frame IS the document frequency).
+          val docTok = graft.ScratchCache.scratch(
+            docs.selectExpr(
+              "doc_id", "lang", s"explode(${SparkSql.tokens("text")}) AS token")
+              .groupBy("lang", "doc_id", "token")
+              .agg(count(lit(1)).as("dtf")))
+          val tf = docTok.groupBy("lang", "token").agg(sum("dtf").as("tf"))
+          val df = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+          val n = docs.agg(count(lit(1)).as("n_docs"))
+          tf.join(df, "token").crossJoin(broadcast(n))
+            .selectExpr("lang", "token", "tf", "df",
+              "round(tf * log2(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf")
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy("lang").orderBy(col("tfidf").desc, col("token").asc)))
+            .filter(col("rnk") <= 5)
+            .selectExpr("lang", "CAST(rnk AS BIGINT) AS rnk", "token", "tf",
+              "df", "tfidf")
+            .orderBy("lang", "rnk")
+        }, {
+          val d = DuckSql
+          s"""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(${d.tokens("text")}) AS token
+             |  FROM documents),
+             |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY lang, token),
+             |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+             |       FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT lang, token, tf, df,
+             |    round(tf * log2(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+             |  FROM tf JOIN df USING (token) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT lang, token, tf, df, tfidf,
+             |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, token ASC)
+             |      AS rnk
+             |  FROM scored)
+             |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, tf, df, tfidf
+             |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
         }),
 
       // Per-doc Shannon entropy / perplexity of the token distribution.
