@@ -132,6 +132,37 @@ object FunctionQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // RANGE window frame (value-based, vs q_window_analytics' ROWS
+    // frame): 30-day trailing spend per customer keyed on an integer
+    // day offset. A RANGE frame is determined by VALUES, so same-day
+    // peer rows share one deterministic result regardless of row order;
+    // money stays DECIMAL inside the frame, one DOUBLE cast at the end.
+    "q_window_range" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .selectExpr("o_orderkey", "o_custkey",
+            "datediff(o_orderdate, DATE'1992-01-01') AS day",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec")
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("day"),
+            sum("price_dec").over(w).cast(DoubleType).as("trailing_30d"),
+            count(lit(1)).over(w).as("n_trailing"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(sum(price_dec) OVER w AS DOUBLE) AS trailing_30d,
+        |  count(*) OVER w AS n_trailing
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        |  FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Array construction + manipulation over grouped data: sorted
     // collect, size, element access, join-to-string, membership.
     "q_array_funcs" -> QueryDef(

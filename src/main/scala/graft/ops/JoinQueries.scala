@@ -183,6 +183,62 @@ object JoinQueries {
       },
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
+
+    // Multi-way join (TPC-H Q10 shape): fact⋈fact⋈dim⋈dim with mixed
+    // join strategies — Catalyst broadcasts nation/customer-side dims
+    // and shuffles the lineitem⋈orders spine; join order is the
+    // optimizer's, not ours (the declarative-DAG thesis of SURVEY §0).
+    // Revenue is summed in DECIMAL: the per-row double product is
+    // deterministic, the decimal sum is order-independent, and the cast
+    // back to DOUBLE happens once.
+    "q_multi_join" -> QueryDef(
+      (s, d) => {
+        val rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'" +
+            " AND l_returnflag = 'R'")
+          .withColumn("rev", expr(rev))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum("rev").cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(100)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 100""".stripMargin),
+
+    // The salted skew join as a DECLARED query (SkewSpec asserts
+    // plan-level equality separately; this puts the rewrite itself under
+    // the DuckDB oracle): salting is pure re-partitioning, so the result
+    // equals the plain join bit-for-bit. l_quantity is whole-number
+    // DOUBLE (≤ 50), so the plain sum is order-independent and exact.
+    "q_salted_join" -> QueryDef(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .selectExpr("l_suppkey AS suppkey", "l_quantity")
+        val small = Tables.supplier(s, d)
+          .selectExpr("s_suppkey AS suppkey", "s_name")
+        SkewJoin.saltedInnerJoin(big, small, "suppkey", 16)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+          .orderBy("s_name")
+      },
+      """SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin)
   )
 }
