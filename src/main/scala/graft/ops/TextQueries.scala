@@ -271,14 +271,20 @@ object TextQueries {
       "q_tfidf" -> QueryDef(
         (s, dir) => {
           val docs = Tables.documentsParallel(s, dir)
-          // ONE corpus scan + explode: tf and df both derive from the
-          // per-(doc, token) count (a doc has exactly one lang, so the
-          // per-token row count of this frame IS the document frequency).
+          // ONE corpus scan, and the per-doc token counting happens
+          // MAP-SIDE inside a HOF before the explode: each doc emits one
+          // (token, count) row per DISTINCT token, so the shuffle carries
+          // distinct-tokens-per-doc rows, not tokens-per-doc. tf and df
+          // both derive from this frame (a doc has exactly one lang, so
+          // its per-token row count IS the document frequency).
           val docTok = graft.ScratchCache.scratch(
-            docs.selectExpr(
-              "doc_id", "lang", s"explode(${SparkSql.tokens("text")}) AS token")
-              .groupBy("lang", "doc_id", "token")
-              .agg(count(lit(1)).as("dtf")))
+            docs
+              .selectExpr("doc_id", "lang", s"${SparkSql.tokens("text")} AS toks")
+              .selectExpr("lang",
+                "explode(transform(array_distinct(toks)," +
+                  " t -> struct(t AS token," +
+                  " CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS dtf))) AS e")
+              .selectExpr("lang", "e.token AS token", "e.dtf AS dtf"))
           val tf = docTok.groupBy("lang", "token").agg(sum("dtf").as("tf"))
           val df = docTok.groupBy("token").agg(count(lit(1)).as("df"))
           val n = docs.agg(count(lit(1)).as("n_docs"))
