@@ -115,4 +115,51 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // document scan itself never shuffles
     assert(ns.count(_.contains("Exchange")) <= 2, ns)
   }
+  test("q_tfidf reads the corpus text only inside the one cached frame") {
+    // tf and df both read the scratch-cached per-(doc, token) relation;
+    // the text column is scanned once when that single cache
+    // materializes. A file scan of `text` OUTSIDE the cache would mean
+    // the branches split and the corpus is being re-read.
+    val p = plan("q_tfidf")
+    val fileScans = collect(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSeq
+    }
+    assert(!fileScans.exists(_.contains("text")), fileScans)
+    assert(collect(p) {
+      case m if m.nodeName.contains("InMemoryTableScan") => m
+    }.nonEmpty)
+  }
+  test("q_full_outer keeps both null-producing sides (FullOuter join)") {
+    val s = plan("q_full_outer").toString
+    assert(s.contains("FullOuter"), s)
+  }
+  test("q_multi_join broadcasts the nation dim (fact spine never " +
+    "re-shuffles for it)") {
+    val ns = nodes("q_multi_join")
+    assert(ns.exists(_.contains("BroadcastHashJoin")), ns)
+    assert(!ns.exists(_.contains("CartesianProduct")), ns)
+  }
+  test("q_window_range runs one value-ranged Window over one partition " +
+    "exchange") {
+    val ns = nodes("q_window_range")
+    assert(ns.count(_.contains("Window")) == 1, ns)
+    // one exchange partitions by o_custkey; the final ORDER BY adds the
+    // range exchange — nothing else may shuffle
+    assert(ns.count(_.contains("Exchange")) <= 2, ns)
+  }
+  test("q_salted_join equals the unsalted plain join row-for-row") {
+    // salting is pure re-partitioning: same aggregate, any salt count
+    val salted = SparkEntry.queries("q_salted_join")(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+      .orderBy("s_name").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
 }
