@@ -23,8 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.TextHashFunctions.register(session)
       _ => ()
     }
-    // custom operator: AS-OF join logical node, lowered at analysis time
-    // to the single-shuffle union-sort composition (graft.plans)
+    // custom operators: AS-OF and bounded-RANGE join logical nodes,
+    // lowered at analysis time to their scalable compositions
+    // (single-shuffle union-sort / bucket±1 banded equi-join, graft.plans)
     e.injectResolutionRule(_ => plans.RewriteAsOfJoin)
+    e.injectResolutionRule(_ => plans.RewriteRangeJoin)
   }
 }

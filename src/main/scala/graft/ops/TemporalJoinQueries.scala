@@ -101,6 +101,32 @@ object TemporalJoinQueries {
         |) WHERE side = 1
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // Same bounded-RANGE semantics through the custom Catalyst operator
+    // (graft.plans.RangeJoinPlan + RewriteRangeJoin): the node lowers to
+    // the bucket±1 banded equi-join at analysis time; output order and
+    // the oracle are exactly q_range_join's.
+    "q_range_plan" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+            col("event_id"), col("event_type"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .selectExpr("user_id", "event_id AS purchase_id", "es AS pes")
+        val e = ev.select("user_id", "event_id", "es", "event_type")
+        graft.plans.RangeJoin
+          .range(p, e, Seq("user_id"), "pes", "es", RangeSec.toLong)
+          .select("user_id", "purchase_id", "event_id", "es", "event_type")
+          .orderBy("user_id", "purchase_id", "event_id")
+      },
+      s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         |    event_id, event_type FROM events)
+         |SELECT p.user_id, p.event_id AS purchase_id, e.event_id, e.es, e.event_type
+         |FROM ev p JOIN ev e
+         |  ON p.user_id = e.user_id
+         | AND e.es > p.es AND e.es - p.es <= $RangeSec
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p.user_id, purchase_id, e.event_id""".stripMargin),
+
     "q_range_join" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
