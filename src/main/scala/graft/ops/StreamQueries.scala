@@ -131,6 +131,19 @@ object StreamQueries {
            |ORDER BY user_id, session_start_epoch""".stripMargin
       }),
 
+    // AS-OF join computed BY the streaming engine (flatMapGroupsWithState,
+    // O(1) per-user state — EventStream.streamingAsOf): identical output
+    // contract and oracle as the batch q_asof_join. AvailableNow over the
+    // fixture is a single in-order batch, so the oracle equality is exact;
+    // the multi-batch replay contract is asserted in StreamAsOfSpec.
+    "q_stream_asof" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.streamingAsOf(EventStream.readEvents(s, d)).toDF(),
+          "graft_stream_asof", "append")
+          .orderBy("user_id", "event_id"),
+      TemporalJoinQueries.defs("q_asof_join").oracle.get),
+
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
     // KEY SET, which is deterministic regardless of which arrival won

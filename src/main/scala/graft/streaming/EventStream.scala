@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** Raw schema of events.parquet with ts as int64 nanos (nanosAsLong). */
-  private val rawSchema = StructType(Seq(
+  val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -126,6 +126,63 @@ object EventStream {
           .saveAsTable(table)
       }
       .start()
+
+  /** Streaming AS-OF join (the streaming twin of q_asof_join /
+    * graft.plans.AsOfJoinPlan): each event is annotated with the value of
+    * the latest prior-or-equal 'purchase' by the same user, computed
+    * incrementally by flatMapGroupsWithState.
+    *
+    * Per-user state is O(1) — just the latest purchase (es, value) seen
+    * so far — NOT a buffer of events, which is what makes this runnable
+    * forever on an unbounded stream. Within each micro-batch the group's
+    * rows are tagged and sorted exactly like the batch union-sort
+    * algorithm (purchases become a side-0 state-update row plus their
+    * side-1 emit row; sort by (es, side, event_id); linear scan), so a
+    * single batch reproduces the batch query bit-for-bit, and across
+    * batches the carried state gives the same result whenever arrival
+    * order respects event time at batch granularity (time-ordered replay
+    * or an in-order source) — the processing-time temporal-join contract;
+    * the per-batch sort absorbs any disorder WITHIN a batch.
+    * StreamAsOfSpec drives a 4-batch time-split replay and asserts exact
+    * parity with the batch query. */
+  case class PurchaseState(es: Long, pval: Double)
+  case class AsOfOut(user_id: Long, event_id: Long, es: Long,
+      last_purchase_val: Option[Double])
+
+  def streamingAsOf(events: DataFrame): org.apache.spark.sql.Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), (col("event_type") === "purchase").as("is_purchase"),
+        col("value"))
+      .as[(Long, Long, Long, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Boolean, Double)],
+            state: GroupState[PurchaseState]) =>
+          // (es, side, event_id, pval): side 0 = purchase payload, sorts
+          // before side 1 at equal ts -> inclusive ts_r <= ts, same total
+          // order as the batch query's window sort.
+          val tagged = it.flatMap { case (_, es, id, isPurchase, v) =>
+            if (isPurchase) Iterator((es, 0, id, v), (es, 1, id, 0.0))
+            else Iterator((es, 1, id, 0.0))
+          }.toArray
+          java.util.Arrays.sort(tagged, Ordering.by {
+            (t: (Long, Int, Long, Double)) => (t._1, t._2, t._3)
+          })
+          var st = state.getOption.orNull
+          val out = Array.newBuilder[AsOfOut]
+          tagged.foreach { case (es, side, id, v) =>
+            if (side == 0) st = PurchaseState(es, v)
+            else out += AsOfOut(user, id, es,
+              if (st == null) None else Some(st.pval))
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
