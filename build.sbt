@@ -43,4 +43,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the full query suite generates thousands of whole-stage-codegen
+  // classes per run; the JVM default 240m code cache fills mid-run and
+  // the JIT stops compiling, flipping later queries to interpreted
+  // bytecode (observed as 2-4x slowdowns late in bench passes)
+  "-XX:ReservedCodeCacheSize=512m",
 )

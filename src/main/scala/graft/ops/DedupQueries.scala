@@ -249,15 +249,16 @@ object DedupQueries {
         while (changed > 0 && rounds < 50) {
           val nbrMin = edges.join(labels, edges("dst") === labels("id"))
             .groupBy("src").agg(min("cluster").as("nbr_min"))
+          // prev rides along so convergence detection is one cached scan,
+          // not another id-keyed self-join + shuffle per round
           val next = ScratchCache.scratch(
             labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
               .select(labels("id"),
                 least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-                  .as("cluster")))
-          changed = next.as("n")
-            .join(labels.as("o"), col("n.id") === col("o.id"))
-            .filter(col("n.cluster") < col("o.cluster")).count()
-          labels = next
+                  .as("cluster"),
+                labels("cluster").as("prev")))
+          changed = next.filter(col("cluster") < col("prev")).count()
+          labels = next.select("id", "cluster")
           rounds += 1
         }
         labels
