@@ -20,6 +20,7 @@ object SparkEntry {
       ops.CurationQueries.defs ++
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
+      ops.ClusteringQueries.defs ++
       ops.EventQueries.defs ++
       ops.StreamQueries.defs ++
       ops.MultimodalQueries.defs ++

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckSql, SparkSql}
+import graft.{QueryDef, ScratchCache, Tables}
+
+/** Distributed k-means over the embeddings table — the clustering step a
+  * training-data pipeline uses for diversity sampling / corpus
+  * stratification. The reference corpus has no clustering operator; this
+  * is extension surface in the same family as the ANN queries.
+  *
+  * Scale shape (the Spark MLlib pattern, which this mirrors):
+  *  - vectors are quantized once and scratch-cached; ASSIGNMENT is a pure
+  *    map against the K current centroids inlined as literals (centroids
+  *    are collected to the driver each round — K×64 longs, the
+  *    broadcast-variable pattern), so it costs ZERO shuffles;
+  *  - the centroid UPDATE is one map-combinable shuffle per round
+  *    (posexplode to (cluster, dim, x) then partial-aggregated sums —
+  *    each task ships at most K×64 partial rows regardless of input
+  *    size), plus a driver collect of the K×64 aggregated sums.
+  *  At 100 TB each round is therefore one narrow scan of the cached
+  *  vectors plus a K×64-wide shuffle — the same cost profile as MLlib's
+  *  KMeans, with no per-row driver involvement.
+  *
+  * Exactness (how an iterative float algorithm survives a bit-exact
+  * DuckDB oracle): all arithmetic is BIGINT. Vectors are quantized to
+  * 1e-6 resolution (Dialect.quantVec — identical IEEE-754 ops both
+  * engines); distances are exact integer squared-L2 (Dialect.dist2Big;
+  * max value ~9e13 << 2^63); centroid components are integer-floor means
+  * (`sum div count` — order-independent BIGINT sums). Ties on distance
+  * assign to the smallest centroid id in both engines (first-position
+  * argmin / ROW_NUMBER on (dist2, cid)). Empty clusters simply drop out
+  * of the next round (both sides derive centroids from the groups that
+  * exist). The oracle unrolls the same `Iters` rounds as CTEs.
+  */
+object ClusteringQueries {
+
+  private val K = 8
+  private val Iters = 2
+  private val Scale = 1000000L
+  private val Dims = 64
+
+  private def quantCol(d: Dialect) = d.quantVec("embedding", Scale)
+
+  /** One assignment under the current centroids, Spark side: dists built
+    * in ascending-cid order, first-position argmin = smallest-cid
+    * tie-break. Pure map — no join, no shuffle. */
+  private def assign(v: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val distExprs = cents.map { case (_, c) =>
+      val lit = c.mkString("array(", "L,", "L)")
+      SparkSql.dist2Big("v", lit)
+    }
+    val cidArr = cents.map(_._1).mkString("array(", ",", ")")
+    val distArr = distExprs.mkString("array(", ",", ")")
+    v.selectExpr("vec_id", "v", s"$distArr AS dists")
+      .selectExpr("vec_id", "v",
+        s"element_at($cidArr, CAST(array_position(dists, array_min(dists)) AS INT)) AS cluster",
+        "array_min(dists) AS dist2")
+  }
+
+  /** One centroid update: map-combinable (cluster, dim) sums, integer
+    * mean, reshaped on the driver (K×64 aggregated rows). */
+  private def update(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+    assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .selectExpr("cluster", "dim", "sx div n AS c")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
+
+  /** DuckDB: one assignment CTE under centroid CTE `c` -> named `out`. */
+  private def assignCte(out: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cluster, dist2 FROM (
+       |    SELECT x.vec_id, x.v, c.cid AS cluster, ${DuckSql.dist2Big("x.v", "c.c")} AS dist2,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${DuckSql.dist2Big("x.v", "c.c")}, c.cid) AS rn
+       |    FROM v x CROSS JOIN $cents c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** DuckDB: one centroid-update CTE over assignment `a` -> named `out`. */
+  private def updateCte(out: String, a: String): String =
+    s"""$out AS (
+       |  SELECT cluster AS cid, list(c ORDER BY dim) AS c FROM (
+       |    SELECT cluster, dim, sum(x) // count(*) AS c FROM (
+       |      SELECT cluster, zz AS dim, v[zz] AS x
+       |      FROM $a, generate_series(1, $Dims) t(zz)
+       |    ) GROUP BY cluster, dim
+       |  ) GROUP BY cluster
+       |)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_kmeans" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(Tables.embeddings(s, d)
+          .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
+        // deterministic init: the first K vectors are the centroids
+        // (cid = vec_id; the fixture ids are contiguous from 0)
+        var cents: Seq[(Int, Seq[Long])] =
+          v.filter(col("vec_id") < K).orderBy("vec_id").collect()
+            .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
+        for (_ <- 1 to Iters) cents = update(assign(v, cents))
+        assign(v, cents)
+          .select("vec_id", "cluster", "dist2")
+          .orderBy("vec_id")
+      }, {
+        val cteChain = (1 to Iters).flatMap(i =>
+          Seq(assignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
+          .mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, ${quantCol(DuckSql)} AS v FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v WHERE vec_id < $K),
+           |$cteChain,
+           |${assignCte("afinal", s"c$Iters")}
+           |SELECT vec_id, cluster, dist2 FROM afinal ORDER BY vec_id""".stripMargin
+      })
+  )
+}

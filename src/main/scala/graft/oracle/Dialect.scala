@@ -64,8 +64,22 @@ abstract class Dialect {
   def regexReplaceAll(s: String, re: String, rep: String): String
   /** number of non-overlapping matches of a regex. */
   def regexCount(s: String, re: String): String
+  /** elementwise (a-b)^2 of two equal-length BIGINT lists. */
+  def zipDiffSqBig(a: String, b: String): String
 
   // ---- shared derived fragments (dialect-independent composition) ----
+
+  /** Float vector quantized to BIGINT at a fixed scale: floor(x*scale
+    * + 0.5). float→double widening, the double multiply, and floor are
+    * all exact-identical IEEE-754 ops in both engines, and everything
+    * downstream is pure BIGINT arithmetic — order-independent sums, no
+    * float-accumulation drift. */
+  def quantVec(v: String, scale: Long): String =
+    transform(v, "x", s"CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)")
+
+  /** Squared L2 distance of two quantized BIGINT vectors (exact). */
+  def dist2Big(a: String, b: String): String =
+    foldBig(zipDiffSqBig(a, b), "acc", "x", "acc + x")
 
   /** Non-empty whitespace tokens of a text column. */
   def tokens(text: String): String = filterL(split(text, " "), "t", "t <> ''")
@@ -165,6 +179,8 @@ object SparkSql extends Dialect {
   def regexReplaceAll(s: String, re: String, rep: String) =
     s"regexp_replace($s, '$re', '$rep')"
   def regexCount(s: String, re: String) = s"regexp_count($s, '$re')"
+  def zipDiffSqBig(a: String, b: String) =
+    s"zip_with($a, $b, (x, y) -> (x - y) * (x - y))"
 }
 
 object DuckSql extends Dialect {
@@ -200,4 +216,6 @@ object DuckSql extends Dialect {
   def regexReplaceAll(s: String, re: String, rep: String) =
     s"regexp_replace($s, '$re', '$rep', 'g')"
   def regexCount(s: String, re: String) = s"len(regexp_extract_all($s, '$re'))"
+  def zipDiffSqBig(a: String, b: String) =
+    s"list_transform(generate_series(1, len($a)), zz -> (($a)[zz] - ($b)[zz]) * (($a)[zz] - ($b)[zz]))"
 }

@@ -13,6 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RateSoakSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("rate-source windowed agg runs stateful batches on RocksDB") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -47,5 +52,48 @@ class RateSoakSpec extends AnyFunSuite {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("rate-source soak through the foreachBatch bucketed sink joins exchange-free") {
+    spark.sql("DROP TABLE IF EXISTS rate_events_b")
+    rmrf(new java.io.File("/tmp/graft_warehouse/rate_events_b"))
+    // unbounded ingest: EACH micro-batch appends in the bucket layout, so
+    // the accumulated table (many files per bucket) still serves
+    // shuffle-free keyed reads — the continuous-ingest half of the
+    // BucketingSpec fixture test
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 2000).load()
+      .select((col("value") % 64).as("user_id"), col("value"), col("timestamp"))
+    val q = graft.streaming.EventStream
+      .sinkToBucketedTable(rate, "rate_events_b", "user_id", 8)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"wanted >=3 non-empty micro-batches, got ${q.recentProgress.length}")
+    } finally q.stop()
+
+    val t = spark.table("rate_events_b")
+    val n = t.count()
+    assert(n > 0)
+    // every rate value is unique: append-per-batch must not double-write
+    assert(t.select("value").distinct().count() == n)
+    // keyed aggregation over the multi-append bucketed table: no shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = t.groupBy("user_id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val aggNodes = agg.queryExecution.executedPlan.toString
+      assert(!aggNodes.contains("ShuffleExchange"),
+        s"bucket-key agg must not shuffle: ${aggNodes.take(500)}")
+      val joined = t.join(spark.table("rate_events_b").groupBy("user_id")
+        .agg(max("value").as("mx")), "user_id")
+      joined.collect()
+      val joinNodes = joined.queryExecution.executedPlan.toString
+      assert(!joinNodes.contains("ShuffleExchange"),
+        s"bucket-key join must not shuffle: ${joinNodes.take(500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
