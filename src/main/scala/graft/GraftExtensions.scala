@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (single-shuffle union-sort / bucket±1 banded equi-join, graft.plans)
     e.injectResolutionRule(_ => plans.RewriteAsOfJoin)
     e.injectResolutionRule(_ => plans.RewriteRangeJoin)
+    // custom physical operator: the sorted-merge as-of exec (the
+    // AsOfMerge API also self-installs via experimental strategies)
+    e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

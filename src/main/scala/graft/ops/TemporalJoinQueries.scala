@@ -101,6 +101,41 @@ object TemporalJoinQueries {
         |) WHERE side = 1
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // Same AS-OF semantics through the custom PHYSICAL operator
+    // (graft.plans.AsOfMergeJoinExec via AsOfJoinStrategy): one shuffle
+    // per side (EnsureRequirements co-partitions on user_id), sorted
+    // streams merged per-partition with O(1) state. Tie-break among
+    // right rows at equal ts is by payload — q_asof_plan's oracle.
+    "q_asof_exec" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+            col("event_id"), col("event_type"), col("value"))
+        val left = ev.select("user_id", "event_id", "es")
+        val right = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "es", "value")
+        graft.plans.AsOfMerge
+          .asof(left, right, Seq("user_id"), "es", "es", "value",
+            "last_purchase_val")
+          .orderBy("user_id", "event_id")
+      },
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    event_id, event_type, value FROM events),
+        |tagged AS (
+        |  SELECT user_id, event_id, es, 1 AS side, CAST(NULL AS DOUBLE) AS pval FROM ev
+        |  UNION ALL
+        |  SELECT user_id, CAST(NULL AS BIGINT) AS event_id, es, 0 AS side, value AS pval
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, event_id, es, last_purchase_val FROM (
+        |  SELECT user_id, event_id, es, side,
+        |    last_value(pval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY es, side, pval
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_val
+        |  FROM tagged
+        |) WHERE side = 1
+        |ORDER BY user_id, event_id""".stripMargin),
+
     // Same bounded-RANGE semantics through the custom Catalyst operator
     // (graft.plans.RangeJoinPlan + RewriteRangeJoin): the node lowers to
     // the bucket±1 banded equi-join at analysis time; output order and
