@@ -251,9 +251,8 @@ object TextHashKernels {
   }
 
   /** 1-based IVF coarse cell: argmin squared-L2 to LCG centroids. */
-  def ivfCell(arr: ArrayData, nCells: Int): Int = {
-    var best = 0
-    var bestDist = Double.MaxValue
+  private def ivfDistArr(arr: ArrayData, nCells: Int): Array[Double] = {
+    val dists = new Array[Double](nCells)
     var j = 0
     while (j < nCells) {
       var dist = 0.0
@@ -264,10 +263,33 @@ object TextHashKernels {
         dist += (x - c) * (x - c)
         dd += 1
       }
-      if (dist < bestDist) { bestDist = dist; best = j }
+      dists(j) = dist
       j += 1
     }
-    best + 1
+    dists
+  }
+
+  /** first-position strict-min scan, optionally skipping one index —
+    * identical tie-break to the SQL form's array_position(_, array_min). */
+  private def argmin(dists: Array[Double], skip: Int): Int = {
+    var best = -1
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < dists.length) {
+      if (j != skip && dists(j) < bestDist) { bestDist = dists(j); best = j }
+      j += 1
+    }
+    best
+  }
+
+  def ivfCell(arr: ArrayData, nCells: Int): Int =
+    argmin(ivfDistArr(arr, nCells), -1) + 1
+
+  /** second-nearest cell: argmin with the nearest cell masked — the
+    * nprobe=2 companion of [[ivfCell]]. */
+  def ivfCell2(arr: ArrayData, nCells: Int): Int = {
+    val dists = ivfDistArr(arr, nCells)
+    argmin(dists, argmin(dists, -1)) + 1
   }
 }
 
@@ -338,6 +360,8 @@ object TextHashFunctions {
       exprs => TextStatsExpr(exprs(0)), "scala_udf")
     r.createOrReplaceTempFunction("graft_ivf_cell",
       exprs => IvfCellExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_ivf_cell2",
+      exprs => IvfCell2Expr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => LshBucketExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_token_counts",
@@ -465,5 +489,19 @@ case class IvfCellExpr(child: Expression, nCells: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHashKernels.ivfCell($c, $nCells)")
   override protected def withNewChildInternal(c: Expression): IvfCellExpr =
+    copy(child = c)
+}
+
+/** Second-nearest IVF cell (nprobe=2 probe target). */
+case class IvfCell2Expr(child: Expression, nCells: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_cell2"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.ivfCell2(input.asInstanceOf[ArrayData], nCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.ivfCell2($c, $nCells)")
+  override protected def withNewChildInternal(c: Expression): IvfCell2Expr =
     copy(child = c)
 }

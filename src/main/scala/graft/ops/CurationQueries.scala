@@ -184,6 +184,40 @@ object CurationQueries {
            |  CAST(${d.regexCount("text", RedactRe)} AS BIGINT) AS n_redactions,
            |  CAST(${fingerprintOf(d, red)} AS BIGINT) AS redacted_fp
            |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Importance sampling: keep probability PROPORTIONAL to a per-doc
+    // score (here length permille of the corpus max) rather than a fixed
+    // stratum rate — the weighting a quality-aware data mix uses. The
+    // corpus max is a broadcast scalar (one tiny agg joined into a pure
+    // map-side filter — at 100 TB the scan never shuffles), keeps are the
+    // same reproducible salted-hash draw as q_hash_split, and each kept
+    // doc carries its inverse-probability weight (one double division,
+    // identical in both engines) so downstream estimators stay unbiased.
+    "q_importance_sample" -> QueryDef(
+      (s, d) => {
+        val sq = SparkSql
+        val mx = Tables.documents(s, d).agg(max("n_chars").as("mx"))
+        Tables.documentsParallel(s, d)
+          .crossJoin(broadcast(mx))
+          .selectExpr("doc_id", "lang",
+            "least(1000, (n_chars * 1000) div mx) AS permille",
+            s"(${sq.polyHash(s"concat('i#', ${sq.castStr("doc_id")})", 12)} % 1000) AS draw")
+          .filter(col("draw") < col("permille"))
+          .selectExpr("doc_id", "lang", "permille",
+            "(1000.0 / permille) AS weight")
+          .orderBy("doc_id")
+      }, {
+        val d = DuckSql
+        s"""WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+           |SELECT doc_id, lang, permille, (1000.0 / permille) AS weight
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    least(1000, (n_chars * 1000) // mx) AS permille,
+           |    (${d.polyHash(s"concat('i#', ${d.castStr("doc_id")})", 12)} % 1000) AS draw
+           |  FROM documents CROSS JOIN m)
+           |WHERE draw < permille
+           |ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.oracle.{Dialect, DuckSql}
+import graft.oracle.{Dialect, DuckSql, SparkSql}
 import graft.{QueryDef, ScratchCache, Tables}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -83,20 +83,26 @@ object SimilarityQueries {
     * the same LCG as the LSH planes with a decorrelating index offset;
     * `list_position(dists, min)` gives a deterministic first-min
     * tie-break in both engines. */
-  private def ivfCell(d: Dialect, emb: String): String = {
+  /** Per-row list of squared L2 distances to the NCells centroids. */
+  private def ivfDists(d: Dialect, emb: String): String = {
     val dist = d.foldDbl(
       d.transform(d.seqIncl("1", "64"), "dd",
         s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")}) * " +
           s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")})"),
       "acc", "v", "acc + v")
-    val dists = d.transform(d.seqIncl("0", (NCells - 1).toString), "jj", dist)
-    d match {
-      case graft.oracle.SparkSql =>
-        s"array_position($dists, array_min($dists))"
-      case _ =>
-        s"list_position($dists, list_min($dists))"
-    }
+    d.transform(d.seqIncl("0", (NCells - 1).toString), "jj", dist)
   }
+
+  /** 1-based first-position argmin of a distance-list expression. */
+  private def argminPos(d: Dialect, dists: String): String = d match {
+    case graft.oracle.SparkSql =>
+      s"array_position($dists, array_min($dists))"
+    case _ =>
+      s"list_position($dists, list_min($dists))"
+  }
+
+  private def ivfCell(d: Dialect, emb: String): String =
+    argminPos(d, ivfDists(d, emb))
 
   /** DuckDB norm-augmented embeddings CTE (squared norm once per row). */
   private def duckNormCte: String =
@@ -355,6 +361,65 @@ object SimilarityQueries {
            |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
            |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
            |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }),
+
+    // IVF with nprobe=2 — the canonical recall knob: each query probes
+    // its nearest AND second-nearest cell. Only the QUERY side fans out
+    // (x2 rows through the banded join); the corpus keeps one row per
+    // vector in its home cell — at 100 TB the index never duplicates,
+    // recall/cost scales with nprobe, and a (query, neighbor) pair can't
+    // appear twice because cell2 <> cell1 by construction (the mask sets
+    // the chosen cell's distance to +inf before the second argmin).
+    "q_ann_ivf_probe2" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        graft.functions.TextHashFunctions.register(s)
+        // native argmin/argmin2 expressions (graft_ivf_cell2 masks the
+        // nearest cell and rescans — bit-identical to the oracle's
+        // +inf-mask CTE chain, one codegen'd call instead of three HOFs)
+        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2",
+            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell1",
+            s"CAST(graft_ivf_cell2(embedding, $NCells) AS INT) AS cell2"))
+        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell1 AS cell")
+          .unionAll(e.selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell2 AS cell"))
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell1 AS cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      }, {
+        val d = DuckSql
+        s"""WITH v0 AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2,
+           |    ${ivfDists(d, "embedding")} AS dists
+           |  FROM embeddings),
+           |v1 AS (SELECT *, CAST(${argminPos(d, "dists")} AS INT) AS cell1 FROM v0),
+           |v2 AS (SELECT *, list_transform(generate_series(1, $NCells),
+           |    ii -> CASE WHEN ii = cell1 THEN CAST('infinity' AS DOUBLE)
+           |          ELSE dists[ii] END) AS dists2 FROM v1),
+           |v3 AS (SELECT *, CAST(${argminPos(d, "dists2")} AS INT) AS cell2 FROM v2),
+           |probes AS (
+           |  SELECT vec_id, embedding, n2, cell1 AS cell FROM v3
+           |  UNION ALL
+           |  SELECT vec_id, embedding, n2, cell2 AS cell FROM v3
+           |)
+           |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+           |    ${duckCos("q", "c")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+           |  FROM probes q JOIN v3 c ON q.cell = c.cell1 AND q.vec_id <> c.vec_id
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       })
   )

@@ -19,8 +19,8 @@ class CodegenSpec extends AnyFunSuite {
     "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_minhash_weighted", "q_ann_lsh_salted", "q_dedup_embedding_lsh",
     "q_contamination", "q_dedup_incremental",
-    "q_text_stats", "q_token_count", "q_ann_ivf", "q_ann_cosine",
-    "q_dedup_embedding")
+    "q_text_stats", "q_token_count", "q_ann_ivf", "q_ann_ivf_probe2",
+    "q_ann_cosine", "q_dedup_embedding")
 
   private def withForcedCodegen[T](body: => T): T = {
     val conf = spark.conf
