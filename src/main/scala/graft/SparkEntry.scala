@@ -25,6 +25,7 @@ object SparkEntry {
       ops.StreamQueries.defs ++
       ops.MultimodalQueries.defs ++
       ops.FunctionQueries.defs ++
+      ops.FormatQueries.defs ++
       ops.TemporalJoinQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-format sink/source round trips under the DuckDB oracle — the
+  * §2a MROutput text-format surface (Tez's TextOutputFormat /
+  * KeyValuesWriter path, e.g.
+  * tez-mapreduce/src/main/java/org/apache/tez/mapreduce/output/MROutput.java:38)
+  * exercised end-to-end: the declared query WRITES the table through the
+  * format (parallel, one file per task — no coalesce; at 100 TB the
+  * export is as wide as the cluster) and returns the RE-READ frame, so
+  * the driver's bit-exact compare proves serialization round-trips:
+  * Double.toString/Jackson shortest-repr parsing is value-exact for
+  * doubles, and timestamps are exported as epoch seconds (the
+  * format-portable convention every query in this repo uses).
+  */
+object FormatQueries {
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "odate_epoch")
+
+  private def ordersProj(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice",
+      "unix_timestamp(o_orderdate) AS odate_epoch")
+
+  private val oracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_epoch
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_csv_roundtrip" -> QueryDef(
+      (s, d) => {
+        val proj = ordersProj(s, d)
+        val out = s"/tmp/graft_fmt/csv_${new java.io.File(d).getName}"
+        proj.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(proj.schema).option("header", "true").csv(out)
+          .orderBy("o_orderkey")
+      },
+      oracle),
+
+    // JSON additionally exercises a NESTED record: two columns travel
+    // inside a struct and are re-flattened after the schema'd read.
+    "q_json_roundtrip" -> QueryDef(
+      (s, d) => {
+        val nested = ordersProj(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          struct(col("o_orderstatus"), col("o_totalprice")).as("info"),
+          col("odate_epoch"))
+        val out = s"/tmp/graft_fmt/json_${new java.io.File(d).getName}"
+        nested.write.mode("overwrite").json(out)
+        s.read.schema(nested.schema).json(out)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("info.o_orderstatus"), col("info.o_totalprice"),
+            col("odate_epoch"))
+          .orderBy("o_orderkey")
+      },
+      oracle)
+  )
+}
