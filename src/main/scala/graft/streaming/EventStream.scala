@@ -184,6 +184,72 @@ object EventStream {
       }
   }
 
+  /** Hand-rolled sessionization with EVENT-TIME TIMERS — the remaining
+    * §2f mechanism distinct from session_window: per-user state holds
+    * the open session; a gap in arriving data closes it inline, and
+    * `setTimeoutTimestamp` registers a timer so a session whose user
+    * simply goes quiet is STILL emitted once the watermark passes
+    * end+gap (without timers that state would sit open forever — the
+    * timer is what bounds both latency and state on an unbounded
+    * stream). Money sums accumulate as exact DECIMAL(18,2) cents
+    * (HALF_UP, matching Spark's double→decimal cast), so emitted
+    * sessions are bit-identical to the batch q_window_session rows
+    * (SessionTimerSpec asserts it over a time-split replay). */
+  case class SessionState(n: Long, cents: Long, start: Long, end: Long)
+  case class SessionOut(user_id: Long, session_start_epoch: Long,
+      duration_sec: Long, n_events: Long, sum_value: Double)
+
+  def sessionizeWithTimers(events: DataFrame, gapSec: Long):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def emit(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, s.start, s.end - s.start, s.n,
+        java.math.BigDecimal.valueOf(s.cents, 2).doubleValue())
+    events
+      .withWatermark("ts", "0 seconds")
+      // the watermarked column itself must reach the stateful operator
+      // (UnsupportedOperationChecker tracks the attribute, not the node)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("value"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(user, s))
+          } else {
+            val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+            var acc = state.getOption.orNull
+            val closed = Array.newBuilder[SessionOut]
+            rows.foreach { case (es, v) =>
+              if (acc == null) acc = SessionState(1L, cents(v), es, es)
+              else if (es - acc.end > gapSec) {
+                closed += emit(user, acc)
+                acc = SessionState(1L, cents(v), es, es)
+              } else acc = SessionState(acc.n + 1, acc.cents + cents(v),
+                acc.start, math.max(acc.end, es))
+            }
+            state.update(acc)
+            // fire strictly after the gap closes; clamp above the current
+            // watermark (rows near the horizon could otherwise register a
+            // timer the watermark has already passed, which throws)
+            state.setTimeoutTimestamp(math.max(
+              (acc.end + gapSec) * 1000L + 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
     * sum, updated incrementally as batches arrive. */
