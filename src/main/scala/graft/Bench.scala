@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: the suite compiles ~450 distinct
+      // whole-stage-codegen units, so the default Janino class cache
+      // evicts everything each pass and every query re-pays 50-200ms
+      // of compilation per stage on every run (inflates the sub-second
+      // rows well past their first-recorded times). Sized to hold the
+      // whole suite's generated classes once.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table's footer + one shuffle + the

@@ -26,7 +26,9 @@ object SparkEntry {
       ops.MultimodalQueries.defs ++
       ops.FunctionQueries.defs ++
       ops.FormatQueries.defs ++
-      ops.TemporalJoinQueries.defs
+      ops.TemporalJoinQueries.defs ++
+      ops.SqlQueries.defs ++
+      ops.GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

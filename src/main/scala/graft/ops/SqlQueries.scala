@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, Tables}
+
+/** The SQL text entry surface — queries submitted as SQL strings via
+  * `spark.sql(...)`, not the DataFrame DSL.
+  *
+  * This is the reference's dominant real-world consumer shape: Tez is
+  * driven overwhelmingly by SQL frontends that compile declarative text
+  * into its DAGs (the DAG API exists to serve them — see the processor
+  * / edge surface in tez-api/src/main/java/org/apache/tez/dag/api/DAG.java:74
+  * and the MapReduce-compat layer under tez-mapreduce/). A user of the
+  * reference "runs SQL"; switching engines means their SQL must run
+  * unchanged. So these queries exercise the full declarative path:
+  * parse → analyze against registered tables → Catalyst optimization
+  * (join reordering, predicate pushdown, partial aggregation) → the
+  * same physical operators the DSL queries use.
+  *
+  * Parity statement: each query is ONE SQL string executed VERBATIM by
+  * both engines — Spark runs it over temp views named like the parquet
+  * tables, the driver runs the identical text in DuckDB. Same text,
+  * same results, bit-exact. To keep that exact:
+  *  - the SQL stays in the ANSI subset the engines share;
+  *  - money math quantizes to DECIMAL per-row BEFORE aggregation
+  *    (decimal sums/products are exact integer arithmetic, so
+  *    accumulation order cannot matter; one DOUBLE cast at the end);
+  *  - every query ends in a fully deterministic ORDER BY (ties broken
+  *    to a key column), so LIMIT cutoffs agree.
+  *
+  * Scale notes (100 TB): these are the classic warehouse shapes —
+  * Catalyst broadcasts the dim sides of q_sql_revenue's 6-way join and
+  * pushes the date/segment predicates into the parquet scans
+  * (PushedFilters), the Q1-shape aggregation is partial+final
+  * (map-side combine before one shuffle on a 6-value key), and the
+  * EXISTS in q_sql_order_priority plans as a left-semi join, never a
+  * per-row subquery.
+  */
+object SqlQueries {
+
+  /** Register the named fixture tables as temp views, then run `sql`. */
+  private def viaSql(tables: Seq[String], sql: String)(
+      s: SparkSession, d: String): DataFrame = {
+    val load: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem)
+    tables.foreach(t => load(t)(s, d).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  /** One definition whose Spark program IS the oracle text. */
+  private def sqlDef(tables: Seq[String], sql: String): QueryDef =
+    QueryDef((s, d) => viaSql(tables, sql)(s, d), sql)
+
+  // TPC-H Q1 shape: full pricing summary. Per-row DECIMAL quantization
+  // (price at 2 dp, the discount/tax factors at 2 dp) makes every
+  // product and sum exact rational arithmetic — both engines sum the
+  // same integers in any order.
+  private val PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // TPC-H Q3 shape: segment revenue top-10. The join order
+  // (customer⋈orders⋈lineitem) is the optimizer's choice, not the
+  // text's; revenue ties break to the order key so the LIMIT cutoff is
+  // deterministic in both engines.
+  private val TopRevenueSql =
+    """SELECT o_orderkey AS order_key,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, order_key
+      |LIMIT 10""".stripMargin
+
+  // TPC-H Q4 shape: priority counts over a quarter, EXISTS planned as a
+  // left-semi join (asserted in SqlSurfaceSpec).
+  private val OrderPrioritySql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // TPC-H Q5 shape: 6-way snowflake join (region→nation→customer/
+  // supplier→orders→lineitem) with local-supplier restriction — the
+  // join-reorder + broadcast showcase: region/nation are tiny
+  // broadcasts, customer/supplier hash-join, and only orders⋈lineitem
+  // shuffles on the big keys.
+  private val RegionRevenueSql =
+    """SELECT n_name AS nation,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, nation""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
+    "q_sql_top_revenue" ->
+      sqlDef(Seq("customer", "orders", "lineitem"), TopRevenueSql),
+    "q_sql_order_priority" ->
+      sqlDef(Seq("orders", "lineitem"), OrderPrioritySql),
+    "q_sql_region_revenue" ->
+      sqlDef(Seq("region", "nation", "customer", "supplier", "orders",
+        "lineitem"), RegionRevenueSql)
+  )
+}
