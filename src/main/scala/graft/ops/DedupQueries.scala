@@ -215,6 +215,89 @@ object DedupQueries {
            |ORDER BY doc_id_a, doc_id_b""".stripMargin
       }),
 
+    // Prefix-filtered set-similarity join (the AllPairs / PPJoin family:
+    // Bayardo et al. WWW'07, Xiao et al. WWW'08) — the EXACT global
+    // near-dup join, complementing MinHash (probabilistic candidates)
+    // and q_dedup_ngram (blocked by lang/length): NO blocking assumption
+    // and NO false negatives, yet never all-pairs.
+    //
+    // Principle: order every doc's shingles by ONE global total order
+    // and keep only each doc's PREFIX of length |x| - ceil(t·|x|) + 1.
+    // Any pair with J(a,b) ≥ t needs overlap ≥ ceil(t/(1+t)·(|a|+|b|))
+    // ≥ ceil(t·max(|a|,|b|)) (given the length filter |a| ≥ t·|b| and
+    // vice versa, which J ≥ t implies), and two sets whose overlap is
+    // that large MUST share an element inside both prefixes — so the
+    // prefix equi-join finds every qualifying pair. The global order is
+    // (document frequency, shingle) packed into one BIGINT (df·2^24 +
+    // hash; polyHash is 24-bit so the packing is injective): rare
+    // shingles sort first, so prefixes hold the rarest shingles and the
+    // equi-join fan-out per key is minimal — boilerplate shingles never
+    // enumerate candidates.
+    //
+    // Scale shape: df is one map-combinable shuffle; prefixes are ~30%
+    // of shingle volume; candidates are id-pairs only (arrays come back
+    // via shuffled doc_id joins, nothing broadcast). All arithmetic
+    // BIGINT → the DuckDB oracle replays it bit-for-bit.
+    "q_dedup_prefix" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        val ex = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"explode($sparkShingleSet) AS s"))
+        val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        val docs = ScratchCache.scratch(ex.join(dfTab, "s")
+          .selectExpr("doc_id", s"(df * ${1L << 24} + s) AS c")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("c"))).as("cs"),
+            count(lit(1)).as("sz")))
+        val pre = docs.selectExpr("doc_id", "sz",
+          s"explode(${SparkSql.sliceTo("cs", "sz - (7 * sz + 9) div 10 + 1")}) AS c")
+        val cand = pre.selectExpr("doc_id AS doc_id_a", "sz AS sa0", "c")
+          .join(pre.selectExpr("doc_id AS doc_id_b", "sz AS sb0", "c"), "c")
+          .filter(col("doc_id_a") < col("doc_id_b") &&
+            expr("10 * sb0 >= 7 * sa0") && expr("10 * sa0 >= 7 * sb0"))
+          .select("doc_id_a", "doc_id_b")
+          .dropDuplicates("doc_id_a", "doc_id_b")
+        val xa = docs.selectExpr("doc_id AS doc_id_a", "cs AS ca")
+        val xb = docs.selectExpr("doc_id AS doc_id_b", "cs AS cb")
+        cand.join(xa, "doc_id_a").join(xb, "doc_id_b")
+          .selectExpr("doc_id_a", "doc_id_b",
+            "graft_intersect_size(ca, cb) AS inter",
+            "size(ca) AS sa", "size(cb) AS sb")
+          .selectExpr("doc_id_a", "doc_id_b", s"$jacFromCols AS jaccard")
+          .filter(col("jaccard") >= JaccardThreshold)
+          .orderBy("doc_id_a", "doc_id_b")
+      }, {
+        val d = DuckSql
+        s"""WITH ex AS (SELECT doc_id, unnest(${shingleHashSet(d)}) AS s FROM documents),
+           |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+           |docs AS (
+           |  SELECT doc_id, ${d.sortL(s"list(df * ${1L << 24} + ex.s)")} AS cs,
+           |    count(*) AS sz
+           |  FROM ex JOIN dfq ON ex.s = dfq.s GROUP BY doc_id
+           |),
+           |pre AS (
+           |  SELECT doc_id, sz,
+           |    unnest(${d.sliceTo("cs", s"sz - ${d.idiv("7 * sz + 9", "10")} + 1")}) AS c
+           |  FROM docs
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM pre a JOIN pre b ON a.c = b.c AND a.doc_id < b.doc_id
+           |   AND 10 * b.sz >= 7 * a.sz AND 10 * a.sz >= 7 * b.sz
+           |),
+           |p AS (
+           |  SELECT doc_id_a, doc_id_b,
+           |    ${d.sizeL(d.intersectL("x.cs", "y.cs"))} AS inter,
+           |    x.sz AS sa, y.sz AS sb
+           |  FROM cand
+           |  JOIN docs x ON x.doc_id = doc_id_a
+           |  JOIN docs y ON y.doc_id = doc_id_b
+           |)
+           |SELECT doc_id_a, doc_id_b, $jacFromCols AS jaccard
+           |FROM p WHERE $jacFromCols >= $JaccardThreshold
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      }),
+
     // MinHash + LSH banding → exact-Jaccard verification. The scale path.
     "q_dedup_minhash" -> QueryDef(
       (s, d) => minhashVerifiedPairs(s, d).orderBy("doc_id_a", "doc_id_b"),

@@ -285,6 +285,33 @@ object FunctionQueries {
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // Unpivot (wide→long reshape): metrics-as-columns become
+    // (metric, value) rows via the stack() generator — the inverse of
+    // q_pivot, and the map-side-only reshape a feature pipeline uses to
+    // normalize per-entity metric tables. Money sums quantize to
+    // DECIMAL before summing (exact), one DOUBLE cast at the end.
+    "q_unpivot" -> QueryDef(
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).cast(DoubleType).as("n_customers"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total_bal"))
+          .selectExpr("c_mktsegment",
+            "stack(2, 'n_customers', n_customers, 'total_bal', total_bal) AS (metric, value)")
+          .orderBy("c_mktsegment", "metric"),
+      """WITH m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(count(*) AS DOUBLE) AS n_customers,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM m
+        |UNION ALL
+        |SELECT c_mktsegment, 'total_bal' AS metric, total_bal AS value FROM m
+        |ORDER BY c_mktsegment, metric""".stripMargin),
+
     // Conditional / null-handling family: CASE bands, nullif→coalesce
     // round-trip, least/greatest. Map-side only.
     "q_conditional_funcs" -> QueryDef(

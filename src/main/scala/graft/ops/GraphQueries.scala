@@ -46,30 +46,41 @@ object GraphQueries {
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> QueryDef(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
-        val edges = ScratchCache.scratch {
-          val a = li.selectExpr("l_orderkey", "l_partkey AS src")
-          val b = li.selectExpr("l_orderkey", "l_partkey AS dst")
-          a.join(b, Seq("l_orderkey"))
-            .filter(col("src") =!= col("dst"))
-            .select("src", "dst").distinct()
-        }
+        // edge generation WITHOUT a self-join: group each order's parts
+        // into a set (collect_set dedups per order — one shuffle of the
+        // 2-column projection) and explode the per-order pairs map-side.
+        // Per-order fan-out is bounded by order size, so the generator
+        // is cheap and never quadratic in the table.
+        val byOrder = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("parts"))
+        val edges = byOrder
+          .select(explode(col("parts")).as("src"), col("parts"))
+          .select(col("src"), explode(col("parts")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        // (src, dst, deg) cached once — the per-round join partner
-        val edgeDeg = ScratchCache.scratch(edges.join(deg, "src"))
-        val nodes = ScratchCache.scratch(
-          edges.select(col("src").as("id")).distinct())
-        var ranks = nodes.withColumn("rank", lit(Scale))
+        // (src, dst, deg) cached once, HASH-PARTITIONED ON src: the
+        // cached distribution satisfies each round's join requirement
+        // (at 100 TB: write the edge table bucketed by src for the same
+        // effect across jobs). Ranks come out of each round partitioned
+        // by the grouping key, so iterations settle into one reduced
+        // shuffle per round: join (no exchange) → map-side partial sum
+        // → |nodes|-sized final aggregate.
+        val edgeDeg = ScratchCache.scratch(
+          edges.join(deg, "src").repartition(col("src")))
+        // the graph is symmetric (co-purchase), so every node has
+        // in-edges and receives contributions each round — no dangling
+        // mass, no per-round left join against a node list. r0 rides
+        // deg's distribution (deg's keys ARE the nodes).
+        var ranks = deg.select(col("src").as("id"), lit(Scale).as("rank"))
         for (_ <- 1 to Iters) {
-          val contribs = edgeDeg
+          ranks = edgeDeg
             .join(ranks, col("src") === col("id"))
             .select(col("dst"), expr("rank div deg").as("c"))
             .groupBy("dst").agg(sum("c").as("c"))
-          ranks = nodes.join(contribs, col("id") === col("dst"), "left")
-            .select(col("id"),
-              expr(s"$Teleport + (85 * coalesce(c, CAST(0 AS BIGINT))) div 100")
-                .as("rank"))
+            .selectExpr("dst AS id", s"$Teleport + (85 * c) div 100 AS rank")
         }
         ranks.selectExpr("id AS part_key", "rank")
           .orderBy(desc("rank"), col("part_key"))

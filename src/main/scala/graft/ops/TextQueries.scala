@@ -396,7 +396,47 @@ object TextQueries {
             .selectExpr("doc_id", s"CAST($fpS AS BIGINT) AS fingerprint")
             .orderBy("doc_id"),
         s"""SELECT doc_id, CAST($fpD AS BIGINT) AS fingerprint
-           |FROM documents ORDER BY doc_id""".stripMargin)
+           |FROM documents ORDER BY doc_id""".stripMargin),
+
+      // Exact corpus heavy hitters via a BOUNDED-state sketch: pass 1 is
+      // a Misra–Gries candidate scan (functions/MisraGries.scala — each
+      // map task ships ≤ k-1 counters regardless of corpus size or
+      // vocabulary, the combiner idea with a PROVABLE state bound;
+      // k=256 > 200 guarantees no token above the n/200 threshold is
+      // missed), pass 2 recounts ONLY the ≤ k-1 candidates exactly via a
+      // broadcast semi-join and applies the threshold with pure integer
+      // arithmetic (200·cnt > n). False positives die in pass 2, false
+      // negatives cannot exist — so a sketch pipeline sits under a
+      // bit-exact SQL oracle. At 100 TB: two scans, one k-bounded
+      // shuffle, one broadcast of ≤ k-1 tokens; a plain groupBy-HAVING
+      // would shuffle the full vocabulary instead.
+      "q_heavy_hitters" -> QueryDef(
+        (s, dir) => {
+          val toks = graft.ScratchCache.scratch(
+            Tables.documentsParallel(s, dir)
+              .selectExpr(s"explode(${SparkSql.tokens("text")}) AS tok"))
+          val agg = new graft.functions.MisraGriesAgg(256)
+          val cands = toks.select(col("tok")).as[String](
+            org.apache.spark.sql.Encoders.STRING)
+            .select(agg.toColumn.name("cands"))
+            .selectExpr("explode(cands) AS tok")
+          val total = toks.agg(count(lit(1)).as("n_total"))
+          toks.join(broadcast(cands), "tok")
+            .groupBy("tok").agg(count(lit(1)).as("cnt"))
+            .crossJoin(broadcast(total))
+            .filter(expr("cnt * 200 > n_total"))
+            .selectExpr("tok AS token", "cnt", "n_total")
+            .orderBy(org.apache.spark.sql.functions.desc("cnt"), col("token"))
+        }, {
+          val toksD = DuckSql.tokens("text")
+          s"""WITH tok AS (SELECT unnest($toksD) AS tok FROM documents),
+             |tot AS (SELECT count(*) AS n_total FROM tok)
+             |SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt, n_total
+             |FROM tok, tot
+             |GROUP BY tok, n_total
+             |HAVING count(*) * 200 > n_total
+             |ORDER BY cnt DESC, token""".stripMargin
+        })
     )
   }
 }

@@ -38,6 +38,8 @@ abstract class Dialect {
   def splitRe(s: String, re: String): String
   /** 3 consecutive elements of l starting at 1-based index i. */
   def slice3(l: String, i: String): String
+  /** first n elements of l (n an integer expression). */
+  def sliceTo(l: String, n: String): String
   /** elements of string-list joined with a space. */
   def joinSpace(l: String): String
   /** elementwise double product of two equal-length numeric lists. */
@@ -163,6 +165,7 @@ object SparkSql extends Dialect {
   def split(s: String, sep: String) = s"split($s, '$sep')"
   def splitRe(s: String, re: String) = s"split($s, '$re')"
   def slice3(l: String, i: String) = s"slice($l, $i, 3)"
+  def sliceTo(l: String, n: String) = s"slice($l, 1, CAST($n AS INT))"
   def joinSpace(l: String) = s"concat_ws(' ', $l)"
   def zipMulDbl(a: String, b: String) =
     s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
@@ -200,6 +203,7 @@ object DuckSql extends Dialect {
   def split(s: String, sep: String) = s"string_split($s, '$sep')"
   def splitRe(s: String, re: String) = s"regexp_split_to_array($s, '$re')"
   def slice3(l: String, i: String) = s"($l)[($i):(($i)+2)]"
+  def sliceTo(l: String, n: String) = s"list_slice($l, 1, $n)"
   def joinSpace(l: String) = s"array_to_string($l, ' ')"
   def zipMulDbl(a: String, b: String) =
     s"list_transform(generate_series(1, len($a)), zz -> CAST(($a)[zz] AS DOUBLE) * CAST(($b)[zz] AS DOUBLE))"
