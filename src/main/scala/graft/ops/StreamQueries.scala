@@ -144,6 +144,36 @@ object StreamQueries {
           .orderBy("user_id", "event_id"),
       TemporalJoinQueries.defs("q_asof_join").oracle.get),
 
+    // Running per-user spend computed BY transformWithState — the v2
+    // arbitrary-state API (StatefulProcessor + named typed state
+    // handles on the RocksDB provider) under the same bit-exact oracle
+    // gate as everything else: cents-quantized BIGINT accumulation in
+    // (es, event_id) order reproduces the oracle's running-sum window
+    // exactly (EventStream.RunningSpendProcessor; cross-batch carry
+    // asserted in TransformWithStateSpec).
+    "q_stream_running" -> QueryDef(
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try
+          runToTable(s,
+            EventStream.runningSpend(EventStream.readEvents(s, d)).toDF(),
+            "graft_stream_running", "append")
+            .orderBy("user_id", "event_id")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      },
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         |    PARTITION BY user_id ORDER BY ${DuckSql.epochSec("ts")}, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS running_cents
+         |FROM events ORDER BY user_id, event_id""".stripMargin),
+
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
     // KEY SET, which is deterministic regardless of which arrival won

@@ -273,4 +273,56 @@ object EventStream {
           UserSnapshot(user, n, tot)
       }
   }
+
+  /** Running per-user spend via `transformWithState` — the v2 arbitrary
+    * state API (`StatefulProcessor` with named, typed state handles +
+    * optional TTL and timers), the successor surface to
+    * [flat]mapGroupsWithState and the closest Spark analog of the
+    * reference's raw processor SPI (a user class holding explicit keyed
+    * state across inputs, SURVEY.md §2f). Requires the RocksDB state
+    * store provider (the API is built on its column families), which is
+    * what a 100 TB deployment runs anyway — keyed state spills to local
+    * disk instead of executor heap.
+    *
+    * Exactness: spend quantizes to cents with floor(v·100+0.5) (an
+    * exact IEEE-754 op both engines run identically) and accumulates in
+    * BIGINT; within a batch the group's rows are sorted by (es,
+    * event_id) — the same total order as the oracle's running-sum
+    * window — and the carried ValueState makes the order hold across
+    * batches under time-split replay (TransformWithStateSpec). */
+  case class SpendIn(user_id: Long, event_id: Long, es: Long, cents: Long)
+  case class RunningOut(user_id: Long, event_id: Long, running_cents: Long)
+
+  class RunningSpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SpendIn, RunningOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[SpendIn],
+        timerValues: TimerValues): Iterator[RunningOut] = {
+      var acc = if (total.exists()) total.get() else 0L
+      val out = rows.toArray.sortBy(e => (e.es, e.event_id)).map { e =>
+        acc += e.cents
+        RunningOut(user, e.event_id, acc)
+      }
+      total.update(acc)
+      out.iterator
+    }
+  }
+
+  def runningSpend(events: DataFrame): org.apache.spark.sql.Dataset[RunningOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .as[SpendIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
