@@ -104,6 +104,37 @@ object EventStream {
         col("event_id"), col("event_type"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase is emitted —
+    * matched against the same user's events in the following 10 minutes
+    * when any exist, null-extended when none do. The outer side's
+    * emission is WATERMARK-DRIVEN: a purchase's null row can only be
+    * produced once the event-side watermark has passed p_ts + 10 min
+    * (before that, a matching event could still arrive), so unmatched
+    * purchases inside the final watermark horizon are withheld at
+    * end-of-stream — the price of correct outer semantics on unbounded
+    * input. StreamOuterJoinSpec pins that contract exactly: matched rows
+    * equal the batch inner join, null rows appear exactly for
+    * no-follow-up purchases with p_ts below the final watermark minus
+    * the interval. */
+  def purchaseFollowUpsOuter(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val follows = events
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(follows,
+      col("p_user") === col("e_user") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("p_ts"), col("purchase_id"),
+        col("event_id"), col("event_type"))
+  }
+
   /** foreachBatch sink into a bucketed table (graft.sources.Bucketing):
     * each micro-batch appends parquet files in the table's bucket layout,
     * so EVERY downstream batch join or aggregation on the bucket key runs
