@@ -356,4 +356,90 @@ object EventStream {
       .transformWithState(new RunningSpendProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Sessionization on the v2 state API with EVENT-TIME TIMERS — the
+    * transformWithState rendition of sessionizeWithTimers, completing
+    * the v2 surface (named state handles + registerTimer/
+    * handleExpiredTimer): gaps in arriving data close sessions inline;
+    * a registered timer closes a gone-quiet user's session once the
+    * watermark passes end+gap. The previous timer is explicitly
+    * deleted on every update (v2 timers are not implicitly replaced
+    * the way v1 setTimeoutTimestamp was), and expiry re-checks
+    * due-ness against live state so a stale timer can never emit an
+    * open session early. Same exact-cents arithmetic as the v1
+    * sessionizer → emitted rows bit-match batch q_window_session rows
+    * (SessionTimerV2Spec replay). */
+  case class SessIn(user_id: Long, es: Long, value: Double,
+      ts: java.sql.Timestamp)
+
+  class SessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessIn, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var sess: ValueState[SessionState] = _
+    @transient private var timer: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SessionState](),
+        TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def cents(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    private def emit(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, s.start, s.end - s.start, s.n,
+        java.math.BigDecimal.valueOf(s.cents, 2).doubleValue())
+    /** watermark value at/after which session s may close. */
+    private def dueMs(s: SessionState): Long = (s.end + gapSec) * 1000L + 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[SessIn],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(_.es)
+      var acc = if (sess.exists()) sess.get() else null
+      val closed = Array.newBuilder[SessionOut]
+      sorted.foreach { r =>
+        val c = cents(r.value)
+        if (acc == null) acc = SessionState(1L, c, r.es, r.es)
+        else if (r.es - acc.end > gapSec) {
+          closed += emit(user, acc)
+          acc = SessionState(1L, c, r.es, r.es)
+        } else acc = SessionState(acc.n + 1, acc.cents + c,
+          acc.start, math.max(acc.end, r.es))
+      }
+      sess.update(acc)
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      val t = math.max(dueMs(acc), timerValues.getCurrentWatermarkInMs() + 1L)
+      getHandle.registerTimer(t)
+      timer.update(t)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        if (timerValues.getCurrentWatermarkInMs() >= dueMs(s)) {
+          sess.clear(); timer.clear()
+          Iterator(emit(user, s))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeV2(events: DataFrame, gapSec: Long):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("value"), col("ts"))
+      .as[SessIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

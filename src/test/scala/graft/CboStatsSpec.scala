@@ -15,8 +15,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class CboStatsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("ANALYZE TABLE feeds exact rowCount and column NDV into plan stats") {
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both before writing
     spark.sql("DROP TABLE IF EXISTS customer_stats")
+    rmrf(new java.io.File("/tmp/graft_warehouse/customer_stats"))
     Tables.customer(spark, sf).write.mode("overwrite")
       .saveAsTable("customer_stats")
     spark.sql("ANALYZE TABLE customer_stats COMPUTE STATISTICS FOR ALL COLUMNS")
