@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector — the extensibility half of the
+  * §2a source story. The reference's `MRInput` accepts ANY Hadoop
+  * `InputFormat` (tez-mapreduce/src/main/java/org/apache/tez/mapreduce/
+  * input/MRInput.java:87 — the runtime is format-agnostic; the split
+  * contract does the work). Spark's analog is the connector API: this
+  * source re-expresses `TextInputFormat`'s exact semantics —
+  * fixed-size BYTE-RANGE splits planned independently of line
+  * boundaries, with the reader contract that makes that correct:
+  *
+  *  - a reader whose range starts at byte 0 owns the file's first line;
+  *  - any other reader DISCARDS the (partial) line its range opens in —
+  *    the previous reader owns it and reads PAST its own range end to
+  *    finish it;
+  *  - a new line is started only while the read position is at or
+  *    before the range end.
+  *
+  * Every byte belongs to exactly one split, so no line is lost or
+  * duplicated regardless of where split boundaries fall
+  * (LineTextSourceSpec sweeps split sizes to prove it). Split size is
+  * the `splitSize` option — the same knob TezSplitGrouper/
+  * maxPartitionBytes turn, here at the connector layer; at 100 TB the
+  * planner produces one task per range with no coordination.
+  *
+  * Registered as `graft-text` (META-INF/services) — usable as
+  * `spark.read.format("graft-text").load(dir)`.
+  */
+class LineTextSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-text"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LineTextSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new LineTextTable(properties.get("path"),
+      Option(properties.get("splitSize")).map(_.toLong)
+        .getOrElse(LineTextSource.DefaultSplitSize))
+}
+
+object LineTextSource {
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
+}
+
+class LineTextTable(path: String, splitSize: Long) extends Table with SupportsRead {
+  require(path != null, "graft-text requires a path")
+  override def name(): String = s"graft-text:$path"
+  override def schema(): StructType = LineTextSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LineTextScan(path, splitSize)
+    }
+}
+
+final case class LineRange(file: String, start: Long, end: Long)
+    extends InputPartition
+
+class LineTextScan(path: String, splitSize: Long) extends Scan with Batch {
+  override def readSchema(): StructType = LineTextSource.Schema
+  override def toBatch: Batch = this
+
+  /** Fixed-size byte ranges per data file — planned with no knowledge
+    * of line boundaries (the reader contract repairs them). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      else Array(fs.getFileStatus(p))
+    val parts = ArrayBuffer.empty[InputPartition]
+    files.foreach { st =>
+      var off = 0L
+      while (off < st.getLen) {
+        val end = math.min(off + splitSize, st.getLen)
+        parts += LineRange(st.getPath.toString, off, end)
+        off = end
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new LineTextReader(partition.asInstanceOf[LineRange])
+    }
+}
+
+/** TextInputFormat-contract reader over one byte range. */
+class LineTextReader(range: LineRange) extends PartitionReader[InternalRow] {
+  private val fs = new Path(range.file)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val in = fs.open(new Path(range.file))
+  private val fileLen = fs.getFileStatus(new Path(range.file)).getLen
+  private var pos: Long = range.start
+  private var current: UTF8String = _
+
+  // a range that does not start the file discards the line it opens in:
+  // the previous range's reader finishes that line past its own end
+  if (range.start != 0) { in.seek(range.start); skipLine() }
+  else in.seek(0)
+
+  /** consume bytes up to and including the next '\n' (or EOF). */
+  private def skipLine(): Unit = {
+    var b = in.read()
+    while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+    if (b != -1) pos += 1
+  }
+
+  override def next(): Boolean = {
+    // start a new line while positioned at or before the range end —
+    // INCLUSIVE: a line that begins exactly at `end` is owned by THIS
+    // split (the next split unconditionally discards the line its start
+    // opens in, so exclusive-end here would drop that line from both)
+    if (pos > range.end || pos >= fileLen) { current = null; return false }
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = in.read()
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b != -1) pos += 1
+    current = UTF8String.fromBytes(buf.toByteArray)
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(current)
+  override def close(): Unit = in.close()
+}

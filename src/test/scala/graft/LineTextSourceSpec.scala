@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-text DataSource V2 connector: TextInputFormat's byte-range
+  * split contract proven over a sweep of split sizes — every line read
+  * exactly once no matter where the boundaries fall, parity with the
+  * built-in text source, and task count responding to the splitSize
+  * knob (§2a MRInput/TezSplitGrouper parity at the connector layer).
+  */
+class LineTextSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
+  test("byte-range splits read every line exactly once across split-size sweep") {
+    val dir = "/tmp/graft_linetext/data"
+    rmrf(new java.io.File("/tmp/graft_linetext"))
+    Tables.documents(spark, sf)
+      .selectExpr("concat(doc_id, '|', lang, '|', n_chars) AS value")
+      .coalesce(1).write.text(dir)
+
+    val want = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(want.length == Tables.documents(spark, sf).count())
+
+    // sweep odd split sizes so boundaries land mid-line in many places
+    Seq(64L, 257L, 1031L, 8192L, 1L << 30).foreach { sz =>
+      val got = spark.read.format("graft-text")
+        .option("splitSize", sz.toString).load(dir)
+        .collect().map(_.getString(0)).sorted
+      assert(got.length == want.length,
+        s"splitSize=$sz: ${got.length} lines, expected ${want.length}")
+      assert(got.sameElements(want), s"splitSize=$sz: content diverged")
+    }
+  }
+
+  test("splitSize drives the planned task count") {
+    val dir = "/tmp/graft_linetext/data"
+    val small = spark.read.format("graft-text")
+      .option("splitSize", "512").load(dir).rdd.getNumPartitions
+    val big = spark.read.format("graft-text")
+      .option("splitSize", (1L << 30).toString).load(dir).rdd.getNumPartitions
+    assert(big == 1, s"one giant split expected, got $big")
+    assert(small > 4, s"512 B splits should plan many tasks, got $small")
+  }
+
+  test("connector output feeds normal DataFrame ops") {
+    val dir = "/tmp/graft_linetext/data"
+    val parsed = spark.read.format("graft-text")
+      .option("splitSize", "2048").load(dir)
+      .selectExpr("split(value, '\\\\|') AS parts")
+      .selectExpr("CAST(parts[0] AS BIGINT) AS doc_id", "parts[1] AS lang")
+    val got = parsed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = Tables.documents(spark, sf).groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.sameElements(want))
+  }
+}
