@@ -58,6 +58,27 @@ object FormatQueries {
             col("odate_epoch"))
           .orderBy("o_orderkey")
       },
-      oracle)
+      oracle),
+
+    // Round trip through the CUSTOM DataSource V2 connector
+    // (graft.sources.LineTextSource, format "graft-text"): documents are
+    // exported as delimited text, re-read through the connector's
+    // byte-range splits (4 KB — dozens of mid-line boundaries), parsed,
+    // and compared bit-exact against the original table. This puts the
+    // connector's split contract itself under the driver's oracle gate,
+    // not just under its spec.
+    "q_textfile_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = s"/tmp/graft_fmt/text_${new java.io.File(d).getName}"
+        Tables.documents(s, d)
+          .selectExpr("concat(doc_id, '|', lang, '|', n_chars) AS value")
+          .write.mode("overwrite").text(out)
+        s.read.format("graft-text").option("splitSize", "4096").load(out)
+          .selectExpr("split(value, '\\\\|') AS p")
+          .selectExpr("CAST(p[0] AS BIGINT) AS doc_id", "p[1] AS lang",
+            "CAST(p[2] AS BIGINT) AS n_chars")
+          .orderBy("doc_id")
+      },
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")
   )
 }

@@ -8,8 +8,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,18 +62,43 @@ class LineTextTable(path: String, splitSize: Long) extends Table with SupportsRe
   override def schema(): StructType = LineTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+  /** Filter pushdown (the connector half of §4 predicate pushdown):
+    * contains/startsWith predicates on `value` are accepted and
+    * evaluated INSIDE the reader, so rejected lines die at the scan —
+    * at 100 TB a selective prefix filter turns a full-corpus read into
+    * a stream that never materializes non-matching rows. Accepted
+    * filters are applied exactly, so no residual re-evaluation is
+    * needed (pushFilters returns only the unsupported remainder). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LineTextScan(path, splitSize)
+    new ScanBuilder with SupportsPushDownFilters {
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (sup, rest) = filters.partition {
+          case StringContains("value", _)   => true
+          case StringStartsWith("value", _) => true
+          // lines are never null by construction, so the implicit
+          // isnotnull guard is vacuously satisfied scan-side
+          case org.apache.spark.sql.sources.IsNotNull("value") => true
+          case _                            => false
+        }
+        pushed = sup
+        rest
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new LineTextScan(path, splitSize, pushed)
     }
 }
 
 final case class LineRange(file: String, start: Long, end: Long)
     extends InputPartition
 
-class LineTextScan(path: String, splitSize: Long) extends Scan with Batch {
+class LineTextScan(path: String, splitSize: Long,
+    filters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = LineTextSource.Schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-text $path splitSize=$splitSize " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
 
   /** Fixed-size byte ranges per data file — planned with no knowledge
     * of line boundaries (the reader contract repairs them). */
@@ -97,15 +122,19 @@ class LineTextScan(path: String, splitSize: Long) extends Scan with Batch {
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = filters
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new LineTextReader(partition.asInstanceOf[LineRange])
+        new LineTextReader(partition.asInstanceOf[LineRange], fs)
     }
+  }
 }
 
-/** TextInputFormat-contract reader over one byte range. */
-class LineTextReader(range: LineRange) extends PartitionReader[InternalRow] {
+/** TextInputFormat-contract reader over one byte range; pushed
+  * contains/startsWith filters are applied per line inside the scan. */
+class LineTextReader(range: LineRange,
+    filters: Array[Filter] = Array.empty) extends PartitionReader[InternalRow] {
   private val fs = new Path(range.file)
     .getFileSystem(new org.apache.hadoop.conf.Configuration())
   private val in = fs.open(new Path(range.file))
@@ -125,18 +154,27 @@ class LineTextReader(range: LineRange) extends PartitionReader[InternalRow] {
     if (b != -1) pos += 1
   }
 
+  private def accepts(v: String): Boolean = filters.forall {
+    case StringContains(_, sub)   => v.contains(sub)
+    case StringStartsWith(_, pre) => v.startsWith(pre)
+    case _                        => true
+  }
+
   override def next(): Boolean = {
     // start a new line while positioned at or before the range end —
     // INCLUSIVE: a line that begins exactly at `end` is owned by THIS
     // split (the next split unconditionally discards the line its start
     // opens in, so exclusive-end here would drop that line from both)
-    if (pos > range.end || pos >= fileLen) { current = null; return false }
-    val buf = new java.io.ByteArrayOutputStream(256)
-    var b = in.read()
-    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
-    if (b != -1) pos += 1
-    current = UTF8String.fromBytes(buf.toByteArray)
-    true
+    while (pos <= range.end && pos < fileLen) {
+      val buf = new java.io.ByteArrayOutputStream(256)
+      var b = in.read()
+      while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+      if (b != -1) pos += 1
+      val s = UTF8String.fromBytes(buf.toByteArray)
+      if (accepts(s.toString)) { current = s; return true }
+    }
+    current = null
+    false
   }
 
   override def get(): InternalRow = InternalRow(current)

@@ -48,6 +48,27 @@ class LineTextSourceSpec extends AnyFunSuite {
     assert(small > 4, s"512 B splits should plan many tasks, got $small")
   }
 
+  test("contains/startsWith filters push into the connector scan") {
+    val dir = "/tmp/graft_linetext/data"
+    val df = spark.read.format("graft-text")
+      .option("splitSize", "2048").load(dir)
+      .filter(col("value").contains("|en|"))
+    // the connector accepted the filter EXACTLY (empty residual), so the
+    // optimizer removes the post-scan Filter node entirely...
+    val hasFilter = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(hasFilter.isEmpty,
+      s"filter not absorbed by the scan:\n${df.queryExecution.optimizedPlan}")
+    // ...and the physical scan advertises it
+    val scanStr = df.queryExecution.executedPlan.toString
+    assert(scanStr.contains("StringContains"),
+      s"pushed filter not visible on the physical scan:\n$scanStr")
+    val want = spark.read.text(dir)
+      .filter(col("value").contains("|en|")).count()
+    assert(df.count() == want)
+  }
+
   test("connector output feeds normal DataFrame ops") {
     val dir = "/tmp/graft_linetext/data"
     val parsed = spark.read.format("graft-text")
