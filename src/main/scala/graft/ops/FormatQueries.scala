@@ -61,18 +61,20 @@ object FormatQueries {
       oracle),
 
     // Round trip through the CUSTOM DataSource V2 connector
-    // (graft.sources.LineTextSource, format "graft-text"): documents are
-    // exported as delimited text, re-read through the connector's
-    // byte-range splits (4 KB — dozens of mid-line boundaries), parsed,
-    // and compared bit-exact against the original table. This puts the
-    // connector's split contract itself under the driver's oracle gate,
-    // not just under its spec.
+    // (graft.sources.LineTextSource, format "graft-text") in BOTH
+    // directions: documents are exported as delimited text through the
+    // connector's write path (task attempt files + job-level commit —
+    // the MROutputCommitter analog), re-read through its byte-range
+    // splits (4 KB — dozens of mid-line boundaries), parsed, and
+    // compared bit-exact against the original table. This puts the
+    // connector's split AND commit contracts under the driver's oracle
+    // gate, not just under its spec.
     "q_textfile_roundtrip" -> QueryDef(
       (s, d) => {
         val out = s"/tmp/graft_fmt/text_${new java.io.File(d).getName}"
         Tables.documents(s, d)
           .selectExpr("concat(doc_id, '|', lang, '|', n_chars) AS value")
-          .write.mode("overwrite").text(out)
+          .write.mode("overwrite").format("graft-text").save(out)
         s.read.format("graft-text").option("splitSize", "4096").load(out)
           .selectExpr("split(value, '\\\\|') AS p")
           .selectExpr("CAST(p[0] AS BIGINT) AS doc_id", "p[1] AS lang",

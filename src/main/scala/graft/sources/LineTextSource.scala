@@ -6,9 +6,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,12 +57,34 @@ object LineTextSource {
   val DefaultSplitSize: Long = 128L * 1024 * 1024
 }
 
-class LineTextTable(path: String, splitSize: Long) extends Table with SupportsRead {
+class LineTextTable(path: String, splitSize: Long)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-text requires a path")
   override def name(): String = s"graft-text:$path"
   override def schema(): StructType = LineTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Write side — the MROutput/OutputCommitter analog (§2a: task-side
+    * attempt files + job-side commit,
+    * tez-mapreduce/.../committer/MROutputCommitter.java): each task
+    * writes a temp attempt file; speculative/retried attempts abort and
+    * delete theirs; the driver's job-level commit renames the winning
+    * attempts into place (and under TRUNCATE first clears old data
+    * files) — so readers never observe a half-written table. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      require(info.schema().length == 1 &&
+        info.schema().head.dataType == StringType,
+        s"graft-text writes a single string column, got ${info.schema()}")
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new LineTextBatchWrite(path, doTruncate)
+      }
+    }
   /** Filter pushdown (the connector half of §4 predicate pushdown):
     * contains/startsWith predicates on `value` are accepted and
     * evaluated INSIDE the reader, so rejected lines die at the scan —
@@ -129,6 +152,68 @@ class LineTextScan(path: String, splitSize: Long,
         new LineTextReader(partition.asInstanceOf[LineRange], fs)
     }
   }
+}
+
+final case class LineFileCommit(tempFile: String, finalName: String)
+    extends WriterCommitMessage
+
+class LineTextBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LineTextWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(dir)
+    messages.foreach { case LineFileCommit(temp, fin) =>
+      fs.rename(new Path(temp), new Path(dir, fin))
+    }
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.filter(_ != null).foreach {
+      case LineFileCommit(temp, _) => fs.delete(new Path(temp), false)
+    }
+    fs.delete(new Path(path, "_temporary"), true)
+  }
+}
+
+class LineTextWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LineTextDataWriter(path, partitionId, taskId)
+}
+
+/** One task attempt's writer: lines stream to a per-attempt temp file
+  * (partition AND task id in the name, so a retried/speculative attempt
+  * never collides with the original); commit hands the file to the
+  * driver, abort deletes it. */
+class LineTextDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fs = new Path(path)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val tempFile =
+    new Path(path, f"_temporary/attempt-$partitionId%05d-$taskId")
+  private val out = fs.create(tempFile, true)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).getBytes)
+    out.write('\n')
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    LineFileCommit(tempFile.toString, f"part-$partitionId%05d.txt")
+  }
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tempFile, false)
+  }
+  override def close(): Unit = ()
 }
 
 /** TextInputFormat-contract reader over one byte range; pushed

@@ -48,6 +48,28 @@ class LineTextSourceSpec extends AnyFunSuite {
     assert(small > 4, s"512 B splits should plan many tasks, got $small")
   }
 
+  test("connector write path: attempt files commit atomically, overwrite truncates") {
+    val dir = "/tmp/graft_linetext/written"
+    rmrf(new java.io.File(dir))
+    val df = Tables.documents(spark, sf)
+      .selectExpr("concat(doc_id, ':', lang) AS value")
+    df.repartition(4).write.mode("overwrite").format("graft-text").save(dir)
+
+    // committed: no temp dir remains, one part file per task
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(!files.exists(_.startsWith("_temporary")), files.mkString(","))
+    assert(files.count(_.startsWith("part-")) == 4, files.mkString(","))
+
+    // read back through the builtin source: content identical
+    val got = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    val want = df.collect().map(_.getString(0)).sorted
+    assert(got.sameElements(want))
+
+    // overwrite truncates: second write with fewer rows leaves no stale data
+    df.limit(10).repartition(1).write.mode("overwrite").format("graft-text").save(dir)
+    assert(spark.read.text(dir).count() == 10)
+  }
+
   test("contains/startsWith filters push into the connector scan") {
     val dir = "/tmp/graft_linetext/data"
     val df = spark.read.format("graft-text")
