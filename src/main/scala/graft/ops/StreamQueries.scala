@@ -174,6 +174,63 @@ object StreamQueries {
          |    AS running_cents
          |FROM events ORDER BY user_id, event_id""".stripMargin),
 
+    // Sessionization through transformWithState EVENT-TIME TIMERS
+    // (EventStream.sessionizeV2) under the oracle gate. Emission is
+    // exactly characterizable, so the oracle is the batch session-window
+    // result RESTRICTED to sessions the timer machinery can have fired
+    // for: a session closes inline when a later event arrives past the
+    // gap, or by timer once the watermark passes end+gap — and with a
+    // 0-second watermark delay over a finite input the final watermark
+    // is max(es), so a session emits iff end + gap + 1 <= max(es)
+    // (the +1 is the timer's strictly-after-due registration). Sessions
+    // still open at end-of-input are correctly withheld — on an
+    // unbounded stream they are not closed yet; the oracle encodes that
+    // rather than pretending the stream ended.
+    "q_stream_session_v2" -> QueryDef(
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try
+          runToTable(s,
+            EventStream.sessionizeV2(EventStream.readEvents(s, d), 1800L).toDF(),
+            "graft_stream_session_v2", "append")
+            .orderBy("user_id", "session_start_epoch")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }, {
+        val d = DuckSql
+        s"""WITH e AS (SELECT user_id, ${d.epochSec("ts")} AS es, value FROM events),
+           |mx AS (SELECT max(es) AS max_es FROM e),
+           |flagged AS (
+           |  SELECT user_id, es, value,
+           |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+           |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM e
+           |),
+           |sess AS (
+           |  SELECT user_id, es, value,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, session_start_epoch, duration_sec, n_events, sum_value
+           |FROM (
+           |  SELECT user_id, min(es) AS session_start_epoch,
+           |    CAST(max(es) - min(es) AS BIGINT) AS duration_sec,
+           |    count(*) AS n_events,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |    max(es) AS session_end
+           |  FROM sess GROUP BY user_id, session_seq
+           |), mx
+           |WHERE session_end + 1801 <= max_es
+           |ORDER BY user_id, session_start_epoch""".stripMargin
+      }),
+
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
     // KEY SET, which is deterministic regardless of which arrival won
