@@ -176,14 +176,21 @@ object DedupQueries {
         // values) — no dedup shuffle, and the join key has
         // |lang|×|bands| cardinality instead of |lang|≈5 (the round-2
         // skew-at-scale defect). Same bucket±1 banding as q_range_join.
-        val ids = docs.select("doc_id", "lang", "band")
-        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band")
-        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS bb")
+        // candidate ids carry the shingle-set SIZE so the length filter
+        // prunes before anything wide moves: J ≥ t implies
+        // min(|A|,|B|)/max(|A|,|B|) ≥ t (intersection ≤ min, union ≥
+        // max), so 10·min ≥ 7·max is a PROVABLE no-op on the result —
+        // the oracle is unchanged — that drops size-incompatible pairs
+        // before the array re-joins pay for them.
+        val ids = docs.selectExpr("doc_id", "lang", "band", "size(hs) AS sz")
+        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band", "sz AS sza")
+        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS bb", "sz AS szb")
         val probes = Seq("bb - 1", "bb", "bb + 1").map(pb =>
-          b.selectExpr("doc_id_b", "lang", s"($pb) AS band"))
+          b.selectExpr("doc_id_b", "lang", s"($pb) AS band", "szb"))
           .reduce(_ unionAll _)
         val cand = a.join(probes, Seq("lang", "band"))
-          .filter(col("doc_id_a") < col("doc_id_b"))
+          .filter(col("doc_id_a") < col("doc_id_b") &&
+            expr("10 * szb >= 7 * sza") && expr("10 * sza >= 7 * szb"))
           .select("doc_id_a", "doc_id_b")
         // arrays come back via SHUFFLED equi-joins on doc_id (as the
         // minhash path does): candidate volume per doc is bounded by the
