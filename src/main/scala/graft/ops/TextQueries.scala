@@ -390,6 +390,70 @@ object TextQueries {
              |ORDER BY lang""".stripMargin
         }),
 
+      // Bigram language model statistics — the conditional-probability
+      // step past q_unigram_lm: top-10 bigrams per language by corpus
+      // count, with p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) (prefix mass from
+      // the bigram table itself, so both engines derive it from the
+      // same integers). All counting is BIGINT; the single division is
+      // computed once and rounded to 6 dp. Rank ties break on the
+      // bigram text, so the top-10 cutoff is deterministic. Scale
+      // shape: ONE explode pass over the corpus (adjacent-pair
+      // generator is map-side), one (lang, w1, w2) count shuffle with
+      // partial aggregation, a lang×vocab-bounded prefix re-aggregation
+      // — never corpus-sized after the first shuffle.
+      "q_bigram_lm" -> QueryDef(
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val toks = SparkSql.tokens("text")
+          val bi = Tables.documentsParallel(s, dir)
+            .selectExpr("lang", s"$toks AS t")
+            .filter(expr("size(t) >= 2"))
+            .selectExpr("lang",
+              "explode(transform(sequence(1, size(t) - 1)," +
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b")
+            .selectExpr("lang", "b.w1 AS w1", "b.w2 AS w2")
+            .groupBy("lang", "w1", "w2")
+            .agg(count(lit(1)).as("cnt"))
+          val prefix = bi.groupBy("lang", "w1").agg(sum("cnt").as("prefix_cnt"))
+          val w = Window.partitionBy("lang")
+            .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          bi.join(prefix, Seq("lang", "w1"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .selectExpr("lang", "CAST(rank AS INT) AS rank", "w1", "w2", "cnt",
+              "round(CAST(cnt AS DOUBLE) / prefix_cnt, 6) AS cond_p")
+            .orderBy("lang", "rank")
+        }, {
+          val d = DuckSql
+          s"""WITH docs AS (SELECT lang, ${d.tokens("text")} AS t FROM documents),
+             |bi AS (
+             |  SELECT lang, b.w1 AS w1, b.w2 AS w2 FROM (
+             |    SELECT lang, unnest(list_transform(
+             |      generate_series(1, ${d.sizeL("t")} - 1),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+             |    FROM docs WHERE ${d.sizeL("t")} >= 2
+             |  )
+             |),
+             |cnts AS (
+             |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM bi GROUP BY lang, w1, w2
+             |),
+             |prefix AS (
+             |  SELECT lang, w1, CAST(sum(cnt) AS BIGINT) AS prefix_cnt
+             |  FROM cnts GROUP BY lang, w1
+             |),
+             |ranked AS (
+             |  SELECT c.lang, c.w1, c.w2, c.cnt, p.prefix_cnt,
+             |    row_number() OVER (PARTITION BY c.lang
+             |      ORDER BY c.cnt DESC, c.w1, c.w2) AS rank
+             |  FROM cnts c JOIN prefix p ON c.lang = p.lang AND c.w1 = p.w1
+             |)
+             |SELECT lang, CAST(rank AS INT) AS rank, w1, w2, cnt,
+             |  round(CAST(cnt AS DOUBLE) / prefix_cnt, 6) AS cond_p
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin
+        }),
+
       "q_doc_fingerprint" -> QueryDef(
         (s, dir) =>
           Tables.documentsParallel(s, dir)
