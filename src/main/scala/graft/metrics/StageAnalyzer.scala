@@ -1,0 +1,91 @@
+package graft.metrics
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Post-hoc per-query stage analyzer — the engine's rendition of the
+  * reference's job-history analyzers (tez-tools/analyzers/job-analyzer:
+  * CriticalPathAnalyzer.java, SkewAnalyzer.java, SpillAnalyzerImpl.java —
+  * post-run artifacts breaking a DAG into per-vertex wall time and
+  * per-task skew). Here a SparkListener attributes every stage to the
+  * query the bench harness labels, and reports per stage: wall-clock,
+  * task count, max and median task time, and a skew flag
+  * (max/median > 4 with ≥ 2 tasks — the SkewAnalyzer heuristic).
+  *
+  * At 100 TB this is the artifact an operator reads to find the stage
+  * whose straggler dominates a slow query — the information the
+  * reference surfaces from ATS history, produced here without any
+  * history server from the listener bus alone.
+  */
+class StageAnalyzer extends SparkListener {
+  final case class StageRow(query: String, stageId: Int, wallSec: Double,
+      nTasks: Int, taskMaxSec: Double, taskMedSec: Double) {
+    def skewed: Boolean =
+      // materiality floor (the reference's SkewAnalyzer also gates on
+      // absolute size): a 27ms straggler over a 4ms median is scheduler
+      // noise, not data skew — only flag when the straggler could
+      // actually move a wall clock
+      nTasks >= 2 && taskMedSec > 0 && taskMaxSec >= 0.2 &&
+        taskMaxSec / taskMedSec > 4.0
+    def json: String =
+      f"""{"stage":$stageId,"wall":$wallSec%.3f,"tasks":$nTasks,""" +
+        f""""task_max":$taskMaxSec%.3f,"task_med":$taskMedSec%.3f,""" +
+        s""""skew":$skewed}"""
+  }
+
+  // single listener-bus thread writes these; the bench thread only reads
+  // after quiesce — TrieMap keeps the cross-thread handoff safe
+  private val stageQuery = TrieMap.empty[Int, String]
+  private val stageWall = TrieMap.empty[Int, Double]
+  private val taskDur = TrieMap.empty[Int, ArrayBuffer[Long]]
+  @volatile private var label: String = "_untracked"
+
+  /** Attribute subsequently submitted jobs' stages to this query. */
+  def setLabel(l: String): Unit = label = l
+
+  /** Drop all recorded attributions (start of a measured pass). */
+  def reset(): Unit = { stageQuery.clear(); stageWall.clear(); taskDur.clear() }
+
+  override def onJobStart(js: SparkListenerJobStart): Unit =
+    js.stageInfos.foreach(si => stageQuery.putIfAbsent(si.stageId, label))
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val d = taskDur.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
+    if (te.taskInfo != null) d += te.taskInfo.duration
+  }
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val si = sc.stageInfo
+    for (sub <- si.submissionTime; done <- si.completionTime)
+      stageWall.put(si.stageId, (done - sub) / 1e3)
+  }
+
+  /** Per-query stage rows, stage-id order, skipping unattributed work
+    * and stages that never ran a task (AQE exchange-reuse skips them). */
+  def report(): Map[String, Seq[StageRow]] =
+    stageQuery.toSeq
+      .filter { case (_, q) => q != "_untracked" }
+      .map { case (id, q) =>
+        val durs = taskDur.get(id).map(_.toSeq.sorted).getOrElse(Nil)
+        val med = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
+        val mx = if (durs.isEmpty) 0.0 else durs.last / 1e3
+        StageRow(q, id, stageWall.getOrElse(id, 0.0), durs.size, mx, med)
+      }
+      .filter(_.nTasks > 0)
+      .groupBy(_.query)
+      .map { case (q, rows) => q -> rows.sortBy(_.stageId) }
+
+  /** JSON object {query: [stageRow...]} for the bench artifact. */
+  def reportJson(): String =
+    report().toSeq.sortBy(_._1).map { case (q, rows) =>
+      s""""$q":${rows.map(_.json).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+
+  /** Queries with at least one skewed stage → worst max/median ratio. */
+  def skewFlags(): Map[String, Double] =
+    report().collect { case (q, rows) if rows.exists(_.skewed) =>
+      q -> rows.filter(_.skewed).map(r => r.taskMaxSec / r.taskMedSec).max
+    }
+}

@@ -78,7 +78,8 @@ object ClusteringQueries {
   private def assignCte(out: String, cents: String): String =
     s"""$out AS (
        |  SELECT vec_id, v, cluster, dist2 FROM (
-       |    SELECT x.vec_id, x.v, c.cid AS cluster, ${DuckSql.dist2Big("x.v", "c.c")} AS dist2,
+       |    SELECT x.vec_id, x.v, c.cid AS cluster,
+       |      CAST(${DuckSql.dist2Big("x.v", "c.c")} AS BIGINT) AS dist2,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY ${DuckSql.dist2Big("x.v", "c.c")}, c.cid) AS rn
        |    FROM v x CROSS JOIN $cents c

@@ -205,7 +205,9 @@ object CurationQueries {
             s"(${sq.polyHash(s"concat('i#', ${sq.castStr("doc_id")})", 12)} % 1000) AS draw")
           .filter(col("draw") < col("permille"))
           .selectExpr("doc_id", "lang", "permille",
-            "(1000.0 / permille) AS weight")
+            // CAST the literal: Spark parses 1000.0 as DECIMAL, which would
+            // make this decimal division while the oracle divides doubles.
+            "(CAST(1000.0 AS DOUBLE) / permille) AS weight")
           .orderBy("doc_id")
       }, {
         val d = DuckSql

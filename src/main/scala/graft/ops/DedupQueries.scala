@@ -60,7 +60,7 @@ object DedupQueries {
 
   /** Spark form of the same set via the native ShingleHashSet3 expression
     * (identical arithmetic, tight JVM loop instead of interpreted HOFs). */
-  private val sparkShingleSet: String =
+  private[graft] val sparkShingleSet: String =
     s"graft_shingle_hash_set(${SparkSql.tokens("text")})"
 
   private def bandValue(d: Dialect, b: Int): String = {
@@ -235,8 +235,10 @@ object DedupQueries {
     // vice versa, which J ≥ t implies), and two sets whose overlap is
     // that large MUST share an element inside both prefixes — so the
     // prefix equi-join finds every qualifying pair. The global order is
-    // (document frequency, shingle) packed into one BIGINT (df·2^24 +
-    // hash; polyHash is 24-bit so the packing is injective): rare
+    // (document frequency, shingle) packed into one BIGINT (df·M + hash
+    // with M = 1000000007 = the polyHash modulus, so hash < M and the
+    // packing is injective AND df-major; df ≤ doc count keeps the
+    // product well inside BIGINT): rare
     // shingles sort first, so prefixes hold the rarest shingles and the
     // equi-join fan-out per key is minimal — boilerplate shingles never
     // enumerate candidates.
@@ -252,7 +254,7 @@ object DedupQueries {
           .selectExpr("doc_id", s"explode($sparkShingleSet) AS s"))
         val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
         val docs = ScratchCache.scratch(ex.join(dfTab, "s")
-          .selectExpr("doc_id", s"(df * ${1L << 24} + s) AS c")
+          .selectExpr("doc_id", s"(df * ${graft.oracle.Dialect.M} + s) AS c")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("c"))).as("cs"),
             count(lit(1)).as("sz")))
@@ -278,7 +280,7 @@ object DedupQueries {
         s"""WITH ex AS (SELECT doc_id, unnest(${shingleHashSet(d)}) AS s FROM documents),
            |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
            |docs AS (
-           |  SELECT doc_id, ${d.sortL(s"list(df * ${1L << 24} + ex.s)")} AS cs,
+           |  SELECT doc_id, ${d.sortL(s"list(df * ${graft.oracle.Dialect.M} + ex.s)")} AS cs,
            |    count(*) AS sz
            |  FROM ex JOIN dfq ON ex.s = dfq.s GROUP BY doc_id
            |),

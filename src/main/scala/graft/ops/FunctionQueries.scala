@@ -171,14 +171,17 @@ object FunctionQueries {
           .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
           .agg(sort_array(collect_list("n_name")).as("nations"))
-          .selectExpr("r_name", "nations",
+          // the raw LIST column is not hashable by the oracle harness —
+          // emit it joined to a string; the array ops still run underneath
+          .selectExpr("r_name", "array_join(nations, '|') AS nations_str",
             "CAST(size(nations) AS INT) AS n_nations",
             "element_at(nations, 1) AS first_nation",
             "element_at(nations, size(nations)) AS last_nation",
             "array_join(slice(nations, 1, 3), ',') AS top3",
             "array_contains(nations, 'CANADA') AS has_canada")
           .orderBy("r_name"),
-      """SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+      """SELECT r_name,
+        |  array_to_string(list(n_name ORDER BY n_name), '|') AS nations_str,
         |  CAST(len(list(n_name ORDER BY n_name)) AS INT) AS n_nations,
         |  (list(n_name ORDER BY n_name))[1] AS first_nation,
         |  (list(n_name ORDER BY n_name))[len(list(n_name ORDER BY n_name))]
@@ -380,7 +383,7 @@ object FunctionQueries {
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey, price_key) AS priciest_order,
         |  arg_min(o_orderkey, price_key) AS cheapest_order,
-        |  count_if(o_orderstatus = 'F') AS n_final,
+        |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_final,
         |  bool_or(o_orderstatus = 'P') AS any_pending,
         |  count(*) AS n_orders
         |FROM (SELECT o_orderpriority, o_orderkey, o_orderstatus,

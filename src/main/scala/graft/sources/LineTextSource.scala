@@ -5,6 +5,8 @@ import java.util.{Map => JMap}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -14,6 +16,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringContains,
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** A complete DataSource V2 connector — the extensibility half of the
   * §2a source story. The reference's `MRInput` accepts ANY Hadoop
@@ -60,6 +63,13 @@ object LineTextSource {
 class LineTextTable(path: String, splitSize: Long)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-text requires a path")
+  /** The SESSION's Hadoop configuration (fs.defaultFS, s3a credentials,
+    * any spark.hadoop.* overrides), captured driver-side when the scan/
+    * write is built and shipped to tasks serialized — a bare
+    * `new Configuration()` would silently ignore all of it. */
+  private def sessionConf: SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
   override def name(): String = s"graft-text:$path"
   override def schema(): StructType = LineTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -82,7 +92,7 @@ class LineTextTable(path: String, splitSize: Long)
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new LineTextBatchWrite(path, doTruncate)
+          new LineTextBatchWrite(path, doTruncate, info.queryId(), sessionConf)
       }
     }
   /** Filter pushdown (the connector half of §4 predicate pushdown):
@@ -108,7 +118,8 @@ class LineTextTable(path: String, splitSize: Long)
         rest
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new LineTextScan(path, splitSize, pushed)
+      override def build(): Scan =
+        new LineTextScan(path, splitSize, pushed, sessionConf)
     }
 }
 
@@ -116,7 +127,10 @@ final case class LineRange(file: String, start: Long, end: Long)
     extends InputPartition
 
 class LineTextScan(path: String, splitSize: Long,
-    filters: Array[Filter] = Array.empty) extends Scan with Batch {
+    filters: Array[Filter] = Array.empty,
+    conf: SerializableConfiguration =
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    extends Scan with Batch {
   override def readSchema(): StructType = LineTextSource.Schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -127,7 +141,7 @@ class LineTextScan(path: String, splitSize: Long,
     * of line boundaries (the reader contract repairs them). */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
@@ -147,9 +161,10 @@ class LineTextScan(path: String, splitSize: Long,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = filters
+    val cc = conf
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new LineTextReader(partition.asInstanceOf[LineRange], fs)
+        new LineTextReader(partition.asInstanceOf[LineRange], fs, cc)
     }
   }
 }
@@ -157,26 +172,36 @@ class LineTextScan(path: String, splitSize: Long,
 final case class LineFileCommit(tempFile: String, finalName: String)
     extends WriterCommitMessage
 
-class LineTextBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+class LineTextBatchWrite(path: String, truncate: Boolean, queryId: String,
+    conf: SerializableConfiguration) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LineTextWriterFactory(path)
+    new LineTextWriterFactory(path, queryId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(dir)
     messages.foreach { case LineFileCommit(temp, fin) =>
-      fs.rename(new Path(temp), new Path(dir, fin))
+      // HDFS-style rename returns FALSE (no exception) when the target
+      // exists — swallowing it would silently drop a task's whole
+      // output while the job reports success. Final names carry the
+      // write's queryId (the FileCommitProtocol jobId pattern), so
+      // append-mode jobs into a non-empty dir can never collide; any
+      // false here is a real fault and must fail the job.
+      if (!fs.rename(new Path(temp), new Path(dir, fin)))
+        throw new SparkException(
+          s"graft-text commit failed: rename $temp -> $dir/$fin " +
+            "returned false (target exists or source missing)")
     }
     fs.delete(new Path(dir, "_temporary"), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.filter(_ != null).foreach {
       case LineFileCommit(temp, _) => fs.delete(new Path(temp), false)
     }
@@ -184,22 +209,24 @@ class LineTextBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   }
 }
 
-class LineTextWriterFactory(path: String) extends DataWriterFactory {
+class LineTextWriterFactory(path: String, queryId: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LineTextDataWriter(path, partitionId, taskId)
+    new LineTextDataWriter(path, partitionId, taskId, queryId, conf)
 }
 
 /** One task attempt's writer: lines stream to a per-attempt temp file
   * (partition AND task id in the name, so a retried/speculative attempt
   * never collides with the original); commit hands the file to the
   * driver, abort deletes it. */
-class LineTextDataWriter(path: String, partitionId: Int, taskId: Long)
+class LineTextDataWriter(path: String, partitionId: Int, taskId: Long,
+    queryId: String, conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
-  private val fs = new Path(path)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = new Path(path).getFileSystem(conf.value)
   private val tempFile =
     new Path(path, f"_temporary/attempt-$partitionId%05d-$taskId")
-  private val out = fs.create(tempFile, true)
+  private val out = new java.io.BufferedOutputStream(
+    fs.create(tempFile, true), 64 * 1024)
 
   override def write(row: InternalRow): Unit = {
     out.write(row.getUTF8String(0).getBytes)
@@ -207,7 +234,7 @@ class LineTextDataWriter(path: String, partitionId: Int, taskId: Long)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    LineFileCommit(tempFile.toString, f"part-$partitionId%05d.txt")
+    LineFileCommit(tempFile.toString, f"part-$partitionId%05d-$queryId.txt")
   }
   override def abort(): Unit = {
     out.close()
@@ -217,20 +244,28 @@ class LineTextDataWriter(path: String, partitionId: Int, taskId: Long)
 }
 
 /** TextInputFormat-contract reader over one byte range; pushed
-  * contains/startsWith filters are applied per line inside the scan. */
+  * contains/startsWith filters are applied per line inside the scan.
+  * Reads go through a buffer (single-byte reads against a raw
+  * FSDataInputStream would pay a filesystem call per byte); `pos`
+  * tracks bytes CONSUMED, so the split-ownership arithmetic is
+  * unchanged. Trailing '\r' is stripped, matching Hadoop's
+  * LineRecordReader on CRLF input. */
 class LineTextReader(range: LineRange,
-    filters: Array[Filter] = Array.empty) extends PartitionReader[InternalRow] {
-  private val fs = new Path(range.file)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
-  private val in = fs.open(new Path(range.file))
+    filters: Array[Filter] = Array.empty,
+    conf: SerializableConfiguration =
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    extends PartitionReader[InternalRow] {
+  private val fs = new Path(range.file).getFileSystem(conf.value)
+  private val raw = fs.open(new Path(range.file))
   private val fileLen = fs.getFileStatus(new Path(range.file)).getLen
   private var pos: Long = range.start
   private var current: UTF8String = _
 
   // a range that does not start the file discards the line it opens in:
   // the previous range's reader finishes that line past its own end
-  if (range.start != 0) { in.seek(range.start); skipLine() }
-  else in.seek(0)
+  raw.seek(range.start)
+  private val in = new java.io.BufferedInputStream(raw, 64 * 1024)
+  if (range.start != 0) skipLine()
 
   /** consume bytes up to and including the next '\n' (or EOF). */
   private def skipLine(): Unit = {
@@ -255,7 +290,12 @@ class LineTextReader(range: LineRange,
       var b = in.read()
       while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
       if (b != -1) pos += 1
-      val s = UTF8String.fromBytes(buf.toByteArray)
+      val bytes = buf.toByteArray
+      val n = // strip a trailing '\r' (CRLF input), like LineRecordReader
+        if (bytes.length > 0 && bytes(bytes.length - 1) == '\r')
+          bytes.length - 1
+        else bytes.length
+      val s = UTF8String.fromBytes(bytes, 0, n)
       if (accepts(s.toString)) { current = s; return true }
     }
     current = null

@@ -315,6 +315,22 @@ object EventStream {
     * what a 100 TB deployment runs anyway — keyed state spills to local
     * disk instead of executor heap.
     *
+    * PRECONDITION (time-ordered batches): this processor runs under
+    * TimeMode.None — it sorts by (es, event_id) only WITHIN each
+    * micro-batch and folds batches in arrival order. Global parity
+    * with the batch running-sum window therefore requires the source
+    * to deliver micro-batches in non-overlapping event-time order
+    * (true for the file-replay harness here and for any log-ordered
+    * source, e.g. a per-key-ordered Kafka topic). A source that can
+    * split a key's rows across batches OUT of event-time order needs
+    * the watermark-buffered variant instead: TimeMode.EventTime, rows
+    * held in ListState until the watermark passes, then folded — at
+    * the cost of emission latency equal to the watermark delay. The
+    * precondition is the same one the reference's ordered edges give a
+    * processor (sorted grouped input per task; cross-DAG ordering is
+    * the DAG author's contract), so it is documented rather than paid
+    * for unconditionally.
+    *
     * Exactness: spend quantizes to cents with floor(v·100+0.5) (an
     * exact IEEE-754 op both engines run identically) and accumulates in
     * BIGINT; within a batch the group's rows are sorted by (es,

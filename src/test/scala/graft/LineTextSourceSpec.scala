@@ -70,6 +70,33 @@ class LineTextSourceSpec extends AnyFunSuite {
     assert(spark.read.text(dir).count() == 10)
   }
 
+  test("CRLF input: trailing \\r is stripped (LineRecordReader parity)") {
+    val dir = new java.io.File("/tmp/graft_linetext/crlf")
+    rmrf(dir); dir.mkdirs()
+    val w = new java.io.FileOutputStream(new java.io.File(dir, "a.txt"))
+    w.write("alpha\r\nbeta\r\ngamma\r\n".getBytes("UTF-8")); w.close()
+    val got = spark.read.format("graft-text").load(dir.toString)
+      .collect().map(_.getString(0)).sorted
+    assert(got.sameElements(Array("alpha", "beta", "gamma")),
+      got.map(s => s.map(_.toInt).mkString("[", ",", "]")).mkString(" "))
+  }
+
+  test("append-mode writes never collide: final names are job-unique") {
+    val dir = "/tmp/graft_linetext/appended"
+    rmrf(new java.io.File(dir))
+    val df = Tables.documents(spark, sf)
+      .selectExpr("concat(doc_id, '#', lang) AS value").limit(20)
+    df.repartition(2).write.mode("append").format("graft-text").save(dir)
+    df.repartition(2).write.mode("append").format("graft-text").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("part-"))
+    // two jobs x two tasks, all four files present (a partitionId-only
+    // naming scheme would silently drop the second job's renames)
+    assert(files.length == 4, files.mkString(","))
+    assert(files.distinct.length == 4)
+    assert(spark.read.text(dir).count() == 40)
+  }
+
   test("contains/startsWith filters push into the connector scan") {
     val dir = "/tmp/graft_linetext/data"
     val df = spark.read.format("graft-text")

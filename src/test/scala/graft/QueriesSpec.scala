@@ -181,6 +181,22 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"arrays broadcast despite threshold=-1: $broadcastCols")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+  test("q_dedup_prefix global-order packing is injective over the corpus") {
+    // the prefix filter's correctness rests on df*M + s being a total
+    // order over distinct (df, s) pairs: M is the polyHash modulus so
+    // s < M and the packing is injective and df-major
+    graft.functions.TextHashFunctions.register(spark)
+    val ex = Tables.documentsParallel(spark, sf)
+      .selectExpr("doc_id", s"explode(${ops.DedupQueries.sparkShingleSet}) AS s")
+    val withDf = ex.groupBy("s").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("df"))
+    val packed = withDf
+      .selectExpr(s"(df * ${graft.oracle.Dialect.M} + s) AS c", "df", "s")
+      .selectExpr("count(distinct c) AS nc", "count(distinct df, s) AS nds")
+      .collect()(0)
+    assert(packed.getLong(0) == packed.getLong(1),
+      s"packing collides: ${packed.getLong(0)} packed vs ${packed.getLong(1)} (df,s) pairs")
+  }
   test("q_pagerank iterates over the cached edge relation (no rescan per round)") {
     val p = plan("q_pagerank")
     // the lineitem file scan feeds ONLY the cache build; every round
