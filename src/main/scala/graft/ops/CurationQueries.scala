@@ -100,6 +100,46 @@ object CurationQueries {
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin),
 
+    // The VERTEX-GROUP commit under the oracle gate: ONE job writes the
+    // three split tables AND a per-language annotation table through
+    // graft.sources.GroupCommit (all-or-nothing: reference VertexGroup /
+    // commitAllOutputsOnSuccess, tez-dag/.../DAGImpl.java:2146), then
+    // the declared result is computed FROM THE RE-READ SINKS — so the
+    // driver's bit-exact compare proves the four outputs all landed and
+    // round-tripped. The oracle computes the same summary straight from
+    // `documents`. GroupCommitSpec covers the failure/recovery half of
+    // the protocol (injected failures, roll-forward).
+    "q_group_commit" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr(
+          s"${splitCase(SparkSql)} AS split", "doc_id", "lang", "n_chars")
+        val base = s"/tmp/graft_group/${new java.io.File(d).getName}"
+        val ann = docs.groupBy("lang")
+          .agg(count(lit(1)).as("lang_total"))
+        val sinks = Seq("train", "val", "test").map { sp =>
+          graft.sources.GroupCommit.Sink(
+            docs.filter(col("split") === sp), s"$base/$sp")
+        } :+ graft.sources.GroupCommit.Sink(ann, s"$base/annotations")
+        graft.sources.GroupCommit.commitGroup(s, base, sinks)
+        val back = Seq("train", "val", "test")
+          .map(sp => s.read.parquet(s"$base/$sp"))
+          .reduce(_ unionAll _)
+        back.join(s.read.parquet(s"$base/annotations"), "lang")
+          .groupBy("split", "lang", "lang_total")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select("split", "lang", "n_docs", "sum_chars", "lang_total")
+          .orderBy("split", "lang")
+      },
+      s"""WITH s AS (SELECT ${splitCase(DuckSql)} AS split, lang, n_chars
+         |  FROM documents),
+         |ann AS (SELECT lang, count(*) AS lang_total FROM documents
+         |  GROUP BY lang)
+         |SELECT split, s.lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, lang_total
+         |FROM s JOIN ann ON s.lang = ann.lang
+         |GROUP BY split, s.lang, lang_total
+         |ORDER BY split, s.lang""".stripMargin),
+
     // Benchmark decontamination: shingle overlap vs the eval subset.
     "q_contamination" -> QueryDef(
       (s, d) => {

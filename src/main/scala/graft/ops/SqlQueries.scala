@@ -131,6 +131,15 @@ object SqlQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, nation""".stripMargin
 
+  /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
+    * (CatalogCboSpec runs the same text against ANALYZEd catalog
+    * tables — the session/metastore half of the Hive-shaped surface). */
+  private[graft] val texts: Map[String, String] = Map(
+    "q_sql_pricing" -> PricingSql,
+    "q_sql_top_revenue" -> TopRevenueSql,
+    "q_sql_order_priority" -> OrderPrioritySql,
+    "q_sql_region_revenue" -> RegionRevenueSql)
+
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
     "q_sql_top_revenue" ->

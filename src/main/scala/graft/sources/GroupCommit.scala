@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SparkException
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** All-or-nothing MULTI-sink commit — the vertex-group commit of the
+  * reference (`tez-api/src/main/java/org/apache/tez/dag/api/VertexGroup.java:42`;
+  * `tez-dag/src/main/java/org/apache/tez/dag/app/dag/impl/DAGImpl.java:188,1362,2146`,
+  * `commitAllOutputsOnSuccess`): a DAG that feeds N outputs commits
+  * them together on DAG success, never piecemeal. The Spark engine's
+  * per-sink `FileCommitProtocol` only covers ONE sink per job; a
+  * curation pipeline writing train/val/test splits plus an annotation
+  * table in one run needs the group property, so this utility lifts
+  * the stage-then-rename idea to job-group scope:
+  *
+  *  - phase 1 WRITE: every sink's DataFrame is written to a sibling
+  *    staging dir `<dest>.__staging__<jobId>` (long, parallel; task
+  *    attempts/retries inside are Spark's normal committer). Nothing
+  *    is visible at any final path.
+  *  - phase 2 DECIDE: one manifest listing every staged→final move is
+  *    written to `<root>/_group_commits/<jobId>` via create-temp +
+  *    atomic rename. The manifest's existence IS the group commit
+  *    (the `commitAllOutputsOnSuccess` decision point).
+  *  - phase 3 PUBLISH: each staging dir is renamed over its final dest
+  *    (metadata-only on HDFS-class stores, so the window is short);
+  *    the manifest is removed once every move landed.
+  *
+  * Crash/failure semantics: before phase 2 nothing final ever existed —
+  * `commitGroup` rolls back its staging dirs (and a JVM-death orphan is
+  * invisible to readers, carrying the `.__staging__` name). After
+  * phase 2 the group is committed: `recover()` rolls FORWARD, finishing
+  * the publishes recorded in any pending manifest — so observers see
+  * either none of the group's outputs or (after recovery) all of them,
+  * exactly the reference's contract. GroupCommitSpec injects failures
+  * at both points and asserts the invariant.
+  *
+  * At 100 TB: phase 1 is the data-proportional part and runs with full
+  * cluster parallelism per sink; phases 2-3 are O(#sinks) driver-side
+  * metadata ops. Renames stay within the destination filesystem (the
+  * staging dir is a SIBLING of the final dir, never /tmp).
+  */
+object GroupCommit {
+  final case class Sink(df: DataFrame, dest: String, format: String = "parquet")
+
+  private def manifestDir(root: String) = new Path(root, "_group_commits")
+
+  /** Failure-injection points for the spec (never set in production). */
+  private[graft] object FailPoint {
+    val BeforeManifest = "before-manifest"
+    val AfterFirstPublish = "after-first-publish"
+  }
+
+  /** Write all sinks and commit them as one group; returns the jobId.
+    * Throws (after rollback or with a recoverable manifest) on failure. */
+  def commitGroup(spark: SparkSession, root: String, sinks: Seq[Sink],
+      injectFailure: Option[String] = None): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    val jobId = java.util.UUID.randomUUID().toString
+    val moves = sinks.map(s =>
+      (new Path(s.dest + ".__staging__" + jobId), new Path(s.dest)))
+    try {
+      // phase 1 — long, data-proportional, nothing visible
+      sinks.zip(moves).foreach { case (s, (staging, _)) =>
+        s.df.write.mode("overwrite").format(s.format).save(staging.toString)
+      }
+      if (injectFailure.contains(FailPoint.BeforeManifest))
+        throw new SparkException("injected failure before manifest")
+    } catch {
+      case e: Throwable =>
+        // no manifest ⇒ the group never committed: roll back staging
+        moves.foreach { case (staging, _) => fs.delete(staging, true) }
+        throw e
+    }
+    // phase 2 — THE commit point: temp write + atomic rename
+    val mdir = manifestDir(root)
+    fs.mkdirs(mdir)
+    val mTmp = new Path(mdir, jobId + ".tmp")
+    val mFinal = new Path(mdir, jobId)
+    val out = fs.create(mTmp, true)
+    out.write(moves.map { case (s, f) => s"$s\t$f" }.mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(mTmp, mFinal))
+      throw new SparkException(s"group commit $jobId: manifest rename failed")
+    // phase 3 — publish fan-out; a failure here leaves the manifest in
+    // place for recover() to roll forward
+    var published = 0
+    moves.foreach { case (staging, fin) =>
+      if (injectFailure.contains(FailPoint.AfterFirstPublish) && published == 1)
+        throw new SparkException("injected failure between sink publishes")
+      publish(fs, staging, fin, jobId)
+      published += 1
+    }
+    fs.delete(mFinal, false)
+    jobId
+  }
+
+  /** One staged→final move; idempotent so recovery can replay it. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, fin: Path, jobId: String): Unit = {
+    if (!fs.exists(staging)) {
+      // already published by a previous attempt (rename is the last op)
+      if (!fs.exists(fin))
+        throw new SparkException(
+          s"group commit $jobId: neither $staging nor $fin exists")
+    } else {
+      if (fs.exists(fin)) fs.delete(fin, true) // overwrite semantics
+      if (!fs.rename(staging, fin))
+        throw new SparkException(
+          s"group commit $jobId: rename $staging -> $fin returned false")
+    }
+  }
+
+  /** Roll FORWARD every pending (post-decision) group commit under
+    * `root`. Run at job/session start, like the reference AM replaying
+    * committer state from its recovery log on restart. */
+  def recover(spark: SparkSession, root: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    val mdir = manifestDir(root)
+    if (!fs.exists(mdir)) return
+    fs.listStatus(mdir).filter(_.isFile).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".tmp")) {
+        // died mid-manifest-write: never committed — discard
+        fs.delete(st.getPath, false)
+      } else {
+        val in = fs.open(st.getPath)
+        val body = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        in.close()
+        body.split("\n").filter(_.nonEmpty).foreach { line =>
+          val Array(s, f) = line.split("\t")
+          publish(fs, new Path(s), new Path(f), name)
+        }
+        fs.delete(st.getPath, false)
+      }
+    }
+  }
+}

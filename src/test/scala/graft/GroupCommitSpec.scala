@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GroupCommit
+import graft.sources.GroupCommit.{FailPoint, Sink}
+
+/** Vertex-group all-or-nothing multi-output commit (reference
+  * VertexGroup.java:42 / DAGImpl.java:2146 commitAllOutputsOnSuccess):
+  * one job's N sinks become visible together or not at all, across
+  * write failures, pre-decision failures, and failures injected BETWEEN
+  * individual sink publishes (the window the reference closes with its
+  * recovery log; here the group manifest + recover() roll-forward).
+  */
+class GroupCommitSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val root = "/tmp/graft_groupcommit"
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete()
+  }
+  private def exists(p: String) = new java.io.File(p).exists()
+  private def finals = Seq("a", "b", "c").map(n => s"$root/$n")
+  private def stagingDirs =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".__staging__")).toSeq
+  private def manifests =
+    Option(new java.io.File(s"$root/_group_commits").listFiles())
+      .getOrElse(Array.empty).toSeq
+
+  private def sinks(n: Int = 3): Seq[Sink] =
+    finals.take(n).zipWithIndex.map { case (dest, i) =>
+      Sink(spark.range(100 * (i + 1)).toDF("id"), dest)
+    }
+
+  test("happy path: all sinks visible, no staging or manifest residue") {
+    rmrf(new java.io.File(root))
+    GroupCommit.commitGroup(spark, root, sinks())
+    finals.foreach(p => assert(exists(p), p))
+    assert(stagingDirs.isEmpty)
+    assert(manifests.isEmpty)
+    assert(spark.read.parquet(finals(2)).count() == 300)
+  }
+
+  test("a failing sink write rolls back the whole group: nothing visible") {
+    rmrf(new java.io.File(root))
+    val poisoned = sinks().init :+
+      Sink(spark.range(10).selectExpr("raise_error('boom') AS id"), finals(2))
+    intercept[Exception] {
+      GroupCommit.commitGroup(spark, root, poisoned)
+    }
+    finals.foreach(p => assert(!exists(p), s"partial output visible: $p"))
+    assert(stagingDirs.isEmpty, stagingDirs.mkString(","))
+  }
+
+  test("failure before the manifest: nothing visible, staging rolled back") {
+    rmrf(new java.io.File(root))
+    intercept[Exception] {
+      GroupCommit.commitGroup(spark, root, sinks(),
+        injectFailure = Some(FailPoint.BeforeManifest))
+    }
+    finals.foreach(p => assert(!exists(p), s"partial output visible: $p"))
+    assert(stagingDirs.isEmpty)
+    assert(manifests.isEmpty)
+  }
+
+  test("failure BETWEEN sink publishes: recover() rolls the group forward") {
+    rmrf(new java.io.File(root))
+    intercept[Exception] {
+      GroupCommit.commitGroup(spark, root, sinks(),
+        injectFailure = Some(FailPoint.AfterFirstPublish))
+    }
+    // the decision landed (manifest present) but the fan-out was cut
+    // mid-way: exactly the state a crashed driver leaves behind
+    assert(manifests.nonEmpty)
+    GroupCommit.recover(spark, root)
+    finals.foreach(p => assert(exists(p), s"missing after recovery: $p"))
+    assert(stagingDirs.isEmpty)
+    assert(manifests.isEmpty)
+    // and the data is complete, not truncated
+    assert(spark.read.parquet(finals(1)).count() == 200)
+  }
+
+  test("group overwrite replaces prior content atomically") {
+    rmrf(new java.io.File(root))
+    GroupCommit.commitGroup(spark, root, sinks())
+    val next = finals.map(dest =>
+      Sink(spark.range(7).toDF("id"), dest))
+    GroupCommit.commitGroup(spark, root, next)
+    finals.foreach(p => assert(spark.read.parquet(p).count() == 7, p))
+  }
+}
