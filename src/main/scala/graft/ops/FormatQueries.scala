@@ -81,6 +81,30 @@ object FormatQueries {
             "CAST(p[2] AS BIGINT) AS n_chars")
           .orderBy("doc_id")
       },
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+
+    // Round trip through the SPLITTABLE BINARY container
+    // (graft.sources.BinaryRecordSource, format "graft-binrec" — the
+    // SequenceFile-style sync-marker format completing MRInput's "any
+    // InputFormat" claim for delimiter-free data): documents travel as
+    // opaque UTF-8 payloads, written with a small sync interval and
+    // re-read through 4 KB byte-range splits so dozens of boundaries
+    // land mid-record and the sync-scan repair does the work. Decode +
+    // parse closes the loop under the driver's bit-exact oracle.
+    "q_binrec_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = s"/tmp/graft_fmt/bin_${new java.io.File(d).getName}"
+        Tables.documents(s, d)
+          .selectExpr(
+            "CAST(concat(doc_id, '|', lang, '|', n_chars) AS BINARY) AS value")
+          .write.mode("overwrite").option("syncIntervalBytes", "1024")
+          .format("graft-binrec").save(out)
+        s.read.format("graft-binrec").option("splitSize", "4096").load(out)
+          .selectExpr("split(CAST(value AS STRING), '\\\\|') AS p")
+          .selectExpr("CAST(p[0] AS BIGINT) AS doc_id", "p[1] AS lang",
+            "CAST(p[2] AS BIGINT) AS n_chars")
+          .orderBy("doc_id")
+      },
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")
   )
 }
