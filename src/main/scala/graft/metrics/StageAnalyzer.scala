@@ -21,7 +21,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   */
 class StageAnalyzer extends SparkListener {
   final case class StageRow(query: String, stageId: Int, wallSec: Double,
-      nTasks: Int, taskMaxSec: Double, taskMedSec: Double) {
+      nTasks: Int, taskMaxSec: Double, taskMedSec: Double,
+      spillBytes: Long, shuffleReadBytes: Long, shuffleWriteBytes: Long) {
     def skewed: Boolean =
       // materiality floor (the reference's SkewAnalyzer also gates on
       // absolute size): a 27ms straggler over a 4ms median is scheduler
@@ -32,7 +33,8 @@ class StageAnalyzer extends SparkListener {
     def json: String =
       f"""{"stage":$stageId,"wall":$wallSec%.3f,"tasks":$nTasks,""" +
         f""""task_max":$taskMaxSec%.3f,"task_med":$taskMedSec%.3f,""" +
-        s""""skew":$skewed}"""
+        s""""spill":$spillBytes,"sh_read":$shuffleReadBytes,""" +
+        s""""sh_write":$shuffleWriteBytes,"skew":$skewed}"""
   }
 
   // single listener-bus thread writes these; the bench thread only reads
@@ -46,7 +48,9 @@ class StageAnalyzer extends SparkListener {
   def setLabel(l: String): Unit = label = l
 
   /** Drop all recorded attributions (start of a measured pass). */
-  def reset(): Unit = { stageQuery.clear(); stageWall.clear(); taskDur.clear() }
+  def reset(): Unit = {
+    stageQuery.clear(); stageWall.clear(); taskDur.clear(); stageBytes.clear()
+  }
 
   override def onJobStart(js: SparkListenerJobStart): Unit =
     js.stageInfos.foreach(si => stageQuery.putIfAbsent(si.stageId, label))
@@ -56,10 +60,20 @@ class StageAnalyzer extends SparkListener {
     if (te.taskInfo != null) d += te.taskInfo.duration
   }
 
+  // per-stage (spill, shuffleRead, shuffleWrite) from completed
+  // TaskMetrics — the SpillAnalyzerImpl / critical-path byte counters
+  private val stageBytes = TrieMap.empty[Int, (Long, Long, Long)]
+
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val si = sc.stageInfo
     for (sub <- si.submissionTime; done <- si.completionTime)
       stageWall.put(si.stageId, (done - sub) / 1e3)
+    val m = si.taskMetrics
+    if (m != null)
+      stageBytes.put(si.stageId,
+        (m.memoryBytesSpilled + m.diskBytesSpilled,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten))
   }
 
   /** Per-query stage rows, stage-id order, skipping unattributed work
@@ -71,7 +85,9 @@ class StageAnalyzer extends SparkListener {
         val durs = taskDur.get(id).map(_.toSeq.sorted).getOrElse(Nil)
         val med = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
         val mx = if (durs.isEmpty) 0.0 else durs.last / 1e3
-        StageRow(q, id, stageWall.getOrElse(id, 0.0), durs.size, mx, med)
+        val (sp, sr, sw) = stageBytes.getOrElse(id, (0L, 0L, 0L))
+        StageRow(q, id, stageWall.getOrElse(id, 0.0), durs.size, mx, med,
+          sp, sr, sw)
       }
       .filter(_.nTasks > 0)
       .groupBy(_.query)

@@ -52,29 +52,75 @@ object MultimodalQueries {
         val media = graft.multimodal.BinaryPipeline.mediaFromDocuments(s, d)
         graft.multimodal.BinaryPipeline.frameSample(media, NFrames)
           .orderBy("media_id", "frame_idx")
+      },
+      s"""SELECT media_id, frame_idx, frame_hash
+         |FROM (${framesSql("documents")})
+         |ORDER BY media_id, frame_idx""".stripMargin),
+
+    // MEDIA DEDUP BY FRAME SIGNATURE — the video/image near-dup stage a
+    // multimodal corpus build runs after frame sampling: two payloads
+    // whose sampled frame hashes all agree are duplicates (with a real
+    // codec these become perceptual frame hashes; the stub keeps the
+    // arithmetic oracle-replicable). Composition: binary payload →
+    // decode-stub frame sample (partition-local) → per-media signature
+    // fold (one bounded-fan-in shuffle: NFrames rows per media) →
+    // signature groupBy. At 100 TB the shuffle carries one BIGINT per
+    // frame — never payload bytes; payloads die at the sampler.
+    "q_multimodal_dup" -> QueryDef(
+      (s, d) => {
+        val media = graft.multimodal.BinaryPipeline.mediaFromDocuments(s, d)
+        val frames = graft.multimodal.BinaryPipeline.frameSample(media, NFrames)
+        frames.groupBy("media_id")
+          .agg(org.apache.spark.sql.functions.expr(
+            "aggregate(array_sort(collect_list(struct(frame_idx, frame_hash)))," +
+              s" CAST(0 AS BIGINT), (a, x) -> (a * 31 + x.frame_hash) % ${graft.oracle.Dialect.M})")
+            .as("sig"))
+          .groupBy("sig")
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_media"),
+            org.apache.spark.sql.functions.min("media_id").as("min_media_id"),
+            org.apache.spark.sql.functions.max("media_id").as("max_media_id"))
+          .filter("n_media > 1")
+          .orderBy("sig")
       }, {
         val dk = DuckSql
-        // per (doc, frame): h = fold of (h*31 + byte) % M over the slice
-        // [start, end), seeded 17 — the seed rides as a pseudo-element at
-        // i = start so the 0-seeded fold reproduces it: 0*31 + 17 = 17.
-        val hash = dk.foldBig(
-          dk.transform(
-            dk.seqIncl("start_i", "end_i"), "i",
-            "CASE WHEN i = start_i THEN 17" +
-              " ELSE CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) END"),
+        val fold = dk.foldBig("list(frame_hash ORDER BY frame_idx)",
           "a", "x", s"((a * 31 + x) % ${graft.oracle.Dialect.M})")
-        s"""SELECT media_id, frame_idx, CAST($hash AS BIGINT) AS frame_hash
-           |FROM (
-           |  SELECT media_id, text, frame_idx,
-           |    ${dk.idiv(s"frame_idx * len", NFrames.toString)} AS start_i,
-           |    ${dk.idiv(s"(frame_idx + 1) * len", NFrames.toString)} AS end_i
-           |  FROM (
-           |    SELECT doc_id AS media_id, text, length(text) AS len,
-           |      CAST(unnest(generate_series(0, ${NFrames - 1})) AS INT)
-           |        AS frame_idx
-           |    FROM documents))
-           |ORDER BY media_id, frame_idx""".stripMargin
+        s"""WITH frames AS (${framesSql("documents")}),
+           |med AS (
+           |  SELECT media_id, $fold AS sig
+           |  FROM frames GROUP BY media_id)
+           |SELECT sig, count(*) AS n_media,
+           |  min(media_id) AS min_media_id, max(media_id) AS max_media_id
+           |FROM med GROUP BY sig HAVING count(*) > 1
+           |ORDER BY sig""".stripMargin
       })
   )
 
+  /** DuckDB frame-hash table (media_id, frame_idx, frame_hash) over a
+    * documents-shaped table — per (doc, frame): h = fold of
+    * (h*31 + byte) % M over the byte slice [start, end), seeded 17 (the
+    * seed rides as a pseudo-element at i = start so the 0-seeded fold
+    * reproduces it: 0*31 + 17 = 17). Mirrors
+    * [[graft.multimodal.BinaryPipeline.sampleFrameHashes]] exactly. */
+  private def framesSql(table: String): String = {
+    val dk = DuckSql
+    val hash = dk.foldBig(
+      dk.transform(
+        dk.seqIncl("start_i", "end_i"), "i",
+        "CASE WHEN i = start_i THEN 17" +
+          " ELSE CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) END"),
+      "a", "x", s"((a * 31 + x) % ${graft.oracle.Dialect.M})")
+    s"""SELECT media_id, frame_idx, CAST($hash AS BIGINT) AS frame_hash
+       |FROM (
+       |  SELECT media_id, text, frame_idx,
+       |    ${dk.idiv(s"frame_idx * len", NFrames.toString)} AS start_i,
+       |    ${dk.idiv(s"(frame_idx + 1) * len", NFrames.toString)} AS end_i
+       |  FROM (
+       |    SELECT doc_id AS media_id, text, length(text) AS len,
+       |      CAST(unnest(generate_series(0, ${NFrames - 1})) AS INT)
+       |        AS frame_idx
+       |    FROM $table))""".stripMargin
+  }
 }

@@ -277,13 +277,25 @@ object TextQueries {
           // distinct-tokens-per-doc rows, not tokens-per-doc. tf and df
           // both derive from this frame (a doc has exactly one lang, so
           // its per-token row count IS the document frequency).
+          // per-doc counts via SORTED RUNS, not a nested filter per
+          // distinct token: sort once (n log n), mark run starts, and
+          // each run's length is the token's count — a very long doc
+          // costs n log n, where the distinct×total nested-HOF form
+          // would go quadratic (VERDICT r03 hygiene note).
           val docTok = graft.ScratchCache.scratch(
             docs
-              .selectExpr("doc_id", "lang", s"${SparkSql.tokens("text")} AS toks")
+              .selectExpr("doc_id", "lang",
+                s"array_sort(${SparkSql.tokens("text")}) AS toks")
+              .selectExpr("lang", "toks",
+                "filter(CASE WHEN size(toks) = 0 THEN array()" +
+                  " ELSE sequence(1, size(toks)) END," +
+                  " i -> i = 1 OR element_at(toks, i) != element_at(toks, i - 1))" +
+                  " AS starts")
               .selectExpr("lang",
-                "explode(transform(array_distinct(toks)," +
-                  " t -> struct(t AS token," +
-                  " CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS dtf))) AS e")
+                "explode(transform(starts, (st, j) -> struct(" +
+                  "element_at(toks, st) AS token, " +
+                  "CAST(IF(j + 2 <= size(starts), element_at(starts, j + 2)," +
+                  " size(toks) + 1) - st AS BIGINT) AS dtf))) AS e")
               .selectExpr("lang", "e.token AS token", "e.dtf AS dtf"))
           val tf = docTok.groupBy("lang", "token").agg(sum("dtf").as("tf"))
           val df = docTok.groupBy("token").agg(count(lit(1)).as("df"))
