@@ -466,6 +466,87 @@ object TextQueries {
              |ORDER BY lang, rank""".stripMargin
         }),
 
+      // PER-DOC LM QUALITY SCORE: average negative log2-likelihood of
+      // each document under the corpus's own per-lang bigram LM — the
+      // perplexity-filter stage of a curation pipeline (score docs
+      // against a reference LM, drop the high-NLL tail). Exactness: the
+      // LM probability is one double division, log2 is rounded to 6 dp
+      // per BIGRAM TYPE (the q_tfidf transcendental pattern), and the
+      // per-doc sum folds contributions in sorted (w1, w2) order — an
+      // identical left-to-right double fold in both engines.
+      // Scale shape: TWO bounded shuffles — per-doc DISTINCT bigrams
+      // (never the raw bigram stream; dbf rides along) and the
+      // vocab-bounded LM build — then a (lang, w1, w2) equi-join and a
+      // per-doc fold. No driver state, nothing broadcast that grows
+      // with the corpus (the LM join is a plain shuffle join; Catalyst
+      // may broadcast it only when it measures small).
+      "q_doc_perplexity" -> QueryDef(
+        (s, dir) => {
+          val toks = SparkSql.tokens("text")
+          val base = graft.ScratchCache.scratch(
+            Tables.documentsParallel(s, dir)
+              .selectExpr("doc_id", "lang", s"$toks AS t")
+              .filter(expr("size(t) >= 2"))
+              .selectExpr("doc_id", "lang",
+                "explode(transform(sequence(1, size(t) - 1)," +
+                  " i -> struct(element_at(t, i) AS w1," +
+                  " element_at(t, i + 1) AS w2))) AS b")
+              .selectExpr("doc_id", "lang", "b.w1 AS w1", "b.w2 AS w2")
+              .groupBy("doc_id", "lang", "w1", "w2")
+              .agg(count(lit(1)).as("dbf")))
+          val cnts = base.groupBy("lang", "w1", "w2")
+            .agg(sum("dbf").as("cnt"))
+          val prefix = cnts.groupBy("lang", "w1")
+            .agg(sum("cnt").as("prefix_cnt"))
+          val lm = cnts.join(prefix, Seq("lang", "w1"))
+            .selectExpr("lang", "w1", "w2",
+              "round(log2(CAST(cnt AS DOUBLE) / prefix_cnt), 6) AS lp")
+          base.join(lm, Seq("lang", "w1", "w2"))
+            .groupBy("doc_id", "lang")
+            .agg(
+              sum("dbf").as("n_bigrams"),
+              expr("aggregate(transform(" +
+                "array_sort(collect_list(struct(w1, w2, dbf * lp AS c)))," +
+                " x -> x.c), CAST(0 AS DOUBLE), (a, x) -> a + x)").as("s"))
+            .selectExpr("doc_id", "lang", "n_bigrams",
+              "round(-s / n_bigrams, 6) AS avg_nll")
+            .orderBy("doc_id")
+        }, {
+          val d = DuckSql
+          s"""WITH docs AS (
+             |  SELECT doc_id, lang, ${d.tokens("text")} AS t FROM documents),
+             |b AS (
+             |  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+             |    SELECT doc_id, lang, unnest(list_transform(
+             |      generate_series(1, ${d.sizeL("t")} - 1),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+             |    FROM docs WHERE ${d.sizeL("t")} >= 2)),
+             |base AS (
+             |  SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS dbf
+             |  FROM b GROUP BY doc_id, lang, w1, w2),
+             |cnts AS (
+             |  SELECT lang, w1, w2, CAST(sum(dbf) AS BIGINT) AS cnt
+             |  FROM base GROUP BY lang, w1, w2),
+             |prefix AS (
+             |  SELECT lang, w1, CAST(sum(cnt) AS BIGINT) AS prefix_cnt
+             |  FROM cnts GROUP BY lang, w1),
+             |lm AS (
+             |  SELECT c.lang, c.w1, c.w2,
+             |    round(log2(CAST(cnt AS DOUBLE) / prefix_cnt), 6) AS lp
+             |  FROM cnts c JOIN prefix p ON c.lang = p.lang AND c.w1 = p.w1),
+             |per AS (
+             |  SELECT doc_id, base.lang AS lang,
+             |    CAST(sum(dbf) AS BIGINT) AS n_bigrams,
+             |    ${d.foldDbl("list(dbf * lp ORDER BY base.w1, base.w2)",
+                   "a", "x", "a + x")} AS s
+             |  FROM base JOIN lm ON base.lang = lm.lang
+             |    AND base.w1 = lm.w1 AND base.w2 = lm.w2
+             |  GROUP BY doc_id, base.lang)
+             |SELECT doc_id, lang, n_bigrams,
+             |  round(-s / n_bigrams, 6) AS avg_nll
+             |FROM per ORDER BY doc_id""".stripMargin
+        }),
+
       "q_doc_fingerprint" -> QueryDef(
         (s, dir) =>
           Tables.documentsParallel(s, dir)
