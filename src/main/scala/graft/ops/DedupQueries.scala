@@ -158,6 +158,41 @@ object DedupQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
 
+    // Blocked EDIT-DISTANCE similarity join — the string-level fuzzy
+    // matcher next to the set-level family (shingle Jaccard, MinHash):
+    // the record-linkage / catalog-dedup shape. The block key is
+    // (brand, size) plus a length gap ≤ 5 — both are part of the BLOCK
+    // DEFINITION (pairs outside them are out of scope by design, the
+    // standard blocking trade-off, fixture-tuned like q_dedup_ngram's
+    // lang/length blocks; identical in the oracle text, so the gate
+    // checks the same contract). Levenshtein is integer unit-cost edit
+    // distance, bit-identical in both engines on ASCII. At scale:
+    // candidates shuffle on the block key; the O(nm) DP runs
+    // partition-local; nothing broadcasts and nothing is all-pairs.
+    "q_fuzzy_join" -> QueryDef(
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val a = p.selectExpr("p_partkey AS key_a", "p_brand", "p_size",
+          "p_name AS name_a")
+        val b = p.selectExpr("p_partkey AS key_b", "p_brand", "p_size",
+          "p_name AS name_b")
+        a.join(b, Seq("p_brand", "p_size"))
+          .filter(col("key_a") < col("key_b") &&
+            expr("abs(length(name_a) - length(name_b)) <= 5"))
+          .selectExpr("key_a", "key_b",
+            "CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev")
+          .filter(col("lev") <= 12)
+          .orderBy("key_a", "key_b")
+      },
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 5
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY key_a, key_b""".stripMargin),
+
     // Exact hashed-3-gram Jaccard, blocked by (lang, ±1 length band).
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {

@@ -111,6 +111,99 @@ object GraphQueries {
            |$rounds
            |SELECT id AS part_key, rank FROM r$Iters
            |ORDER BY rank DESC, part_key""".stripMargin
-      })
+      }),
+
+    // TRIANGLE COUNTING over the same co-purchase graph — the standard
+    // third member of the iterative/graph trio (PageRank, connected
+    // components, triangles), via the two techniques a dense graph
+    // needs at scale:
+    //  - DOULION edge sampling (Tsourakakis et al., KDD'09): keep each
+    //    edge by a DETERMINISTIC hash (p = 1/5 here), count exactly on
+    //    the subgraph, estimate = count·(1/p)³. The co-purchase graph
+    //    is wedge-dense (orders are cliques of their parts), so the
+    //    full wedge join is the classic blow-up — sampling cuts wedge
+    //    volume by p² and both engines replay the SAME subgraph
+    //    bit-for-bit (hash sampling, not RNG), keeping the oracle gate
+    //    exact on the sampled count AND the estimator.
+    //  - degree-ordered orientation (compact-forward / MapReduce
+    //    triangle counting, Suri-Vassilvitskii WWW'11): every kept
+    //    edge is directed from its lower-(degree, id) endpoint, capping
+    //    per-node out-degree at O(√E) so hub nodes cannot explode the
+    //    wedge self-join. Wedge (u→v, u→w) closes on directed (v→w);
+    //    each triangle counts exactly once. The (deg, id) order packs
+    //    into one BIGINT (deg·2³² + id) so both engines compare the
+    //    same scalar. Output: sampled-subgraph top-10 nodes by
+    //    triangle participation plus the Doulion-scaled estimate.
+    "q_triangles" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val byOrder = li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("parts"))
+        // undirected edge set (a < b), then the deterministic 1/5
+        // Doulion sample — the hash is engine-identical BIGINT math
+        val e = byOrder
+          .select(explode(col("parts")).as("a"), col("parts"))
+          .select(col("a"), explode(col("parts")).as("b"))
+          .filter(col("a") < col("b"))
+          .distinct()
+          .filter(expr("(CAST(a AS BIGINT) * 1000003 + b) % 5 = 0"))
+        val deg = ScratchCache.scratch(e.selectExpr("a AS node")
+          .unionAll(e.selectExpr("b AS node"))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .selectExpr("node", s"dg * ${1L << 32} + node AS rk"))
+        // orient: u = lower-rank endpoint; carry v's rank for the
+        // wedge ordering predicate
+        val dir = ScratchCache.scratch(e
+          .join(deg.selectExpr("node AS a", "rk AS rka"), "a")
+          .join(deg.selectExpr("node AS b", "rk AS rkb"), "b")
+          .selectExpr(
+            "IF(rka < rkb, a, b) AS u",
+            "IF(rka < rkb, b, a) AS v",
+            "IF(rka < rkb, rkb, rka) AS rkv"))
+        val wedges = dir.selectExpr("u", "v AS x", "rkv AS rkx")
+          .join(dir.selectExpr("u", "v AS y", "rkv AS rky"), "u")
+          .filter(col("rkx") < col("rky"))
+          .select("u", "x", "y")
+        val tri = wedges.join(
+          dir.selectExpr("v AS y", "u AS x"), Seq("x", "y"))
+        tri.selectExpr("u AS node")
+          .unionAll(tri.selectExpr("x AS node"))
+          .unionAll(tri.selectExpr("y AS node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy(desc("n_triangles"), col("node"))
+          .limit(10)
+          .selectExpr("node AS part_key", "n_triangles",
+            "n_triangles * 125 AS doulion_est")
+      },
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    WHERE a.l_partkey < b.l_partkey)
+         |  WHERE (CAST(a AS BIGINT) * 1000003 + b) % 5 = 0
+         |),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) * ${1L << 32} + node AS rk
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node),
+         |dir AS (
+         |  SELECT CASE WHEN ra.rk < rb.rk THEN e.a ELSE e.b END AS u,
+         |    CASE WHEN ra.rk < rb.rk THEN e.b ELSE e.a END AS v,
+         |    CASE WHEN ra.rk < rb.rk THEN rb.rk ELSE ra.rk END AS rkv
+         |  FROM e
+         |  JOIN deg ra ON ra.node = e.a
+         |  JOIN deg rb ON rb.node = e.b),
+         |w AS (
+         |  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+         |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.rkv < e2.rkv),
+         |tri AS (
+         |  SELECT w.u, w.x, w.y
+         |  FROM w JOIN dir ON dir.u = w.x AND dir.v = w.y)
+         |SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles,
+         |  CAST(count(*) * 125 AS BIGINT) AS doulion_est
+         |FROM (SELECT u AS node FROM tri UNION ALL
+         |      SELECT x FROM tri UNION ALL SELECT y FROM tri)
+         |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10""".stripMargin)
   )
 }

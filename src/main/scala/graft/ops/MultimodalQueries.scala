@@ -66,6 +66,9 @@ object MultimodalQueries {
     // fold (one bounded-fan-in shuffle: NFrames rows per media) →
     // signature groupBy. At 100 TB the shuffle carries one BIGINT per
     // frame — never payload bytes; payloads die at the sampler.
+    // Output follows the q_dedup_exact contract: every signature group
+    // with its member count (dup clusters are the n_media > 1 rows —
+    // at sf0.001 the fixture has none, so a HAVING would go empty).
     "q_multimodal_dup" -> QueryDef(
       (s, d) => {
         val media = graft.multimodal.BinaryPipeline.mediaFromDocuments(s, d)
@@ -81,7 +84,6 @@ object MultimodalQueries {
               org.apache.spark.sql.functions.lit(1)).as("n_media"),
             org.apache.spark.sql.functions.min("media_id").as("min_media_id"),
             org.apache.spark.sql.functions.max("media_id").as("max_media_id"))
-          .filter("n_media > 1")
           .orderBy("sig")
       }, {
         val dk = DuckSql
@@ -93,7 +95,7 @@ object MultimodalQueries {
            |  FROM frames GROUP BY media_id)
            |SELECT sig, count(*) AS n_media,
            |  min(media_id) AS min_media_id, max(media_id) AS max_media_id
-           |FROM med GROUP BY sig HAVING count(*) > 1
+           |FROM med GROUP BY sig
            |ORDER BY sig""".stripMargin
       })
   )

@@ -473,7 +473,12 @@ object TextQueries {
       // LM probability is one double division, log2 is rounded to 6 dp
       // per BIGRAM TYPE (the q_tfidf transcendental pattern), and the
       // per-doc sum folds contributions in sorted (w1, w2) order — an
-      // identical left-to-right double fold in both engines.
+      // identical left-to-right double fold in both engines. The FINAL
+      // score is an integer micro-NLL via floor: the folded sum is the
+      // same double in both engines, and floor has no half-way case —
+      // round(x, 6) here once diverged on a value whose shortest repr
+      // was exactly ...5 (Spark rounds the decimal repr half-up,
+      // DuckDB rounds the ×1e6 double), sf0.1 doc 4281.
       // Scale shape: TWO bounded shuffles — per-doc DISTINCT bigrams
       // (never the raw bigram stream; dbf rides along) and the
       // vocab-bounded LM build — then a (lang, w1, w2) equi-join and a
@@ -509,7 +514,8 @@ object TextQueries {
                 "array_sort(collect_list(struct(w1, w2, dbf * lp AS c)))," +
                 " x -> x.c), CAST(0 AS DOUBLE), (a, x) -> a + x)").as("s"))
             .selectExpr("doc_id", "lang", "n_bigrams",
-              "round(-s / n_bigrams, 6) AS avg_nll")
+              "CAST(floor((0 - s) * 1000000.0 / n_bigrams) AS BIGINT)" +
+                " AS nll_micro")
             .orderBy("doc_id")
         }, {
           val d = DuckSql
@@ -543,7 +549,8 @@ object TextQueries {
              |    AND base.w1 = lm.w1 AND base.w2 = lm.w2
              |  GROUP BY doc_id, base.lang)
              |SELECT doc_id, lang, n_bigrams,
-             |  round(-s / n_bigrams, 6) AS avg_nll
+             |  CAST(floor((0 - s) * 1000000.0 / n_bigrams) AS BIGINT)
+             |    AS nll_micro
              |FROM per ORDER BY doc_id""".stripMargin
         }),
 
