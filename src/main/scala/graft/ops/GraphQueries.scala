@@ -140,13 +140,15 @@ object GraphQueries {
         val byOrder = li.groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
         // undirected edge set (a < b), then the deterministic 1/5
-        // Doulion sample — the hash is engine-identical BIGINT math
-        val e = byOrder
+        // Doulion sample — the hash is engine-identical BIGINT math.
+        // Scratch-cached: deg and dir both consume it (one lineitem
+        // scan + pair-gen, not one per consumer).
+        val e = ScratchCache.scratch(byOrder
           .select(explode(col("parts")).as("a"), col("parts"))
           .select(col("a"), explode(col("parts")).as("b"))
           .filter(col("a") < col("b"))
           .distinct()
-          .filter(expr("(CAST(a AS BIGINT) * 1000003 + b) % 5 = 0"))
+          .filter(expr("(CAST(a AS BIGINT) * 1000003 + b) % 5 = 0")))
         val deg = ScratchCache.scratch(e.selectExpr("a AS node")
           .unionAll(e.selectExpr("b AS node"))
           .groupBy("node").agg(count(lit(1)).as("dg"))
