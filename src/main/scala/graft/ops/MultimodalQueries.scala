@@ -97,8 +97,58 @@ object MultimodalQueries {
            |  min(media_id) AS min_media_id, max(media_id) AS max_media_id
            |FROM med GROUP BY sig
            |ORDER BY sig""".stripMargin
-      })
+      }),
+
+    "q_multimodal_ingest" -> ingestDef
   )
+
+  /** END-TO-END MULTIMODAL INGEST: media payloads travel through the
+    * splittable binary container (graft-binrec write → byte-range
+    * split read, ids framed in-band), then the decode-stub frame
+    * sampler and signature dedup run over the RE-READ payloads — the
+    * full path a real media corpus takes (container → split → decode →
+    * dedup), composing both custom connectors' contracts with the
+    * multimodal pipeline under one oracle. The oracle is identical to
+    * q_multimodal_dup's: the container round trip must be invisible. */
+  private def ingestDef: QueryDef = QueryDef(
+    (s, d) => {
+      val out = s"/tmp/graft_mm/ingest_${new java.io.File(d).getName}"
+      Tables.documents(s, d)
+        .selectExpr("CAST(concat(doc_id, '|', text) AS BINARY) AS value")
+        .write.mode("overwrite").option("syncIntervalBytes", "2048")
+        .format("graft-binrec").save(out)
+      val media = s.read.format("graft-binrec")
+        .option("splitSize", "8192").load(out)
+        .selectExpr("CAST(value AS STRING) AS v")
+        .selectExpr(
+          "CAST(substring_index(v, '|', 1) AS BIGINT) AS media_id",
+          "CAST(substring(v, instr(v, '|') + 1) AS BINARY) AS payload")
+      val frames = graft.multimodal.BinaryPipeline.frameSample(media, NFrames)
+      frames.groupBy("media_id")
+        .agg(org.apache.spark.sql.functions.expr(
+          "aggregate(array_sort(collect_list(struct(frame_idx, frame_hash)))," +
+            s" CAST(0 AS BIGINT), (a, x) -> (a * 31 + x.frame_hash) % ${graft.oracle.Dialect.M})")
+          .as("sig"))
+        .groupBy("sig")
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_media"),
+          org.apache.spark.sql.functions.min("media_id").as("min_media_id"),
+          org.apache.spark.sql.functions.max("media_id").as("max_media_id"))
+        .orderBy("sig")
+    }, {
+      val dk = DuckSql
+      val fold = dk.foldBig("list(frame_hash ORDER BY frame_idx)",
+        "a", "x", s"((a * 31 + x) % ${graft.oracle.Dialect.M})")
+      s"""WITH frames AS (${framesSql("documents")}),
+         |med AS (
+         |  SELECT media_id, $fold AS sig
+         |  FROM frames GROUP BY media_id)
+         |SELECT sig, count(*) AS n_media,
+         |  min(media_id) AS min_media_id, max(media_id) AS max_media_id
+         |FROM med GROUP BY sig
+         |ORDER BY sig""".stripMargin
+    })
 
   /** DuckDB frame-hash table (media_id, frame_idx, frame_hash) over a
     * documents-shaped table — per (doc, frame): h = fold of

@@ -243,6 +243,7 @@ class BinaryRecordReader(range: BinRange,
   private var in: java.io.DataInputStream = _
   private var sync: Array[Byte] = _
   private var done = false
+  private val skipScratch = new Array[Byte](SyncLen)
 
   // the header always comes off the file head: it carries this file's
   // sync marker, which every reader needs for the scan
@@ -313,7 +314,9 @@ class BinaryRecordReader(range: BinRange,
         // sync sentinel: continue into the next block only if we own it
         val sentinelPos = pos - 4
         if (sentinelPos > range.end) { current = null; done = true; return false }
-        in.skipBytes(SyncLen)
+        // readFully, not skipBytes: skipBytes may skip FEWER bytes when
+        // the marker straddles the read buffer's boundary
+        in.readFully(skipScratch)
         pos += SyncLen
       } else {
         val bytes = new Array[Byte](len)
