@@ -62,7 +62,26 @@ case class VecDot(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotent per-session registration; afterwards
     * `graft_vec_dot(a, b)` is usable from selectExpr / SQL. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    // SQL surface for Spark's internal BloomFilterMightContain (the
+    // engine registers bloom_filter_agg but keeps the probe side
+    // runtime-filter-internal): graft_might_contain(bloomBinary, xxhash64(x)).
+    // The bloom argument must be foldable — pass it as unbase64('...')
+    // of a driver-built filter (see q_contamination_bloom).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
+    // ...and its build side (BloomFilterAggregate is likewise internal):
+    // graft_bloom_agg(xxhash64(x), estimatedNumItems, numBits) -> binary
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "scala_udf")
+  }
 }

@@ -97,7 +97,79 @@ object ClusteringQueries {
        |  ) GROUP BY cluster
        |)""".stripMargin
 
+  /** Cosine-similarity threshold for the semantic-dedup pair decision —
+    * same value as SimilarityQueries' near-dup family so the two
+    * surfaces agree on what "duplicate" means on this fixture. */
+  private val SemDupThreshold = 0.4
+
   val defs: Map[String, QueryDef] = Map(
+    // SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the embedding space, then call
+    // two documents duplicates only when they are cosine-similar WITHIN
+    // the same cluster, and remove the higher id of each such pair.
+    // This is THE at-100-TB semantic-dedup shape: the clustering bounds
+    // the candidate set (the quadratic pair step runs per cluster, never
+    // corpus×corpus — K grows with the corpus to keep clusters bounded),
+    // assignment is the same zero-shuffle centroid-literal map as
+    // q_kmeans, and the pair step is one hash-partitioned equi-join on
+    // cluster id. Output is the REMOVAL DECISION, not the pair list:
+    // each removed vec_id with its cluster, its kept representative
+    // (lowest-id duplicate neighbor — deterministic), and how many
+    // lower-id duplicates it had. All output columns are integers, so
+    // the only float arithmetic (the cosine itself) sits behind a
+    // threshold compare computed identically in both engines.
+    "q_dedup_semantic" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = ScratchCache.scratch(Tables.embeddings(s, d)
+          .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
+        var cents: Seq[(Int, Seq[Long])] =
+          v.filter(col("vec_id") < K).orderBy("vec_id").collect()
+            .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
+        for (_ <- 1 to Iters) cents = update(assign(v, cents))
+        val clusters = assign(v, cents).select("vec_id", "cluster")
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            "graft_vec_dot(embedding, embedding) AS n2")
+          .join(clusters, "vec_id")
+        val a = e.selectExpr("cluster", "vec_id AS vec_id_a",
+          "embedding AS ea", "n2 AS na2")
+        val b = e.selectExpr("cluster", "vec_id AS vec_id_b",
+          "embedding AS eb", "n2 AS nb2")
+        a.join(b, "cluster")
+          .filter(col("vec_id_a") < col("vec_id_b"))
+          .selectExpr("cluster", "vec_id_a", "vec_id_b",
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= SemDupThreshold)
+          .groupBy("vec_id_b")
+          .agg(min("cluster").as("cluster"), min("vec_id_a").as("kept_id"),
+            count(lit(1)).as("n_dups"))
+          .selectExpr("vec_id_b AS vec_id", "cluster", "kept_id", "n_dups")
+          .orderBy("vec_id")
+      }, {
+        val cteChain = (1 to Iters).flatMap(i =>
+          Seq(assignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
+          .mkString(",\n")
+        val cos = s"(${DuckSql.dotDbl("a.embedding", "b.embedding")}" +
+          " / sqrt(a.n2 * b.n2))"
+        s"""WITH v AS (SELECT vec_id, ${quantCol(DuckSql)} AS v FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v WHERE vec_id < $K),
+           |$cteChain,
+           |${assignCte("afinal", s"c$Iters")},
+           |m AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${DuckSql.dotDbl("e.embedding", "e.embedding")} AS n2, f.cluster
+           |  FROM embeddings e JOIN afinal f ON e.vec_id = f.vec_id),
+           |p AS (
+           |  SELECT a.cluster, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+           |  FROM m a JOIN m b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE $cos >= $SemDupThreshold)
+           |SELECT vec_id_b AS vec_id, min(cluster) AS cluster,
+           |  min(vec_id_a) AS kept_id, count(*) AS n_dups
+           |FROM p GROUP BY vec_id_b ORDER BY vec_id""".stripMargin
+      }),
+
     "q_kmeans" -> QueryDef(
       (s, d) => {
         val v = ScratchCache.scratch(Tables.embeddings(s, d)

@@ -172,6 +172,54 @@ object CurationQueries {
            |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
       }),
 
+    // q_contamination's membership test at the scale where the blocklist
+    // CANNOT be broadcast: a BLOOM PREFILTER + exact verify. The
+    // blocklist is folded into a driver-built bloom filter (Spark's own
+    // bloom_filter_agg; ~8 bits/key — a 10^9-shingle blocklist is ~1 GB
+    // of bits where the exact set would be tens of GB), inlined into the
+    // plan as a foldable binary literal and probed map-side by the
+    // codegen'd BloomFilterMightContain, so ~98% of clean shingles never
+    // leave their scan task. Only bloom-POSITIVES reach the exact
+    // verification equi-join (no false negatives exist, and the join
+    // removes the false positives), so the result is bit-identical to
+    // q_contamination — same oracle — while the corpus-side shuffle
+    // shrinks from every-shingle to matched-plus-fp-shingles. This is
+    // the user-level twin of the engine-injected runtime bloom filter
+    // asserted in RuntimeFilterSpec.
+    "q_contamination_bloom" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        graft.functions.GraftFunctions.register(s)
+        val docs = ScratchCache.scratch(Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            s"graft_shingle_hash_set(${SparkSql.tokens("text")}) AS hs"))
+        val bl = ScratchCache.scratch(docs.filter(s"doc_id % $EvalEvery = 0")
+          .selectExpr("explode(hs) AS s").distinct())
+        val bfBytes = bl.agg(expr(
+            "graft_bloom_agg(xxhash64(s), 50000L, 400000L)"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bfBytes)
+        val ex = docs.filter(s"doc_id % $EvalEvery <> 0")
+          .selectExpr("doc_id", "size(hs) AS n_shingles", "explode(hs) AS s")
+          .filter(s"graft_might_contain(unbase64('$b64'), xxhash64(s))")
+        ex.join(bl, "s")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .selectExpr("doc_id", "n_shingles", "n_contaminated",
+            "(CAST(n_contaminated AS DOUBLE) / n_shingles) AS contamination_ratio")
+          .orderBy("doc_id")
+      }, {
+        val d = DuckSql
+        s"""WITH sh AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+           |bl AS (SELECT DISTINCT unnest(hs) AS s FROM sh WHERE doc_id % $EvalEvery = 0),
+           |ex AS (SELECT doc_id, ${d.sizeL("hs")} AS n_shingles, unnest(hs) AS s
+           |  FROM sh WHERE doc_id % $EvalEvery <> 0)
+           |SELECT doc_id, n_shingles, count(*) AS n_contaminated,
+           |  (CAST(count(*) AS DOUBLE) / n_shingles) AS contamination_ratio
+           |FROM ex JOIN bl USING (s)
+           |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
+      }),
+
     // Deterministic per-language stratified sampling: keep a doc when a
     // salted content hash of its key lands under the language's target
     // rate. Same reproducibility argument as q_hash_split (no sampler

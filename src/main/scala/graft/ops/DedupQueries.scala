@@ -36,6 +36,10 @@ import graft.{QueryDef, ScratchCache, Tables}
 object DedupQueries {
 
   private val JaccardThreshold = 0.7
+  // q_dedup_substring window width: ~12 words of the fixture vocabulary —
+  // short enough to catch partial overlap, long enough that unrelated
+  // docs share no window
+  private val SubW = 60
   // weighted variant: drop shingles with df > max(DfCapMin, n_docs/DfCapDiv);
   // integer-quantized IDF weights w = WScale div df; verify at WJacThreshold
   private val DfCapMin = 2
@@ -157,6 +161,57 @@ object DedupQueries {
           .orderBy("keep_id"),
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+
+    // EXACT DUPLICATED-SUBSTRING detection (the Lee et al. 2021
+    // "Deduplicating Training Data Makes Language Models Better"
+    // signal, arXiv:2107.06499): for every SubW-char window of every
+    // document, is that exact window repeated in ANY OTHER document?
+    // Output is the per-doc accounting a curation pipeline filters on:
+    // total windows and how many of them are cross-doc duplicated —
+    // pure integers, no float anywhere. Docs shorter than SubW carry no
+    // window and drop out (both engines).
+    //
+    // Scale shape: this is the MapReduce rendition of the paper's
+    // suffix-array ExactSubstr — one map-combinable shuffle of
+    // (window, doc_id) pairs (~SubW bytes × corpus positions, the same
+    // order as the suffix-array scatter), a distinct-doc count per
+    // window, and the ≥2-doc window set re-joined id-only onto the
+    // position stream. Nothing is broadcast, nothing is quadratic: cost
+    // is linear in corpus size at any scale. (At 100 TB you would
+    // shuffle a 128-bit window digest instead of the raw bytes and
+    // equality-verify survivors, exactly like q_dedup_exact's digest
+    // note; the raw window keeps the declared query oracle-exact.)
+    "q_dedup_substring" -> QueryDef(
+      (s, d) => {
+        val wins = Tables.documentsParallel(s, d)
+          .filter(length(col("text")) >= SubW)
+          .selectExpr("doc_id", "text",
+            s"explode(sequence(1, length(text) - ${SubW - 1})) AS pos")
+          .selectExpr("doc_id", s"substring(text, pos, $SubW) AS w")
+        val dup = wins.groupBy("w")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("w"), lit(1).as("isdup"))
+        wins.join(dup, Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup_windows"))
+          .orderBy("doc_id")
+      },
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - ${SubW - 1})) AS zz
+         |  FROM documents WHERE length(text) >= $SubW),
+         |wins AS (SELECT doc_id, substr(text, CAST(zz AS INT), $SubW) AS w
+         |  FROM pos),
+         |dw AS (SELECT w FROM (
+         |  SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+         |  WHERE nd >= 2)
+         |SELECT x.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN d.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows
+         |FROM wins x LEFT JOIN dw d ON x.w = d.w
+         |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin),
 
     // Blocked EDIT-DISTANCE similarity join — the string-level fuzzy
     // matcher next to the set-level family (shingle Jaccard, MinHash):

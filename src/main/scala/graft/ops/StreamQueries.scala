@@ -26,17 +26,40 @@ object StreamQueries {
   private def moneySumSql(c: String) =
     s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Stateful-stream parallelism: the number of state store instances
+    * equals spark.sql.shuffle.partitions AT QUERY START, and each store
+    * carries fixed per-batch overhead (commit, snapshot, maintenance) —
+    * with the fixture's few MB of state, 32 partitions means 32-128
+    * near-empty stores paying that overhead for nothing (measured 4×
+    * slower than 8 on the interval join). 8 keeps every core's worth of
+    * real work while sizing store count to state volume; at 100 TB/day
+    * the same knob goes UP with state size — it is the documented
+    * stateful-streaming tuning axis, not a semantic change (results are
+    * partitioning-invariant, asserted by the unchanged oracles). */
+  private val StatefulPartitions = "8"
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the sink table. `complete` mode re-emits
     * full aggregate state each trigger, so the final table equals the
-    * batch result with no watermark-holdback of trailing windows. */
+    * batch result with no watermark-holdback of trailing windows.
+    * Shuffle partitions are scoped to StatefulPartitions for the run
+    * (streaming queries pin the value at start; batch conf restored
+    * after). */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, StatefulPartitions)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
     s.table(name)
   }
 
@@ -230,6 +253,37 @@ object StreamQueries {
            |WHERE session_end + 1801 <= max_es
            |ORDER BY user_id, session_start_epoch""".stripMargin
       }),
+
+    // STREAM-STREAM inner interval join computed by the streaming engine
+    // (EventStream.purchaseFollowUps): each purchase matched to the same
+    // user's events in the following 10 minutes, watermarks on BOTH
+    // sides bounding the join state — the streaming twin of
+    // q_range_join. The join condition runs on the full µs-precision
+    // timestamps (watermark state eviction requires the condition to
+    // range over the watermarked event-time columns, so no whole-second
+    // truncation here); the oracle therefore joins on µs epochs:
+    // Spark's ts is timestamp_micros(ns div 1000) and DuckDB's
+    // epoch_ns(ts)//1000 is the identical floor for post-1970 data.
+    // Inner-join output is emitted as matches are found (watermarks only
+    // bound STATE, they never hold back inner matches), and the 1-hour
+    // watermark delay covers the 10-minute window with a 6× margin, so
+    // time-ordered AvailableNow replay loses nothing; multi-batch state
+    // carry is the same contract StreamOuterJoinSpec pins for the
+    // left-outer variant.
+    "q_stream_join" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.purchaseFollowUps(EventStream.readEvents(s, d)),
+          "graft_stream_join", "append")
+          .orderBy("user_id", "purchase_id", "event_id"),
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+         |    event_id, event_type FROM events)
+         |SELECT p.user_id, p.event_id AS purchase_id, e.event_id, e.event_type
+         |FROM ev p JOIN ev e
+         |  ON p.user_id = e.user_id
+         | AND e.us > p.us AND e.us - p.us <= 600000000
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p.user_id, purchase_id, e.event_id""".stripMargin),
 
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
