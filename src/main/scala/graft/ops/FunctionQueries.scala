@@ -163,6 +163,42 @@ object FunctionQueries {
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Distribution window functions (percent_rank / cume_dist) plus
+    // frame-boundary values (first_value; last_value over the FULL
+    // frame — the default frame stops at CURRENT ROW, a classic
+    // wrong-answer trap both engines share and the explicit frame
+    // removes). percent_rank's (rank-1)/(n-1) and cume_dist's
+    // count≤/n are exact small-integer rationals in double —
+    // bit-identical across engines; money stays DECIMAL until one
+    // final DOUBLE cast.
+    "q_window_distribution" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .withColumn("price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first("price_dec").over(w).cast(DoubleType).as("first_price"),
+            last("price_dec").over(full).cast(DoubleType).as("last_price"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS first_price,
+        |  CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS DOUBLE) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Array construction + manipulation over grouped data: sorted
     // collect, size, element access, join-to-string, membership.
     "q_array_funcs" -> QueryDef(

@@ -37,6 +37,58 @@ import graft.{QueryDef, Tables}
 object JoinQueries {
 
   val defs: Map[String, QueryDef] = Map(
+    // The ZERO-SHUFFLE recurring join (Tez custom-edge / Hive bucketed
+    // mapjoin parity, the daily-pipeline shape): lineitem and orders are
+    // materialized ONCE as catalog tables bucketed+sorted by the join
+    // key (graft.sources.Bucketing — at 100 TB this one-time write-side
+    // cost replaces the recurring multi-TB shuffle), then the declared
+    // join runs with NO exchange on either side — visible as the low
+    // exchange count in the plan-audit artifact, and pinned
+    // structurally in BucketingSpec. Broadcast is disabled for the run
+    // so the co-located sort-merge path (not a broadcast of the
+    // fixture-tiny orders side) is what executes — at real scale
+    // neither side is broadcastable anyway. The oracle is the plain
+    // join on the raw parquet: bucketing must be invisible to results.
+    "q_bucketed_join" -> QueryDef(
+      (s, d) => {
+        val sfx = new java.io.File(d).getName.replace('.', '_')
+        val lt = s"graft_lineitem_b_$sfx"
+        val ot = s"graft_orders_b_$sfx"
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse dirs persist — clear both before writing
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete(): Unit
+        }
+        Seq(lt, ot).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          rmrf(new java.io.File(s"$wh/$t"))
+        }
+        graft.sources.Bucketing.writeBucketed(
+          Tables.lineitem(s, d)
+            .selectExpr("l_orderkey", "l_extendedprice", "l_discount"),
+          lt, "l_orderkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, d)
+            .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority"),
+          ot, "l_orderkey", 8)
+        // MERGE hint (plan-embedded, unlike a lazily-read conf): forces
+        // the co-located sort-merge path over a fixture-scale broadcast
+        s.table(lt).join(s.table(ot).hint("MERGE"), "l_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))" +
+              " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // Big×big equi-join, hash variant (no sort needed on either side).
     "q_hash_join_inner" -> QueryDef(
       (s, d) => {

@@ -158,6 +158,52 @@ object EventStream {
       }
       .start()
 
+  /** foreachBatch sink that publishes EACH MICRO-BATCH through the
+    * vertex-group all-or-nothing commit (graft.sources.GroupCommit —
+    * reference VertexGroup / commitAllOutputsOnSuccess): every trigger
+    * splits the batch into purchases / other events / per-type counts
+    * and commits the three sinks as ONE group under
+    * `<base>/{purchases,others,stats}/batch_<id>`. Readers never see a
+    * partially-written trigger: before the manifest lands, nothing is
+    * visible; after it, recover() rolls forward.
+    *
+    * Exactly-once across restarts, by composition of three properties:
+    * (1) foreachBatch replays a failed trigger with the SAME batchId;
+    * (2) the batch content is deterministic for a replayed batchId
+    * (file source + checkpoint); (3) the group publish is
+    * overwrite-idempotent into batchId-keyed destinations. So a crash
+    * at ANY point — mid-write, mid-publish, post-publish-pre-ack —
+    * converges to the same committed state on retry (recover() is
+    * called at trigger start to finish any half-published group first).
+    * StreamGroupCommitSpec drives the replay and restart cases.
+    *
+    * At 100 TB/day: phase-1 writes are per-batch data-proportional and
+    * fully parallel; the commit adds O(#sinks) driver metadata ops per
+    * trigger — the same cost profile as the reference's DAG-level
+    * committer, paid per micro-batch. */
+  def sinkToGroupCommitted(events: DataFrame, base: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.sources.GroupCommit.recover(s, base)
+        batch.persist()
+        try {
+          val purchases = batch.filter(col("event_type") === "purchase")
+          val others = batch.filter(col("event_type") =!= "purchase")
+          val stats = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"))
+          graft.sources.GroupCommit.commitGroup(s, base, Seq(
+            graft.sources.GroupCommit.Sink(purchases, s"$base/purchases/batch_$batchId"),
+            graft.sources.GroupCommit.Sink(others, s"$base/others/batch_$batchId"),
+            graft.sources.GroupCommit.Sink(stats, s"$base/stats/batch_$batchId")))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+
   /** Streaming AS-OF join (the streaming twin of q_asof_join /
     * graft.plans.AsOfJoinPlan): each event is annotated with the value of
     * the latest prior-or-equal 'purchase' by the same user, computed
