@@ -285,6 +285,56 @@ object StreamQueries {
          |WHERE p.event_type = 'purchase'
          |ORDER BY p.user_id, purchase_id, e.event_id""".stripMargin),
 
+    // LEFT OUTER stream-stream interval join as a DECLARED query — the
+    // null-extension side is WATERMARK-DRIVEN (a purchase's null row
+    // can only emit once the watermark passes its 10-minute window),
+    // so the oracle characterizes the emission exactly, the
+    // q_stream_session_v2 technique: matched rows are the batch inner
+    // join; null rows are exactly the no-follow-up purchases whose
+    // window closed strictly below the FINAL GLOBAL watermark. The
+    // subtlety (verified against the engine's progress log): with
+    // watermarks on BOTH join inputs the global watermark is the MIN
+    // of the per-column watermarks, and the purchase side is a FILTER
+    // of the event stream — its max event time trails the full
+    // stream's, so the final watermark is least(max purchase ts,
+    // max event ts) − 1 h, NOT max event ts − 1 h. AvailableNow's
+    // no-data final batch flushes the nulls below it. Purchases still
+    // inside the horizon are correctly withheld: on an unbounded
+    // stream a follow-up could still arrive; the oracle encodes that
+    // rather than pretending the stream ended. StreamOuterJoinSpec
+    // pins the matched-row contract structurally.
+    "q_stream_join_outer" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.purchaseFollowUpsOuter(EventStream.readEvents(s, d))
+            .selectExpr("user_id", "unix_timestamp(p_ts) AS p_es",
+              "purchase_id", "event_id", "event_type"),
+          "graft_stream_join_outer", "append")
+          .orderBy(col("user_id"), col("purchase_id"),
+            col("event_id").asc_nulls_first),
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+         |    event_id, event_type FROM events),
+         |mx AS (SELECT least(
+         |    max(us) FILTER (WHERE event_type = 'purchase'),
+         |    max(us)) AS wm_base FROM ev),
+         |p AS (SELECT user_id, us, event_id AS purchase_id FROM ev
+         |  WHERE event_type = 'purchase'),
+         |m AS (
+         |  SELECT p.user_id, p.us, p.purchase_id, e.event_id, e.event_type
+         |  FROM p JOIN ev e ON p.user_id = e.user_id
+         |   AND e.us > p.us AND e.us - p.us <= 600000000),
+         |n AS (
+         |  SELECT p.user_id, p.us, p.purchase_id,
+         |    CAST(NULL AS BIGINT) AS event_id,
+         |    CAST(NULL AS VARCHAR) AS event_type
+         |  FROM p, mx
+         |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+         |    AND p.us + 600000000 < wm_base - 3600000000)
+         |SELECT user_id, us // 1000000 AS p_es, purchase_id, event_id, event_type FROM m
+         |UNION ALL
+         |SELECT user_id, us // 1000000 AS p_es, purchase_id, event_id, event_type FROM n
+         |ORDER BY user_id, purchase_id, event_id NULLS FIRST""".stripMargin),
+
     // Streaming dedup (one event per type per hour — throttling-style
     // dedup) run through dropDuplicates state. Output is the surviving
     // KEY SET, which is deterministic regardless of which arrival won

@@ -96,4 +96,67 @@ class RateSoakSpec extends AnyFunSuite {
         s"bucket-key join must not shuffle: ${joinNodes.take(500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("rate-source soak through the group-committed sink stays all-or-nothing") {
+    // a REAL unbounded source (not a file replay) through
+    // EventStream.sinkToGroupCommitted, stopped mid-flight: after
+    // recover(), every published batch must be a complete 3-sink group,
+    // no pending manifests, and no row lost or duplicated (rate values
+    // are unique).
+    val base = java.nio.file.Files.createTempDirectory("graft_gc_rate")
+      .toFile.getPath
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 2000).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"),
+        (col("value") % 64).as("user_id"),
+        when(col("value") % 4 === 0, "purchase").otherwise("view")
+          .as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+    val q = graft.streaming.EventStream.sinkToGroupCommitted(rate, base)
+    // COMMITTED batch dirs only: `.__staging__` names are invisible by
+    // the GroupCommit contract (a stop/crash legitimately orphans one)
+    def ids(sub: String): Set[String] = {
+      val d = new java.io.File(s"$base/$sub")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(n => n.startsWith("batch_") && !n.contains(".__staging__"))
+        .toSet
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (ids("stats").size < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(ids("stats").size >= 2,
+        "fewer than 2 group-committed batches within the deadline")
+    } finally q.stop()
+    graft.sources.GroupCommit.recover(spark, base)
+    val (pIds, oIds, sIds) = (ids("purchases"), ids("others"), ids("stats"))
+    assert(pIds == oIds && oIds == sIds,
+      s"partial group visible: purchases=$pIds others=$oIds stats=$sIds")
+    assert(pIds.nonEmpty)
+    // nothing left pending
+    val pending = new java.io.File(s"$base/_group_commits")
+    assert(!pending.isDirectory || pending.listFiles().isEmpty,
+      "pending group-commit manifests remain after recover()")
+
+    // no loss, no duplication across the published groups
+    val paths = pIds.map(b => s"$base/purchases/$b").toSeq ++
+      oIds.map(b => s"$base/others/$b").toSeq
+    val rows = spark.read.parquet(paths: _*)
+    val total = rows.count()
+    assert(total > 0)
+    assert(rows.select("event_id").distinct().count() == total,
+      "duplicate event_ids across published groups")
+    // the committed batches are a contiguous prefix of the rate stream:
+    // ids are 0..total-1 exactly (a gap would mean a lost batch)
+    assert(rows.agg(max("event_id")).collect()(0).getLong(0) == total - 1,
+      "gap in committed event_ids — a published batch is missing rows")
+    // stats sinks agree with the row sinks per event type
+    val stats = spark.read.parquet(sIds.map(b => s"$base/stats/$b").toSeq: _*)
+      .groupBy("event_type").agg(sum("n_events").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == want, s"stats $stats vs rows $want")
+  }
 }
