@@ -132,7 +132,24 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
         entries.mkString(s"""{"query":"$sweepQ",""", ",", "}")
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"stages":$stagesJson,"sweep":$sweepJson,"sf":"$sfDir"}""")
+    // THE DRIVER CONTRACT LINE stays lean: the driver records only a
+    // bounded tail of stdout, so the 100 KB per-stage analyzer payload
+    // would push the per-query timings out of the captured window. The
+    // contract line carries metric/value/queries/errors/remeasured; the
+    // full analyzer detail (per-stage breakdown, skew flags, the
+    // shuffle-partition sweep) goes to BENCH_DETAIL.json next to
+    // BASELINE.md — a committed artifact tools/stage_trend.py diffs
+    // round-over-round.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"stages":$stagesJson,"sweep":$sweepJson,"sf":"$sfDir"}"""
+    Seq("BASELINE.md", "/root/repo/BASELINE.md")
+      .map(new java.io.File(_)).find(_.exists())
+      .map(_.getAbsoluteFile.getParentFile).foreach { repo =>
+        if (args.isEmpty) // full-suite runs only — don't clobber on iteration
+          java.nio.file.Files.writeString(
+            new java.io.File(repo, "BENCH_DETAIL.json").toPath, detail)
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Round-over-round bench trend from two BENCH_DETAIL.json artifacts.
+
+Compares per-query wall times AND the per-stage analyzer aggregates
+(shuffle bytes, spill, task skew) between two full-suite bench runs.
+Time drift is noisy (GC, neighborhood effects — see the r03
+q_dedup_prefix incident); SHUFFLE-BYTE growth is the durable signal of
+a plan regression (a new exchange, a lost broadcast, a wider payload),
+so the report separates the two.
+
+Usage: stage_trend.py <old BENCH_DETAIL.json> <new BENCH_DETAIL.json>
+Exit 1 if any query's shuffle bytes grew >1.5x (plan regression).
+"""
+import sys, json
+
+
+def stage_agg(stages):
+    """Aggregate one query's stage list into durable per-query totals."""
+    return {
+        "n_stages": len(stages),
+        "sh_bytes": sum(s.get("sh_write", 0) + s.get("sh_read", 0)
+                        for s in stages),
+        "spill": sum(s.get("spill", 0) for s in stages),
+        "max_skew": max((s["task_max"] / s["task_med"]
+                         for s in stages
+                         if s.get("task_med", 0) > 0.05), default=1.0),
+    }
+
+
+def main(old_path, new_path):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    os_, ns_ = old.get("stages", {}), new.get("stages", {})
+    shared = sorted(set(oq) & set(nq))
+    print(f"shared queries: {len(shared)}  "
+          f"added: {sorted(set(nq) - set(oq))}  "
+          f"removed: {sorted(set(oq) - set(nq))}")
+
+    regressions = []
+    for q in shared:
+        if q in os_ and q in ns_:
+            a, b = stage_agg(os_[q]), stage_agg(ns_[q])
+            if a["sh_bytes"] > 4096 and b["sh_bytes"] > 1.5 * a["sh_bytes"]:
+                regressions.append(
+                    (q, f"shuffle bytes {a['sh_bytes']} -> {b['sh_bytes']}"))
+            if b["spill"] > 0 and b["spill"] > 2 * max(a["spill"], 1):
+                regressions.append((q, f"spill {a['spill']} -> {b['spill']}"))
+            if b["n_stages"] > a["n_stages"]:
+                regressions.append(
+                    (q, f"stage count {a['n_stages']} -> {b['n_stages']}"))
+    if regressions:
+        print("\nPLAN-LEVEL REGRESSIONS (durable signals):")
+        for q, why in regressions:
+            print(f"  {q}: {why}")
+
+    drifts = [(q, oq[q], nq[q]) for q in shared
+              if oq[q] > 0.2 and nq[q] > 1.5 * oq[q]]
+    if drifts:
+        print("\ntime drift >1.5x (noisy — confirm with an isolated re-run):")
+        for q, a, b in sorted(drifts, key=lambda x: -x[2] / x[1]):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s")
+
+    improved = [(q, oq[q], nq[q]) for q in shared
+                if oq[q] > 0.5 and nq[q] < oq[q] / 1.5]
+    if improved:
+        print("\nimproved >1.5x:")
+        for q, a, b in sorted(improved, key=lambda x: -x[1] / x[2]):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s")
+
+    shuffle_regressed = [r for r in regressions if "shuffle" in r[1]]
+    return 1 if shuffle_regressed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
