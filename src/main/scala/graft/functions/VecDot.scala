@@ -83,5 +83,7 @@ object GraftFunctions {
         .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lcp", exprs => Lcp(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -40,6 +40,10 @@ object DedupQueries {
   // short enough to catch partial overlap, long enough that unrelated
   // docs share no window
   private val SubW = 60
+  // q_dedup_substring_max: suffix cap (the longest reportable duplicate)
+  // and the minimum length worth reporting
+  private val SubC = 96
+  private val MinDup = 8
   // weighted variant: drop shingles with df > max(DfCapMin, n_docs/DfCapDiv);
   // integer-quantized IDF weights w = WScale div df; verify at WJacThreshold
   private val DfCapMin = 2
@@ -212,6 +216,77 @@ object DedupQueries {
          |    AS n_dup_windows
          |FROM wins x LEFT JOIN dw d ON x.w = d.w
          |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin),
+
+    // VARIABLE-LENGTH longest duplicated substring — the suffix-array
+    // side of Lee et al.'s ExactSubstr (q_dedup_substring answers
+    // "any window of width W repeated?"; this answers "HOW LONG is the
+    // longest repeat?", capped at SubC chars): per doc, the maximum
+    // common-prefix length between any of its suffixes and any suffix
+    // of ANOTHER document.
+    //
+    // Exactness without an LCP array: in suffix-sorted order,
+    // LCP(i, j) = min of adjacent LCPs between i and j, so for every
+    // document its max cross-doc LCP is achieved by some ADJACENT pair
+    // from different documents (walking from the optimal pair toward
+    // its partner only raises the min). So sorting all suffixes and
+    // scanning neighbors — lag() over the sorted order — is exact.
+    //
+    // Distribution without a global sort: any pair with LCP ≥ 2 shares
+    // its first 2 characters, so windowing PARTITIONED BY the 2-char
+    // prefix preserves exactly the adjacencies that can matter (pairs
+    // straddling a prefix boundary have LCP < 2 < MinDup). The shuffle
+    // is one SubC-byte-suffix scatter (the suffix-array scatter), each
+    // partition sorts locally, the LCP kernel (graft_lcp, codegen'd)
+    // runs once per suffix — linear end to end, nothing quadratic,
+    // nothing broadcast, no single-task global sort.
+    "q_dedup_substring_max" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val sfx = Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", "text",
+            "explode(sequence(1, length(text))) AS pos")
+          .selectExpr("doc_id", "pos", s"substring(text, pos, $SubC) AS sfx")
+        val w = Window.partitionBy(substring(col("sfx"), 1, 2))
+          .orderBy("sfx", "doc_id", "pos")
+        val pairs = sfx
+          .withColumn("pdoc", lag("doc_id", 1).over(w))
+          .withColumn("psfx", lag("sfx", 1).over(w))
+          .filter(col("pdoc").isNotNull && col("pdoc") =!= col("doc_id"))
+          .selectExpr("doc_id", "pdoc", "graft_lcp(sfx, psfx) AS lcp")
+          .filter(col("lcp") >= MinDup)
+        pairs.select("doc_id", "lcp")
+          .unionAll(pairs.selectExpr("pdoc AS doc_id", "lcp"))
+          .groupBy("doc_id")
+          .agg(max("lcp").as("max_dup_len"))
+          .orderBy("doc_id")
+      },
+      s"""WITH sfx AS (
+         |  SELECT doc_id, CAST(zz AS INT) AS pos,
+         |    substr(text, CAST(zz AS INT), $SubC) AS s
+         |  FROM (SELECT doc_id, text,
+         |      unnest(generate_series(1, length(text))) AS zz
+         |    FROM documents)),
+         |adj AS (
+         |  SELECT doc_id, s, pos,
+         |    lag(doc_id) OVER win AS pdoc, lag(s) OVER win AS ps
+         |  FROM sfx
+         |  WINDOW win AS (PARTITION BY substr(s, 1, 2)
+         |                 ORDER BY s, doc_id, pos)),
+         |pairs AS (
+         |  SELECT doc_id, pdoc,
+         |    least(coalesce(nullif(list_position(
+         |      list_transform(generate_series(1, $SubC),
+         |        k -> substr(s, CAST(k AS INT), 1) = substr(ps, CAST(k AS INT), 1)),
+         |      false), 0), ${SubC + 1}) - 1,
+         |      length(s), length(ps)) AS lcp
+         |  FROM adj WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+         |qual AS (SELECT doc_id, pdoc, lcp FROM pairs WHERE lcp >= $MinDup),
+         |cand AS (
+         |  SELECT doc_id, lcp FROM qual
+         |  UNION ALL SELECT pdoc AS doc_id, lcp FROM qual)
+         |SELECT doc_id, CAST(max(lcp) AS INT) AS max_dup_len
+         |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Blocked EDIT-DISTANCE similarity join — the string-level fuzzy
     // matcher next to the set-level family (shingle Jaccard, MinHash):
