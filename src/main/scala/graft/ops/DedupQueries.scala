@@ -44,6 +44,8 @@ object DedupQueries {
   // and the minimum length worth reporting
   private val SubC = 96
   private val MinDup = 8
+  // q_dedup_cdc boundary modulus: expected chunk length = CdcMod tokens
+  private val CdcMod = 16
   // weighted variant: drop shingles with df > max(DfCapMin, n_docs/DfCapDiv);
   // integer-quantized IDF weights w = WScale div df; verify at WJacThreshold
   private val DfCapMin = 2
@@ -216,6 +218,91 @@ object DedupQueries {
          |    AS n_dup_windows
          |FROM wins x LEFT JOIN dw d ON x.w = d.w
          |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin),
+
+    // CONTENT-DEFINED CHUNKING dedup — the storage-layer technique
+    // (gear-hash CDC, the rsync/FastCDC family) at token granularity:
+    // a chunk boundary falls AFTER any token whose hash ≡ 0 (mod
+    // CdcMod), so boundaries are CONTENT-anchored — inserting or
+    // deleting a sentence shifts only the chunks it touches, and every
+    // untouched chunk keeps its identity and deduplicates (fixed-size
+    // blocks would re-align the whole tail and dedup nothing). Chunk
+    // identity is an order-sensitive fold of its token hashes; chunks
+    // repeated across documents are the duplicated content. Per-doc
+    // accounting: chunks, duplicated chunks, duplicated tokens.
+    //
+    // Scale shape: tokenize+hash map-side, one per-doc window (running
+    // boundary count — partitioned by doc, no global state), a
+    // (doc, chunk) aggregate, and a chunk-signature shuffle carrying
+    // one BIGINT per chunk. Linear at any corpus size; the shuffled
+    // key space is the distinct-chunk vocabulary, not the corpus.
+    "q_dedup_cdc" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dl = SparkSql
+        val toks = Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"${dl.tokens("text")} AS toks")
+          .selectExpr("doc_id",
+            s"${dl.transform("toks", "t", dl.polyHash("t", 12))} AS hs")
+          .selectExpr("doc_id", "posexplode(hs) AS (pos, h)")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunks = toks
+          .withColumn("flag", when(col("h") % CdcMod === 0, 1).otherwise(0))
+          .withColumn("chunk_id",
+            coalesce(sum("flag").over(w), lit(0)).cast("long"))
+          .groupBy("doc_id", "chunk_id")
+          .agg(expr("aggregate(array_sort(collect_list(struct(pos, h)))," +
+              s" CAST(0 AS BIGINT), (a, x) -> (a * 131 + x.h) % ${Dialect.M})")
+              .as("sig"),
+            count(lit(1)).as("n_toks"))
+        val dup = chunks.groupBy("sig")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("sig"), lit(1).as("isdup"))
+        chunks.join(dup, Seq("sig"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup_chunks"),
+            sum(when(col("isdup").isNotNull, col("n_toks")).otherwise(0L))
+              .cast("long").as("dup_tokens"))
+          .orderBy("doc_id")
+      }, {
+        val dl = DuckSql
+        val fold = dl.foldBig("list(h ORDER BY pos)", "a", "x",
+          s"((a * 131 + x) % ${Dialect.M})")
+        s"""WITH th AS (
+           |  SELECT doc_id, ${dl.transform(dl.tokens("text"), "t",
+                  dl.polyHash("t", 12))} AS hs
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(1, ${dl.sizeL("hs")})) AS pos,
+           |    unnest(hs) AS h
+           |  FROM th),
+           |flagged AS (
+           |  SELECT doc_id, pos, h,
+           |    CASE WHEN h % $CdcMod = 0 THEN 1 ELSE 0 END AS flag
+           |  FROM pos),
+           |cid AS (
+           |  SELECT doc_id, pos, h,
+           |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS chunk_id
+           |  FROM flagged),
+           |chunks AS (
+           |  SELECT doc_id, chunk_id, $fold AS sig, count(*) AS n_toks
+           |  FROM cid GROUP BY doc_id, chunk_id),
+           |dup AS (SELECT sig FROM (
+           |  SELECT sig, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY sig)
+           |  WHERE nd >= 2)
+           |SELECT c.doc_id, count(*) AS n_chunks,
+           |  CAST(sum(CASE WHEN d.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_chunks,
+           |  CAST(sum(CASE WHEN d.sig IS NOT NULL THEN n_toks ELSE 0 END) AS BIGINT)
+           |    AS dup_tokens
+           |FROM chunks c LEFT JOIN dup d ON c.sig = d.sig
+           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+      }),
 
     // VARIABLE-LENGTH longest duplicated substring — the suffix-array
     // side of Lee et al.'s ExactSubstr (q_dedup_substring answers
