@@ -28,7 +28,8 @@ object SparkEntry {
       ops.FormatQueries.defs ++
       ops.TemporalJoinQueries.defs ++
       ops.SqlQueries.defs ++
-      ops.GraphQueries.defs
+      ops.GraphQueries.defs ++
+      ops.PrepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

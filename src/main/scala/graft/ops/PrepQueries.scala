@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum}
+
+import graft.oracle.{Dialect, DuckSql, SparkSql}
+import graft.{QueryDef, Tables}
+
+/** Training-batch preparation family — the operators that sit between a
+  * curated corpus and the training loop (extension mandate alongside
+  * SURVEY.md §2; same surface class as the curation family).
+  *
+  *  - q_seq_pack: GPT-style sequence packing — documents concatenated
+  *    in a deterministic order and chopped into fixed-token training
+  *    sequences; per-document placement accounting.
+  *  - q_temperature_mix: multinomial temperature resampling weights per
+  *    language (the multilingual-corpus mixing recipe: p_l ∝ share^α
+  *    with α < 1 boosting low-resource slices).
+  *  - q_inverted_index: posting-list construction (token → document
+  *    frequency, total term frequency, capped posting sample) — the
+  *    search-index / corpus-exploration op.
+  *
+  * Scale notes are per-query below; the common theme is that nothing
+  * here materializes corpus-sized driver or single-partition state:
+  * the packing prefix-sum is two-phase (per-range partials + an
+  * offset table bounded by the partition count), the mixing weights
+  * aggregate to language cardinality, and the index shuffles only
+  * distinct (token, doc) pairs with a top-k head.
+  */
+object PrepQueries {
+
+  /** Tokens per packed training sequence. */
+  private val SeqBudget = 256L
+
+  /** Contiguous doc_id ranges for the distributed prefix-sum — the
+    * offset table has exactly this many rows, independent of corpus
+    * size (at 100 TB you'd size it to the scan's partition count; the
+    * mechanism is identical). */
+  private val PackParts = 16L
+
+  /** Temperature exponent α for multinomial resampling. */
+  private val Alpha = 0.3
+
+  /** Posting-sample cap and output head for the inverted index. */
+  private val PostCap = 5
+  private val IndexTop = 100
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // SEQUENCE PACKING — the training-loader step: concatenate all
+    // documents in doc_id order and cut the token stream into
+    // fixed-SeqBudget sequences; report, per document, which sequences
+    // it lands in (first/last sequence index, how many sequences it
+    // spans, its offset inside the first one).
+    //
+    // Scale shape: the global running token total is a DISTRIBUTED
+    // prefix-sum, not a single-partition window — docs are bucketed
+    // into contiguous doc_id ranges, stage 1 computes per-range totals
+    // (a PackParts-row table whose own prefix-sum is trivially
+    // bounded), stage 2 adds the broadcast range offset to a
+    // within-range running sum. Driver state: one scalar (max doc_id).
+    // A naive `Window.orderBy(doc_id)` with no partition key would
+    // serialize the whole corpus through one task — the classic
+    // 100 TB failure this shape avoids.
+    "q_seq_pack" -> QueryDef(
+      (s, d) => {
+        val dl = SparkSql
+        val docs = Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            s"CAST(${dl.sizeL(dl.tokens("text"))} AS BIGINT) AS n_tok")
+          .filter(col("n_tok") > 0)
+        // bounded scalar: range width for contiguous pid assignment
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val span = maxId / PackParts + 1
+        val withPid = docs.selectExpr(
+          "doc_id", "n_tok", s"CAST(doc_id div $span AS INT) AS pid")
+        // stage 1: per-range totals; the offset window runs over
+        // PackParts rows, never the corpus
+        val offsets = withPid.groupBy("pid")
+          .agg(sum("n_tok").as("ptot"))
+          .withColumn("offset",
+            coalesce(sum("ptot").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "offset")
+        // stage 2: within-range running sum + broadcast offset
+        val w = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        withPid.join(broadcast(offsets), Seq("pid"))
+          .withColumn("cum",
+            coalesce(sum("n_tok").over(w), lit(0L)) + col("offset"))
+          .selectExpr(
+            "doc_id", "n_tok",
+            s"(cum div $SeqBudget) AS first_seq",
+            s"((cum + n_tok - 1) div $SeqBudget) AS last_seq",
+            s"(((cum + n_tok - 1) div $SeqBudget) - (cum div $SeqBudget) + 1) AS n_seqs",
+            s"(cum % $SeqBudget) AS seq_offset")
+          .orderBy("doc_id")
+      }, {
+        val dl = DuckSql
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST(${dl.sizeL(dl.tokens("text"))} AS BIGINT) AS n_tok
+           |  FROM documents),
+           |nz AS (SELECT doc_id, n_tok FROM toks WHERE n_tok > 0),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS cum
+           |  FROM nz)
+           |SELECT doc_id, n_tok,
+           |  (cum // $SeqBudget) AS first_seq,
+           |  ((cum + n_tok - 1) // $SeqBudget) AS last_seq,
+           |  (((cum + n_tok - 1) // $SeqBudget) - (cum // $SeqBudget) + 1) AS n_seqs,
+           |  (cum % $SeqBudget) AS seq_offset
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
+    // TEMPERATURE MIXING — per-language multinomial resampling weights:
+    // share_l = n_l / N, p_l ∝ share_l^α (α = 0.3 boosts low-resource
+    // languages), q_l = normalized sampling probability, boost = q/share
+    // (the up/down-sampling factor an epoch applies). The single
+    // transcendental (power) is quantized to ppm IMMEDIATELY; every
+    // downstream op (normalization, boost, epoch size) is pure BIGINT
+    // arithmetic — order-independent and engine-identical.
+    //
+    // Scale shape: one map-side-combinable count per language, then
+    // two scalar cross-joins over a language-cardinality table.
+    // Nothing here grows with the corpus.
+    "q_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val byLang = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = byLang.agg(sum("n_docs").as("n_total"))
+        val p = byLang.crossJoin(broadcast(tot))
+          .selectExpr("lang", "n_docs", "n_total",
+            s"CAST(floor(power(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), $Alpha)" +
+              " * 1000000.0 + 0.5) AS BIGINT) AS p_micro")
+        val ps = p.agg(sum("p_micro").as("p_sum"))
+        p.crossJoin(broadcast(ps))
+          .selectExpr("lang", "n_docs",
+            "((n_docs * 1000000) div n_total) AS share_ppm",
+            "p_micro",
+            "((p_micro * 1000000) div p_sum) AS q_ppm",
+            "((((p_micro * 1000000) div p_sum) * n_total) div 1000000) AS epoch_docs",
+            "((((p_micro * 1000000) div p_sum) * 1000000) div ((n_docs * 1000000) div n_total)) AS boost_ppm")
+          .orderBy("lang")
+      },
+      s"""WITH by_lang AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM by_lang),
+         |p AS (
+         |  SELECT lang, n_docs, n_total,
+         |    CAST(floor(power(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), $Alpha)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+         |  FROM by_lang, tot),
+         |ps AS (SELECT CAST(sum(p_micro) AS BIGINT) AS p_sum FROM p)
+         |SELECT lang, n_docs,
+         |  ((n_docs * 1000000) // n_total) AS share_ppm,
+         |  p_micro,
+         |  ((p_micro * 1000000) // p_sum) AS q_ppm,
+         |  ((((p_micro * 1000000) // p_sum) * n_total) // 1000000) AS epoch_docs,
+         |  ((((p_micro * 1000000) // p_sum) * 1000000) // ((n_docs * 1000000) // n_total)) AS boost_ppm
+         |FROM p, ps ORDER BY lang""".stripMargin),
+
+    // INVERTED INDEX — token → (document frequency, total term
+    // frequency, first-PostCap posting sample), head = the IndexTop
+    // highest-df tokens with a full deterministic tie-break.
+    //
+    // Scale shape: the shuffle key space is distinct (token, doc)
+    // pairs — vocabulary-bounded, with per-doc tf computed map-side
+    // under partial aggregation; the head is a TakeOrdered top-k, not
+    // a global sort materialization. Posting lists are CAPPED before
+    // leaving the aggregate (a real index would write full postings
+    // per token to a partitioned sink; the capped sample keeps the
+    // declared result driver-safe at any corpus size).
+    "q_inverted_index" -> QueryDef(
+      (s, d) => {
+        val dl = SparkSql
+        Tables.documentsParallel(s, d)
+          .selectExpr("doc_id", s"explode(${dl.tokens("text")}) AS token")
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            sum("tf").as("tf_total"),
+            org.apache.spark.sql.functions.expr(
+              s"concat_ws('|', transform(slice(array_sort(collect_list(doc_id)), 1, $PostCap)," +
+                " x -> CAST(x AS STRING))) ").as("postings"))
+          .orderBy(col("df").desc, col("token"))
+          .limit(IndexTop)
+      }, {
+        val dl = DuckSql
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${dl.tokens("text")}) AS token
+           |  FROM documents),
+           |per_doc AS (
+           |  SELECT token, doc_id, count(*) AS tf
+           |  FROM tok GROUP BY token, doc_id),
+           |post AS (
+           |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+           |    CAST(sum(tf) AS BIGINT) AS tf_total,
+           |    array_to_string(list_transform(
+           |      list_slice(list(doc_id ORDER BY doc_id), 1, $PostCap),
+           |      x -> CAST(x AS VARCHAR)), '|') AS postings
+           |  FROM per_doc GROUP BY token)
+           |SELECT token, df, tf_total, postings
+           |FROM post ORDER BY df DESC, token LIMIT $IndexTop""".stripMargin
+      }))
+}
