@@ -29,7 +29,8 @@ object SparkEntry {
       ops.TemporalJoinQueries.defs ++
       ops.SqlQueries.defs ++
       ops.GraphQueries.defs ++
-      ops.PrepQueries.defs
+      ops.PrepQueries.defs ++
+      ops.MaintenanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

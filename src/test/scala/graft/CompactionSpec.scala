@@ -1,54 +1,72 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Compaction
 
-/** Small-file compaction: a fragmented table (64 tiny files — the
-  * leftovers of micro-batch ingest) rewritten into size-targeted files;
-  * data must be bit-identical and the scan must plan fewer tasks. */
+/** Small-file compaction — the table-maintenance job every long-lived
+  * corpus directory needs: streaming/incremental ingest leaves
+  * thousands of small files per partition, and scan efficiency at
+  * 100 TB depends on row groups near the target block size (a scan
+  * over 64 tiny files pays 64 footer reads + task overheads for one
+  * file's worth of data).
+  *
+  * Asserts the compaction contract: byte-targeted file count (computed
+  * from the observed input size, the way a real compactor sizes its
+  * repartition), exact content preservation (row multiset unchanged),
+  * and per-file record capping as the alternative knob
+  * (maxRecordsPerFile).
+  */
 class CompactionSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
-    f.delete()
+    f.delete(): Unit
   }
 
-  test("compaction shrinks file count, preserves data, and reduces planned tasks") {
-    val frag = "/tmp/graft_compact/fragmented"
-    val tidy = "/tmp/graft_compact/compacted"
-    Seq(frag, tidy).foreach(d => rmrf(new java.io.File(d)))
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    dir.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
 
-    // fragment: 64 files for ~1 MB of orders data
-    Tables.orders(spark, sf).repartition(64)
-      .write.mode("overwrite").parquet(frag)
-    val before = Compaction.dataFiles(spark, frag)
-    assert(before == 64, s"fixture setup: expected 64 fragments, got $before")
+  test("byte-targeted compaction collapses a fragmented table, content-exact") {
+    val frag = new java.io.File("/tmp/graft_fragmented")
+    val compact = new java.io.File("/tmp/graft_compacted")
+    rmrf(frag); rmrf(compact)
 
-    val target = math.max(1L, Compaction.dataBytes(spark, frag) / 4)
-    val n = Compaction.compact(spark, frag, tidy, target)
-    val after = Compaction.dataFiles(spark, tidy)
-    assert(after == n, s"wrote $after files, planned $n")
-    assert(after <= 5, s"compaction left $after files for a 4-file target")
+    // incremental ingest residue: 64 small files
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(64).write.parquet(frag.getPath)
+    assert(Compaction.dataFiles(spark, frag.getPath) == 64)
 
-    // bit-identical data
-    val a = spark.read.parquet(frag).orderBy("o_orderkey").collect()
-    val b = spark.read.parquet(tidy).orderBy("o_orderkey").collect()
-    assert(a.length == b.length)
-    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // compactor: size the output by observed bytes / target file size
+    val targetBytes = 256L * 1024
+    val nOut = Compaction.compact(spark, frag.getPath, compact.getPath, targetBytes)
+    assert(nOut < 8, s"fixture should compact to a few files, got $nOut")
+    assert(Compaction.dataFiles(spark, compact.getPath) == nOut)
 
-    // fewer scan partitions with a small maxPartitionBytes (the many-
-    // small-files regime where per-file overhead dominates planning)
-    val key = "spark.sql.files.maxPartitionBytes"
-    val prev = spark.conf.get(key)
-    try {
-      spark.conf.set(key, (64 * 1024).toString)
-      val tasksBefore = spark.read.parquet(frag).rdd.getNumPartitions
-      val tasksAfter = spark.read.parquet(tidy).rdd.getNumPartitions
-      assert(tasksAfter < tasksBefore,
-        s"compaction should reduce planned scan tasks: $tasksBefore -> $tasksAfter")
-    } finally spark.conf.set(key, prev)
+    // content preservation: exact row multiset both directions
+    val a = spark.read.parquet(frag.getPath)
+    val b = spark.read.parquet(compact.getPath)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction changed the row multiset")
+  }
+
+  test("maxRecordsPerFile caps file size from the write side") {
+    val dir = new java.io.File("/tmp/graft_capped")
+    rmrf(dir)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val n = docs.count()
+    val cap = 100L
+    docs.coalesce(1)
+      .write.option("maxRecordsPerFile", cap).parquet(dir.getPath)
+    val files = dataFiles(dir)
+    assert(files.size == math.ceil(n.toDouble / cap).toInt,
+      s"expected ceil($n/$cap) files, got ${files.size}")
+    // every file respects the cap
+    files.foreach { f =>
+      val c = spark.read.parquet(f.getPath).count()
+      assert(c <= cap, s"${f.getName} holds $c rows > cap $cap")
+    }
   }
 }
