@@ -310,6 +310,39 @@ object CurationQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // WEIGHTED PRIORITY SAMPLE (without replacement): the fixed-size
+    // companion to q_importance_sample's Bernoulli draw — select
+    // exactly K documents with probability increasing in weight
+    // (w = n_chars), deterministically. Each doc gets an integer
+    // priority = (hash(doc_id) · 2^20) div w — the integer-arithmetic
+    // analog of Efraimidis–Sirivianos u^(1/w) keys (bigger weight ⇒
+    // stochastically smaller priority) that stays engine-exact where a
+    // pow()-based key would ride libm rounding — and the K smallest
+    // priorities win. Reruns, re-shards, and engine swaps all pick the
+    // SAME sample: the priority depends only on content keys.
+    //
+    // Scale shape: priorities are map-side; the global top-K plans as
+    // TakeOrderedAndProject (per-partition top-K, driver merges
+    // K·partitions rows) — no global sort, no full shuffle. (doc_id is
+    // unique, so the (priority, doc_id) order is total and the LIMIT
+    // cutoff is deterministic in both engines.)
+    "q_weighted_sample" -> QueryDef(
+      (s, d) => {
+        val sq = SparkSql
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "lang", "n_chars",
+            s"((${sq.polyHash(s"concat('w#', ${sq.castStr("doc_id")})", 12)} * ${1L << 20}) div greatest(n_chars, 1L)) AS priority")
+          .orderBy("priority", "doc_id")
+          .limit(100)
+      }, {
+        val d = DuckSql
+        s"""SELECT doc_id, lang, n_chars, priority FROM (
+           |  SELECT doc_id, lang, n_chars,
+           |    ${d.idiv(s"(${d.polyHash(s"concat('w#', ${d.castStr("doc_id")})", 12)} * ${1L << 20})", "greatest(n_chars, 1)")} AS priority
+           |  FROM documents)
+           |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+      }),
+
     // The composed END-TO-END curation pipeline — the user story the
     // individual stages exist for, declared as ONE query so the judge
     // can check the stages compose without intermediate materialization:

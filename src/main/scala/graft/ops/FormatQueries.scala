@@ -60,6 +60,23 @@ object FormatQueries {
       },
       oracle),
 
+    // ORC completes the columnar-format matrix (csv/json/text/binrec
+    // are row formats; parquet is the fixture's own format, exercised
+    // by every scan): same projection through Spark's built-in ORC
+    // source — dictionary/RLE encodings, stripe-level splits, and
+    // predicate-pushdown-capable statistics all come with the format.
+    // ORC stores doubles and longs losslessly, so the round trip is
+    // bit-exact with no string-parsing caveats.
+    "q_orc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val proj = ordersProj(s, d)
+        val out = s"/tmp/graft_fmt/orc_${new java.io.File(d).getName}"
+        proj.write.mode("overwrite").orc(out)
+        s.read.schema(proj.schema).orc(out)
+          .orderBy("o_orderkey")
+      },
+      oracle),
+
     // Round trip through the CUSTOM DataSource V2 connector
     // (graft.sources.LineTextSource, format "graft-text") in BOTH
     // directions: documents are exported as delimited text through the

@@ -206,6 +206,74 @@ object GraphQueries {
          |  CAST(count(*) * 125 AS BIGINT) AS doulion_est
          |FROM (SELECT u AS node FROM tri UNION ALL
          |      SELECT x FROM tri UNION ALL SELECT y FROM tri)
-         |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10""".stripMargin)
+         |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10""".stripMargin),
+
+    // MULTI-SOURCE BFS SHORTEST PATHS — "distance to the nearest seed"
+    // over the co-purchase graph: seeds are parts with key % 97 = 0,
+    // and every node reached within MaxHops reports its hop distance.
+    // This is the third iterative shape after PageRank (fixed rounds)
+    // and connected components (label propagation): FRONTIER expansion,
+    // where each round's join input is only the nodes discovered in the
+    // previous round, not the whole distance table.
+    //
+    // Scale shape: the edge relation is built once and scratch-cached
+    // hash-partitioned on src (at 100 TB: a bucketed edge table), so
+    // each round's frontier⋈edges join is exchange-free on the edge
+    // side and shuffles only the frontier — which SHRINKS as the BFS
+    // saturates. The min-merge after each expansion is map-combinable.
+    // The driver loop holds only the round counter; distances never
+    // leave the cluster. Exactness: hop counts are pure BIGINTs; the
+    // DuckDB oracle unrolls the same MaxHops rounds as CTEs with the
+    // identical frontier restriction.
+    "q_shortest_path" -> QueryDef(
+      (s, d) => {
+        val MaxHops = 3
+        val byOrder = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("parts"))
+        val edges = ScratchCache.scratch(byOrder
+          .select(explode(col("parts")).as("src"), col("parts"))
+          .select(col("src"), explode(col("parts")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .repartition(col("src")))
+        var dist = edges.select(col("src").as("id")).distinct()
+          .filter(col("id") % 97 === 0)
+          .select(col("id"), lit(0L).as("dist"))
+        for (h <- 1 to MaxHops) {
+          val next = dist.filter(col("dist") === (h - 1).toLong)
+            .join(edges, col("id") === col("src"))
+            .select(col("dst").as("id"), lit(h.toLong).as("dist"))
+          dist = dist.unionByName(next)
+            .groupBy("id").agg(min("dist").as("dist"))
+        }
+        dist.selectExpr("id AS part_key", "dist")
+          .orderBy("dist", "part_key")
+      }, {
+        val MaxHops = 3
+        def round(out: String, prev: String, h: Int): String =
+          s"""$out AS (
+             |  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |    SELECT id, dist FROM $prev
+             |    UNION ALL
+             |    SELECT e.dst AS id, p.dist + 1 AS dist
+             |    FROM $prev p JOIN edges e ON e.src = p.id
+             |    WHERE p.dist = ${h - 1})
+             |  GROUP BY id)""".stripMargin
+        val rounds = (1 to MaxHops).map(i => round(s"d$i", s"d${i - 1}", i))
+          .mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |edges AS (
+           |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |  WHERE a.l_partkey <> b.l_partkey),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
+           |  WHERE id % 97 = 0),
+           |$rounds
+           |SELECT id AS part_key, dist FROM d$MaxHops
+           |ORDER BY dist, part_key""".stripMargin
+      })
   )
 }

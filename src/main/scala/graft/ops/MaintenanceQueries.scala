@@ -121,6 +121,78 @@ object MaintenanceQueries {
          |  CAST(sum(was_ins) AS BIGINT) AS n_inserted
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // SNAPSHOT DIFF — the inverse of the upsert: given two table
+    // versions (v1 = the base, v2 = the base with q_upsert_merge's
+    // change rules applied), classify every key as added / deleted /
+    // changed / unchanged in ONE full-outer key join and report the
+    // per-class row counts and money movement. This is the
+    // table-maintenance audit every incremental pipeline runs after a
+    // merge (and the CDC-extraction direction: diffing two snapshots
+    // RECOVERS the change batch).
+    //
+    // Scale shape: one full-outer sort-merge join on the primary key —
+    // both sides shuffle once on o_orderkey (on a bucketed table:
+    // exchange-free); the classification is a map-side CASE and the
+    // per-class rollup is a 4-key map-combinable aggregate. Money is
+    // cents-quantized BIGINT, so the deltas are exact.
+    "q_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val v1 = Tables.orders(s, d).selectExpr(
+          "o_orderkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS old_cents")
+        val v2Base = Tables.orders(s, d).selectExpr(
+          "o_orderkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        val v2 = v2Base
+          .filter(col("o_orderkey") % 13 =!= 0)
+          .selectExpr("o_orderkey",
+            "CASE WHEN o_orderkey % 7 = 0 THEN cents * 2 ELSE cents END AS new_cents")
+          .unionByName(v2Base.filter(col("o_orderkey") % 11 === 3)
+            .selectExpr(s"o_orderkey + ${InsOff}L AS o_orderkey",
+              "cents AS new_cents"))
+        v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .selectExpr(
+            """CASE WHEN old_cents IS NULL THEN 'added'
+              |     WHEN new_cents IS NULL THEN 'deleted'
+              |     WHEN old_cents <> new_cents THEN 'changed'
+              |     ELSE 'unchanged' END AS diff_status""".stripMargin,
+            "coalesce(old_cents, 0) AS oc", "coalesce(new_cents, 0) AS nc")
+          .groupBy("diff_status")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("oc").as("sum_old_cents"),
+            sum("nc").as("sum_new_cents"))
+          .selectExpr("diff_status", "n_rows", "sum_old_cents",
+            "sum_new_cents", "(sum_new_cents - sum_old_cents) AS delta_cents")
+          .orderBy("diff_status")
+      },
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS old_cents
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 2 ELSE cents END AS new_cents
+         |  FROM b WHERE o_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $InsOff AS o_orderkey, cents AS new_cents
+         |  FROM b WHERE o_orderkey % 11 = 3),
+         |diff AS (
+         |  SELECT CASE WHEN v1.old_cents IS NULL THEN 'added'
+         |              WHEN v2.new_cents IS NULL THEN 'deleted'
+         |              WHEN v1.old_cents <> v2.new_cents THEN 'changed'
+         |              ELSE 'unchanged' END AS diff_status,
+         |    coalesce(v1.old_cents, 0) AS oc, coalesce(v2.new_cents, 0) AS nc
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(oc) AS BIGINT) AS sum_old_cents,
+         |  CAST(sum(nc) AS BIGINT) AS sum_new_cents,
+         |  CAST(sum(nc) - sum(oc) AS BIGINT) AS delta_cents
+         |FROM diff GROUP BY diff_status ORDER BY diff_status""".stripMargin),
+
     // Z-ORDER CLUSTERING — the multi-dimensional data-skipping layout:
     // Morton-interleave (l_partkey, l_suppkey) into one z key, bucket
     // by the z prefix (the "file" a z-sorted write would produce), and

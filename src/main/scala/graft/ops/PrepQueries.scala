@@ -19,6 +19,9 @@ import graft.{QueryDef, Tables}
   *  - q_inverted_index: posting-list construction (token → document
   *    frequency, total term frequency, capped posting sample) — the
   *    search-index / corpus-exploration op.
+  *  - q_bpe_pairs: adjacent-character-pair frequencies over the token
+  *    vocabulary — the first merge-candidate table of byte-pair-encoding
+  *    tokenizer training (Sennrich et al., ACL'16).
   *
   * Scale notes are per-query below; the common theme is that nothing
   * here materializes corpus-sized driver or single-partition state:
@@ -205,5 +208,58 @@ object PrepQueries {
            |  FROM per_doc GROUP BY token)
            |SELECT token, df, tf_total, postings
            |FROM post ORDER BY df DESC, token LIMIT $IndexTop""".stripMargin
+      }),
+
+    // BPE MERGE CANDIDATES — per language, the top-10 adjacent
+    // character pairs by frequency, where a pair's frequency is the sum
+    // of the corpus counts of every vocabulary token containing it (one
+    // occurrence per position). The classic BPE-training trick is
+    // exercised structurally: pairs are generated from the
+    // vocabulary-WITH-counts, never by re-scanning the corpus per merge
+    // round — after the one (lang, token) count shuffle, the pair table
+    // is bounded by |vocab| × max_token_len, so each further merge
+    // round of a real trainer costs vocab-sized work. All counts are
+    // BIGINT; rank ties break on the pair text so the cutoff is
+    // deterministic in both engines.
+    "q_bpe_pairs" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, length, row_number}
+        val vocab = Tables.documentsParallel(s, d)
+          .selectExpr("lang", s"explode(${SparkSql.tokensRe("text")}) AS t")
+          .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+        val pairs = vocab
+          .filter(length(col("t")) >= 2)
+          .selectExpr("lang", "cnt",
+            "explode(transform(sequence(1, length(t) - 1)," +
+              " i -> substring(t, i, 2))) AS pair")
+          .groupBy("lang", "pair").agg(sum("cnt").as("cnt"))
+        pairs
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rnk") <= 10)
+          .selectExpr("lang", "CAST(rnk AS BIGINT) AS rnk", "pair", "cnt")
+          .orderBy("lang", "rnk")
+      }, {
+        val dl = DuckSql
+        s"""WITH vocab AS (
+           |  SELECT lang, t, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, unnest(${dl.tokensRe("text")}) AS t
+           |    FROM documents)
+           |  GROUP BY lang, t),
+           |pairs AS (
+           |  SELECT lang, pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, cnt,
+           |      unnest(list_transform(generate_series(1, length(t) - 1),
+           |        i -> substr(t, i, 2))) AS pair
+           |    FROM vocab WHERE length(t) >= 2)
+           |  GROUP BY lang, pair)
+           |SELECT lang, CAST(rnk AS BIGINT) AS rnk, pair, cnt FROM (
+           |  SELECT lang, pair, cnt,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC, pair) AS rnk
+           |  FROM pairs)
+           |WHERE rnk <= 10
+           |ORDER BY lang, rnk""".stripMargin
       }))
 }

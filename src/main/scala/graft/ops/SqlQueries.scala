@@ -131,6 +131,24 @@ object SqlQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, nation""".stripMargin
 
+  // TPC-H Q6 shape: the forecasting-revenue-change scan — a pure
+  // filter+aggregate with NO join and NO group key. The whole query is
+  // one parquet scan with every predicate pushed down (shipdate range,
+  // discount band, quantity cap all reach PushedFilters) and a
+  // map-combinable 2-cell aggregate — the shape where scan efficiency
+  // IS the query, and exactly what column pruning + predicate pushdown
+  // buy at 100 TB. Money quantizes to DECIMAL per row before the sum.
+  private val ForecastSql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -138,7 +156,8 @@ object SqlQueries {
     "q_sql_pricing" -> PricingSql,
     "q_sql_top_revenue" -> TopRevenueSql,
     "q_sql_order_priority" -> OrderPrioritySql,
-    "q_sql_region_revenue" -> RegionRevenueSql)
+    "q_sql_region_revenue" -> RegionRevenueSql,
+    "q_sql_forecast" -> ForecastSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -148,6 +167,7 @@ object SqlQueries {
       sqlDef(Seq("orders", "lineitem"), OrderPrioritySql),
     "q_sql_region_revenue" ->
       sqlDef(Seq("region", "nation", "customer", "supplier", "orders",
-        "lineitem"), RegionRevenueSql)
+        "lineitem"), RegionRevenueSql),
+    "q_sql_forecast" -> sqlDef(Seq("lineitem"), ForecastSql)
   )
 }
