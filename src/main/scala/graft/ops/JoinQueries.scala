@@ -291,6 +291,61 @@ object JoinQueries {
       },
       """SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin)
+        |GROUP BY s_name ORDER BY s_name""".stripMargin),
+
+    // TYPED COGROUP — arbitrary per-key code over two co-grouped
+    // inputs, the JoinValidate / secondary-sort PROCESSOR shape
+    // (tez-examples/.../JoinValidate.java:228-262 consumes two
+    // KeyValuesReaders per key and runs imperative logic between them;
+    // tez-examples/.../SecondarySortExample reads value-sorted groups).
+    // Each order's lineitem cents are SORTED in task code and folded
+    // into an order-dependent rolling checksum — logic a plain
+    // join+agg cannot express (the fold is non-commutative), so this
+    // genuinely exercises KeyValueGroupedDataset.cogroup, Spark's
+    // per-key imperative escape hatch.
+    //
+    // Scale shape: one shuffle per side on the key (identical to a
+    // sort-merge join's movement); per-key state is one order's lines
+    // (bounded by order size, ~4), streamed by the iterator —
+    // nothing driver-side, nothing unbounded. The oracle reproduces
+    // the fold with list(cents ORDER BY cents) + list_reduce over the
+    // same BIGINT arithmetic.
+    "q_cogroup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val M = graft.oracle.Dialect.M
+        val os = Tables.orders(s, d)
+          .selectExpr("o_orderkey", "o_orderstatus").as[(Long, String)]
+        val ls = Tables.lineitem(s, d)
+          .selectExpr("l_orderkey",
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+          .as[(Long, Long)]
+        os.groupByKey(_._1).cogroup(ls.groupByKey(_._1)) { (k, oIt, lIt) =>
+          val orders = oIt.toSeq
+          if (orders.isEmpty) Iterator.empty
+          else {
+            val cents = lIt.map(_._2).toArray.sorted
+            val checksum =
+              cents.foldLeft(0L)((acc, c) => (acc * 31 + c) % M)
+            Iterator((k, orders.head._2, cents.length.toLong, checksum))
+          }
+        }.toDF("o_orderkey", "o_orderstatus", "n_lines", "checksum")
+          .orderBy("o_orderkey")
+      }, {
+        val dl = graft.oracle.DuckSql
+        val fold = dl.foldBig(
+          "list(cents ORDER BY cents) FILTER (WHERE cents IS NOT NULL)",
+          "acc", "c", s"(acc * 31 + c) % ${graft.oracle.Dialect.M}")
+        s"""WITH li AS (
+           |  SELECT l_orderkey,
+           |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+           |  FROM lineitem)
+           |SELECT o.o_orderkey, o.o_orderstatus,
+           |  CAST(count(li.cents) AS BIGINT) AS n_lines,
+           |  CAST($fold AS BIGINT) AS checksum
+           |FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderkey, o.o_orderstatus
+           |ORDER BY o.o_orderkey""".stripMargin
+      })
   )
 }

@@ -193,6 +193,43 @@ object MaintenanceQueries {
          |  CAST(sum(nc) - sum(oc) AS BIGINT) AS delta_cents
          |FROM diff GROUP BY diff_status ORDER BY diff_status""".stripMargin),
 
+    // DATA-PROFILING HISTOGRAM — the ANALYZE-statistics operator: an
+    // equi-width 32-bucket histogram of lineitem money (cents) over the
+    // OBSERVED [min, max], with per-bucket counts and actual bounds.
+    // This is the statistics table a cost-based optimizer consumes
+    // (Spark's ANALYZE TABLE ... FOR COLUMNS computes the same shape;
+    // the reference surfaces the analog through its counter/analyzer
+    // tooling, tez-tools/analyzers/). Exposing it as a QUERY makes the
+    // profiling pass itself a first-class, oracle-checked operator.
+    //
+    // Scale shape: one bounded (min, max) scalar broadcast (the kmeans
+    // / zorder pattern), then a map-side bucket assignment and a
+    // 32-key map-combinable aggregate — one corpus scan, one tiny
+    // shuffle, scale-invariant output. All arithmetic is BIGINT:
+    // bucket = ((c - mn) * 32) div (mx - mn + 1).
+    "q_profile_histogram" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, max, min}
+        val cents = Tables.lineitem(s, d).selectExpr(
+          "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c")
+        val bounds = cents.agg(min("c").as("mn"), max("c").as("mx"))
+        cents.crossJoin(broadcast(bounds))
+          .selectExpr("c", "(((c - mn) * 32) div (mx - mn + 1)) AS bucket")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("c").as("min_cents"), max("c").as("max_cents"))
+          .orderBy("bucket")
+      },
+      """WITH cents AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (SELECT min(c) AS mn, max(c) AS mx FROM cents)
+        |SELECT (((c - mn) * 32) // (mx - mn + 1)) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM cents, b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // Z-ORDER CLUSTERING — the multi-dimensional data-skipping layout:
     // Morton-interleave (l_partkey, l_suppkey) into one z key, bucket
     // by the z prefix (the "file" a z-sorted write would produce), and

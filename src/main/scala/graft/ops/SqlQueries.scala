@@ -35,7 +35,7 @@ import graft.{QueryDef, Tables}
   * (PushedFilters), the Q1-shape aggregation is partial+final
   * (map-side combine before one shuffle on a 6-value key), and the
   * EXISTS in q_sql_order_priority plans as a left-semi join, never a
-  * per-row subquery.
+  * per-row subquery (both assertions live in QueriesSpec).
   */
 object SqlQueries {
 
@@ -98,7 +98,7 @@ object SqlQueries {
       |LIMIT 10""".stripMargin
 
   // TPC-H Q4 shape: priority counts over a quarter, EXISTS planned as a
-  // left-semi join (asserted in SqlSurfaceSpec).
+  // left-semi join (asserted in QueriesSpec).
   private val OrderPrioritySql =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       |FROM orders
@@ -149,6 +149,26 @@ object SqlQueries {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  // NOT IN (subquery) — the null-aware anti join. ANSI NOT IN is NOT
+  // the complement of IN when nulls are possible (one NULL in the
+  // subquery empties the result; a NULL probe key never passes), so
+  // Spark cannot plan it as a plain LeftAnti on parquet's nullable
+  // schema: it plans a null-aware anti join (broadcast, with the
+  // empty/null checks compiled in) — a genuinely distinct physical
+  // operator from q_left_anti's, asserted in QueriesSpec. The
+  // blocklist side (negative-balance customers) is tiny at any scale →
+  // broadcast; the probe side never shuffles.
+  private val NotInSql =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -157,7 +177,8 @@ object SqlQueries {
     "q_sql_top_revenue" -> TopRevenueSql,
     "q_sql_order_priority" -> OrderPrioritySql,
     "q_sql_region_revenue" -> RegionRevenueSql,
-    "q_sql_forecast" -> ForecastSql)
+    "q_sql_forecast" -> ForecastSql,
+    "q_sql_not_in" -> NotInSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -168,6 +189,7 @@ object SqlQueries {
     "q_sql_region_revenue" ->
       sqlDef(Seq("region", "nation", "customer", "supplier", "orders",
         "lineitem"), RegionRevenueSql),
-    "q_sql_forecast" -> sqlDef(Seq("lineitem"), ForecastSql)
+    "q_sql_forecast" -> sqlDef(Seq("lineitem"), ForecastSql),
+    "q_sql_not_in" -> sqlDef(Seq("orders", "customer"), NotInSql)
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.oracle.DuckSql
 import graft.streaming.EventStream
 
@@ -75,6 +75,34 @@ object StreamQueries {
       s"""SELECT ${DuckSql.epochTrunc("hour", "ts")} AS window_start_epoch,
          |  event_type, count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // STREAM-STATIC JOIN — the dimension-enrichment shape: the event
+    // stream broadcast-joins a static per-type weight table (computed
+    // once, batch-side, from the same fixture) inside every
+    // micro-batch, then rolls up weighted money per (hour, type). No
+    // join state, no watermark on the join; the oracle is the
+    // identical batch SQL. Complements q_stream_join (stream-STREAM,
+    // stateful) with the stateless-join half of the streaming join
+    // matrix.
+    "q_stream_enrich" -> QueryDef(
+      (s, d) => {
+        val dim = Tables.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("w"))
+        runToTable(s,
+          EventStream.enrichedTumblingEpoch(
+            EventStream.readEvents(s, d), dim),
+          "graft_stream_enrich", "complete")
+          .orderBy("window_start_epoch", "event_type")
+      },
+      s"""WITH w AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS w
+         |  FROM events GROUP BY event_type)
+         |SELECT ${DuckSql.epochTrunc("hour", "ts")} AS window_start_epoch,
+         |  e.event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT) * w)
+         |    AS BIGINT) AS weighted_cents
+         |FROM events e JOIN w ON e.event_type = w.event_type
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Sliding 1-hour/30-minute window computed by the streaming engine;

@@ -63,6 +63,26 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-STATIC dimension enrichment → tumbling weighted rollup:
+    * the unbounded stream broadcast-joins a bounded dimension frame
+    * inside every micro-batch (no state, no watermark needed for the
+    * join itself — the static side is immutable for the query's
+    * lifetime), then aggregates weighted money per (hour, type). This
+    * is the canonical enrichment shape at 100 TB/day: the dimension is
+    * MBs, so the stream side never shuffles for the join; the only
+    * stateful operator is the windowed aggregate. Money quantizes to
+    * cents BIGINT per row before the weighted sum, so accumulation
+    * order cannot matter. */
+  def enrichedTumblingEpoch(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("cents", expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cents * w")).as("weighted_cents"))
+      .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("weighted_cents"))
+
   /** Session windows with a 30-minute gap per user. */
   def sessionAgg(events: DataFrame): DataFrame =
     events

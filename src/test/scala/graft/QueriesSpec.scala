@@ -85,6 +85,28 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
     assert(nodes("q_topk").exists(_.contains("TakeOrderedAndProject")))
   }
+  test("q_weighted_sample uses TakeOrderedAndProject (no global sort, no exchange)") {
+    assert(nodes("q_weighted_sample").exists(_.contains("TakeOrderedAndProject")))
+  }
+  test("q_sql_not_in plans a null-aware anti join, not a per-row subquery") {
+    val p = plan("q_sql_not_in")
+    val bhj = collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.exists(_.isNullAwareAntiJoin),
+      s"expected a null-aware BroadcastHashJoin LeftAnti, got:\n$p")
+  }
+  test("q_sql_order_priority plans EXISTS as a semi join, not a per-row subquery") {
+    val ns = nodes("q_sql_order_priority")
+    assert(ns.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), ns)
+    assert(plan("q_sql_order_priority").toString.contains("LeftSemi"))
+  }
+  test("q_sql_forecast pushes all three predicates into the parquet scan") {
+    val s = plan("q_sql_forecast").toString
+    assert(s.contains("PushedFilters: ["), s)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(s.contains(c), s"$c predicate should reach the scan"))
+  }
   test("q_filter_predicate pushes filters into the parquet scan") {
     val scan = plan("q_filter_predicate").toString
     assert(scan.contains("PushedFilters: ["), "expected pushed filters in scan")
