@@ -78,6 +78,12 @@ object SimilarityQueries {
 
   private val NCells = 16
 
+  /** Product-quantization geometry: 64 dims = 4 subspaces × 16 dims,
+    * 16 codebook entries per subspace (codes fit one byte each). */
+  private val PqSubSpaces = 4
+  private val PqSubDims = 16
+  private val PqCodes = 16
+
   /** IVF coarse-quantizer cell: argmin over NCells deterministic
     * pseudo-random centroids of squared L2 distance. Centroid coords use
     * the same LCG as the LSH planes with a decorrelating index offset;
@@ -421,6 +427,164 @@ object SimilarityQueries {
            |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
            |  FROM probes q JOIN v3 c ON q.cell = c.cell1 AND q.vec_id <> c.vec_id
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }),
+
+    // PRODUCT QUANTIZATION ANN (IVF-PQ's compression half; Jégou et al.,
+    // TPAMI'11): the 64-dim vector splits into 4 subvectors of 16 dims;
+    // each subspace learns a 16-entry codebook (one Lloyd round from
+    // deterministic seeds = the subvectors of vec_id 0..15); every
+    // corpus vector is stored as 4 one-byte codes (16× compression of
+    // the quantized vector); query-time distance is ASYMMETRIC DISTANCE
+    // COMPUTATION — per query, a 4×16 lookup table of exact
+    // query-subvector→centroid distances, and each corpus vector's
+    // estimate is the sum of 4 table lookups, never a full-dimension
+    // scan of the corpus floats.
+    //
+    // Scale shape (the honest PQ economics): codebook learning is the
+    // q_kmeans pattern per subspace — assignment is MAP-SIDE against
+    // centroid literals (driver holds 4×16×16 longs, the broadcast-
+    // variable pattern), the update is ONE map-combinable
+    // (ss, cid, dim) shuffle bounded at 1024 rows. Encoding is pure
+    // map. The ADC join broadcasts the 4×16-per-query lookup table and
+    // shuffles only (query, vec, partial-sum) triples with map-side
+    // combine; at production scale PQ composes with the IVF cell
+    // routing above, which bounds the candidate set per query before
+    // any distance math runs.
+    //
+    // Exactness: subvectors ride Dialect.quantVec's 1e-6 BIGINT
+    // quantization, distances are exact integer squared-L2, centroid
+    // components are integer-floor means, and argmin ties break to the
+    // smallest code in both engines (first-position min / ROW_NUMBER
+    // on (d2, cid)) — so codes, lookup tables, and estimates are
+    // bit-identical. The oracle derives the SAME codebook relationally
+    // (windowed argmin CTEs) from the same seeds.
+    "q_ann_pq" -> QueryDef(
+      (s, d) => {
+        val sq = SparkSql
+        val v = ScratchCache.scratch(Tables.embeddings(s, d)
+          .selectExpr("vec_id", s"${sq.quantVec("embedding", 1000000L)} AS v"))
+
+        // first-position argmin over centroid literals (cid-ascending
+        // dists array → ties take the smallest cid), fully map-side
+        def cidExpr(cents: Seq[(Int, Seq[Long])], ss: Int): String = {
+          val sub = s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)"
+          val dists = cents
+            .map { case (_, c) =>
+              sq.dist2Big(sub, c.mkString("array(", "L,", "L)")) }
+            .mkString("array(", ",", ")")
+          val cids = cents.map(_._1).mkString("array(", ",", ")")
+          s"element_at($cids, CAST(array_position($dists, array_min($dists)) AS INT))"
+        }
+
+        // seeds: the subvector slices of vec_id 0..15 (16×64 longs)
+        val seedRows = v.filter(col("vec_id") < PqCodes)
+          .collect().sortBy(_.getLong(0))
+        val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
+          (r.getLong(0).toInt,
+            r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
+        }
+
+        // one Lloyd round: map-side assignment, 1024-row combinable update
+        val perSs = (0 until PqSubSpaces).map { ss =>
+          v.selectExpr(s"${cidExpr(seeds(ss), ss)} AS cid",
+              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
+            .select(lit(ss).as("ss"), col("cid"),
+              posexplode(col("vs")).as(Seq("dim", "x")))
+        }
+        val c1 = perSs.reduce(_ unionByName _)
+          .groupBy("ss", "cid", "dim")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .selectExpr("ss", "cid", "dim", "sx div n AS c")
+          .collect()
+        val book: Int => Seq[(Int, Seq[Long])] = {
+          val m = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
+            ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
+              cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+            }.toSeq.sortBy(_._1)
+          }
+          m(_)
+        }
+
+        // encode: 4 codes per vector, pure map; long form for the ADC join
+        val codeCols = (0 until PqSubSpaces)
+          .map(ss => s"${cidExpr(book(ss), ss)} AS code$ss")
+        val stackArgs = (0 until PqSubSpaces)
+          .map(ss => s"$ss, code$ss").mkString(", ")
+        val codes = v.selectExpr(("vec_id" +: codeCols): _*)
+          .select(col("vec_id"),
+            expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
+
+        // per-query ADC lookup table: |Q|×4×16 exact subspace distances
+        import s.implicits._
+        val bookDf = (0 until PqSubSpaces)
+          .flatMap(ss => book(ss).map { case (cid, c) => (ss, cid, c) })
+          .toDF("ss", "cid", "c")
+        val qsub = (0 until PqSubSpaces).map { ss =>
+          v.filter(col("vec_id") < 20)
+            .selectExpr("vec_id AS query_id", s"$ss AS ss",
+              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS qs")
+        }.reduce(_ unionByName _)
+        val qdist = qsub.join(bookDf, "ss")
+          .selectExpr("query_id", "ss", "cid", s"${sq.dist2Big("qs", "c")} AS qd2")
+
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+      }, {
+        val dl = DuckSql
+        def d2(a: String, b: String) = dl.dist2Big(a, b)
+        s"""WITH v AS (
+           |  SELECT vec_id, ${dl.quantVec("embedding", 1000000L)} AS v
+           |  FROM embeddings),
+           |sub AS (
+           |  SELECT vec_id, ss,
+           |    list_slice(v, ss * $PqSubDims + 1, (ss + 1) * $PqSubDims) AS vs
+           |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
+           |seeds AS (
+           |  SELECT ss, CAST(vec_id AS INT) AS cid, vs AS c
+           |  FROM sub WHERE vec_id < $PqCodes),
+           |a1 AS (
+           |  SELECT vec_id, ss, cid, vs FROM (
+           |    SELECT s.vec_id, s.ss, t.cid, s.vs,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
+           |        ORDER BY ${d2("s.vs", "t.c")}, t.cid) AS rn
+           |    FROM sub s JOIN seeds t ON s.ss = t.ss) WHERE rn = 1),
+           |c1 AS (
+           |  SELECT ss, cid, list(c ORDER BY dim) AS c FROM (
+           |    SELECT ss, cid, zz AS dim,
+           |      CAST(sum(vs[zz]) // count(*) AS BIGINT) AS c
+           |    FROM a1 CROSS JOIN generate_series(1, $PqSubDims) t(zz)
+           |    GROUP BY ss, cid, zz)
+           |  GROUP BY ss, cid),
+           |codes AS (
+           |  SELECT vec_id, ss, cid AS code FROM (
+           |    SELECT s.vec_id, s.ss, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
+           |        ORDER BY ${d2("s.vs", "c.c")}, c.cid) AS rn
+           |    FROM sub s JOIN c1 c ON s.ss = c.ss) WHERE rn = 1),
+           |qd AS (
+           |  SELECT s.vec_id AS query_id, s.ss, c.cid,
+           |    CAST(${d2("s.vs", "c.c")} AS BIGINT) AS qd2
+           |  FROM sub s JOIN c1 c ON s.ss = c.ss WHERE s.vec_id < 20),
+           |est AS (
+           |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+           |  FROM codes k JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+           |  WHERE q.query_id <> k.vec_id
+           |  GROUP BY q.query_id, k.vec_id)
+           |SELECT query_id, neighbor_id, est_d2, rn FROM (
+           |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY est_d2, vec_id) AS rn
+           |  FROM est) WHERE rn <= $TopK
+           |ORDER BY query_id, rn""".stripMargin
       })
   )
 }

@@ -169,6 +169,51 @@ object SqlQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // WITH RECURSIVE — the iterative-DAG surface as DECLARATIVE text
+  // (Spark 4 executes recursive CTEs as an iterative union loop — the
+  // engine-managed analog of the hand-rolled driver loops in
+  // q_pagerank / q_shortest_path / q_dedup_cluster). A depth-bounded
+  // multi-source walk over a deterministic functional graph on the
+  // customer key space: seeds are every 500th key, next(k) =
+  // (k*7 + 11) mod (max_key + 1), 6 steps. The modulus is DATA-derived
+  // (max over customer) and carried through the recursion as a column,
+  // so the anchor is one aggregate + broadcast and each recursive step
+  // is a pure map — no per-step rescans of the base table. Both
+  // engines execute the IDENTICAL text; all arithmetic is BIGINT.
+  private val RecursiveSql =
+    """WITH RECURSIVE walk(seed, step, node, mx) AS (
+      |  SELECT c_custkey AS seed, CAST(0 AS BIGINT) AS step,
+      |    c_custkey AS node, mx
+      |  FROM customer CROSS JOIN (SELECT max(c_custkey) AS mx FROM customer)
+      |  WHERE c_custkey % 500 = 0
+      |  UNION ALL
+      |  SELECT seed, step + 1, (node * 7 + 11) % (mx + 1), mx
+      |  FROM walk WHERE step < 6
+      |)
+      |SELECT seed, step, node FROM walk
+      |ORDER BY seed, step""".stripMargin
+
+  // Correlated scalar subquery — Catalyst DECORRELATES it into an
+  // aggregate + join (never a per-row subquery execution; QueriesSpec
+  // asserts the decorrelated plan): orders costing more than twice
+  // their customer's average. The comparison stays engine-exact: cents
+  // are BIGINT, the average is one double division of two BIGINTs
+  // (identical IEEE-754 in both engines), and the literal 2 is
+  // CAST AS DOUBLE so Spark cannot parse a DECIMAL.
+  private val CorrelatedSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_big,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM o
+      |WHERE cents > (
+      |  SELECT CAST(2 AS DOUBLE) * sum(o2.cents) / count(*)
+      |  FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -178,7 +223,9 @@ object SqlQueries {
     "q_sql_order_priority" -> OrderPrioritySql,
     "q_sql_region_revenue" -> RegionRevenueSql,
     "q_sql_forecast" -> ForecastSql,
-    "q_sql_not_in" -> NotInSql)
+    "q_sql_not_in" -> NotInSql,
+    "q_sql_recursive" -> RecursiveSql,
+    "q_sql_correlated" -> CorrelatedSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -190,6 +237,8 @@ object SqlQueries {
       sqlDef(Seq("region", "nation", "customer", "supplier", "orders",
         "lineitem"), RegionRevenueSql),
     "q_sql_forecast" -> sqlDef(Seq("lineitem"), ForecastSql),
-    "q_sql_not_in" -> sqlDef(Seq("orders", "customer"), NotInSql)
+    "q_sql_not_in" -> sqlDef(Seq("orders", "customer"), NotInSql),
+    "q_sql_recursive" -> sqlDef(Seq("customer"), RecursiveSql),
+    "q_sql_correlated" -> sqlDef(Seq("orders"), CorrelatedSql)
   )
 }

@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(ns.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), ns)
     assert(plan("q_sql_order_priority").toString.contains("LeftSemi"))
   }
+  test("q_sql_correlated decorrelates the scalar subquery into an aggregate + join") {
+    val p = plan("q_sql_correlated")
+    val ns = collect(p) { case n => n.nodeName }
+    // decorrelation = a real join against the per-customer aggregate in
+    // the physical plan, not a per-row subquery re-execution
+    assert(ns.exists(_.contains("Join")), ns)
+    assert(ns.count(_.contains("HashAggregate")) >= 2, ns)
+  }
   test("q_sql_forecast pushes all three predicates into the parquet scan") {
     val s = plan("q_sql_forecast").toString
     assert(s.contains("PushedFilters: ["), s)
