@@ -255,6 +255,63 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // SKYLINE (Pareto frontier) over parts: minimize price, maximize
+    // size — the multi-criteria dominance filter (Börzsönyi et al.,
+    // ICDE'01), via the canonical DISTRIBUTED skyline algorithm:
+    //  1. dedupe to distinct (cents, size) with count + min key (one
+    //     map-combinable shuffle);
+    //  2. LOCAL skyline per partition in task code (sort the partition
+    //     by (cents asc, size desc), one sweep keeping rows whose size
+    //     exceeds the running max — any locally dominated row is
+    //     globally dominated, so pruning is sound and the survivors
+    //     per partition are O(skyline) ≪ partition);
+    //  3. GLOBAL skyline = the same sweep over the union of local
+    //     survivors (tiny — repartition(1) holds only local-skyline
+    //     rows, never the input).
+    // The per-task sweep is the §2f processor surface again
+    // (mapPartitions with imperative logic a relational plan can't
+    // express without a single-partition window). The oracle computes
+    // the identical frontier with the running-max window formula —
+    // fine single-node, exactly what step 3 reduces to.
+    "q_skyline" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val grouped = Tables.part(s, d)
+          .selectExpr(
+            "CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents",
+            "CAST(p_size AS BIGINT) AS size", "p_partkey")
+          .groupBy("cents", "size")
+          .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_partkey"))
+          .as[(Long, Long, Long, Long)]
+        def sweep(it: Iterator[(Long, Long, Long, Long)]) = {
+          val arr = it.toArray.sortBy(r => (r._1, -r._2))
+          var best = Long.MinValue
+          arr.iterator.filter { r =>
+            val keep = r._2 > best
+            if (keep) best = r._2
+            keep
+          }
+        }
+        grouped.mapPartitions(sweep _)
+          .repartition(1).mapPartitions(sweep _)
+          .toDF("cents", "size", "n_parts", "min_partkey")
+          .orderBy("cents", "size")
+      },
+      """WITH g AS (
+        |  SELECT CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(p_size AS BIGINT) AS size,
+        |    CAST(count(*) AS BIGINT) AS n_parts,
+        |    min(p_partkey) AS min_partkey
+        |  FROM part GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cents, size, n_parts, min_partkey,
+        |    max(size) OVER (ORDER BY cents ASC, size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM g)
+        |SELECT cents, size, n_parts, min_partkey FROM w
+        |WHERE prevmax IS NULL OR size > prevmax
+        |ORDER BY cents, size""".stripMargin)
   )
 }

@@ -139,4 +139,40 @@ object GroupCommit {
       }
     }
   }
+
+  /** VACUUM: delete orphaned `.__staging__<jobId>` directories left by
+    * pre-decision crashes (JVM death during phase 1 — no manifest was
+    * ever written, so the group never committed and the staging bytes
+    * are garbage no reader can see). Staging dirs whose jobId still has
+    * a pending manifest are left alone — run [[recover]] FIRST so
+    * post-decision groups roll forward before their staging names
+    * disappear. Returns the number of directories removed.
+    *
+    * At scale this walk is bounded by the table tree under `root`
+    * (directory metadata, not data); production layouts scan the known
+    * sink parents rather than the whole filesystem. */
+  def vacuum(spark: SparkSession, root: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return 0
+    val mdir = manifestDir(root)
+    def pending(jobId: String): Boolean = fs.exists(new Path(mdir, jobId))
+    var removed = 0
+    def walk(p: Path): Unit = {
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val at = name.indexOf(".__staging__")
+        if (at >= 0) {
+          val jobId = name.substring(at + ".__staging__".length)
+          if (!pending(jobId)) {
+            fs.delete(st.getPath, true)
+            removed += 1
+          }
+        } else if (name != "_group_commits") walk(st.getPath)
+      }
+    }
+    walk(rootPath)
+    removed
+  }
 }

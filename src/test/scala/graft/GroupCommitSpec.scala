@@ -92,4 +92,36 @@ class GroupCommitSpec extends AnyFunSuite {
     GroupCommit.commitGroup(spark, root, next)
     finals.foreach(p => assert(spark.read.parquet(p).count() == 7, p))
   }
+
+  test("vacuum removes pre-decision orphans, keeps committed data and pending groups") {
+    rmrf(new java.io.File(root))
+    GroupCommit.commitGroup(spark, root, sinks())
+    // a pre-decision crash leaves staging dirs with no manifest
+    intercept[Exception] {
+      GroupCommit.commitGroup(spark, root, sinks(),
+        injectFailure = Some(FailPoint.BeforeManifest))
+    }
+    // simulate JVM death instead of rollback: recreate orphan staging dirs
+    spark.range(5).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/a.__staging__deadbeef")
+    // a PENDING (post-decision) group: staging dir + live manifest
+    spark.range(5).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/d.__staging__pending1")
+    val mdir = new java.io.File(s"$root/_group_commits")
+    mdir.mkdirs()
+    val m = new java.io.File(mdir, "pending1")
+    val w = new java.io.FileWriter(m)
+    w.write(s"$root/d.__staging__pending1\t$root/d"); w.close()
+
+    val removed = GroupCommit.vacuum(spark, root)
+    assert(removed == 1, s"expected exactly the orphan removed, got $removed")
+    assert(!exists(s"$root/a.__staging__deadbeef"))
+    assert(exists(s"$root/d.__staging__pending1"), "pending staging must survive")
+    finals.foreach(p => assert(exists(p), p)) // committed data untouched
+    // recover() then vacuum: the pending group publishes, nothing left to clean
+    GroupCommit.recover(spark, root)
+    assert(spark.read.parquet(s"$root/d").count() == 5)
+    assert(GroupCommit.vacuum(spark, root) == 0)
+    assert(stagingDirs.isEmpty)
+  }
 }
