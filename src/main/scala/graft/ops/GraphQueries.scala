@@ -274,6 +274,72 @@ object GraphQueries {
            |$rounds
            |SELECT id AS part_key, dist FROM d$MaxHops
            |ORDER BY dist, part_key""".stripMargin
+      }),
+
+    // K-CORE PEELING — the fourth iterative-graph shape after PageRank
+    // (fixed-round value iteration), connected components (label
+    // propagation), and BFS (frontier expansion): MONOTONE SUBGRAPH
+    // SHRINKING. Each round drops every node with degree < K and
+    // restricts the edge set to surviving endpoints; after `Rounds`
+    // rounds the survivors approximate the K-core (exact once a round
+    // removes nothing — the fixture converges inside the bound; the
+    // declared contract is "after R rounds", deterministic at any
+    // scale). Output: surviving nodes with their within-subgraph
+    // degree.
+    //
+    // Scale shape: the full edge relation is scratch-cached once; each
+    // round is one map-combinable degree count over the CURRENT edge
+    // set plus two semi-joins that only ever SHRINK it. The per-round
+    // kept-node set rides broadcast-able semi-joins (AQE turns them
+    // into broadcasts when small); nothing driver-side but the round
+    // counter. The oracle unrolls identical rounds as CTEs.
+    "q_kcore" -> QueryDef(
+      (s, d) => {
+        val K = 8
+        val Rounds = 3
+        val byOrder = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("parts"))
+        var edges = ScratchCache.scratch(byOrder
+          .select(explode(col("parts")).as("src"), col("parts"))
+          .select(col("src"), explode(col("parts")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+        for (_ <- 1 to Rounds) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= K).select(col("src").as("node"))
+          // each round's (shrinking) edge set is scratch-cached: the
+          // round references it three times (degree count + two semi
+          // joins), and caching keeps the cumulative plan LINEAR in
+          // rounds instead of 3^R subtree copies
+          edges = ScratchCache.scratch(edges
+            .join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi"))
+        }
+        edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .selectExpr("src AS part_key", "deg")
+          .orderBy("part_key")
+      }, {
+        val K = 8
+        val Rounds = 3
+        def round(out: String, prev: String): String =
+          s"""$out AS (
+             |  SELECT e.src, e.dst FROM $prev e
+             |  JOIN (SELECT src FROM $prev GROUP BY src
+             |        HAVING count(*) >= $K) a ON e.src = a.src
+             |  JOIN (SELECT src FROM $prev GROUP BY src
+             |        HAVING count(*) >= $K) b ON e.dst = b.src)""".stripMargin
+        val rounds = (1 to Rounds).map(i => round(s"e$i", s"e${i - 1}"))
+          .mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |  WHERE a.l_partkey <> b.l_partkey),
+           |$rounds
+           |SELECT src AS part_key, CAST(count(*) AS BIGINT) AS deg
+           |FROM e$Rounds GROUP BY src ORDER BY part_key""".stripMargin
       })
   )
 }

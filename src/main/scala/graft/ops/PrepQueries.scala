@@ -48,6 +48,10 @@ object PrepQueries {
   private val PostCap = 5
   private val IndexTop = 100
 
+  /** Chunking geometry: 64-token windows every 48 tokens (16 overlap). */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
   def defs: Map[String, QueryDef] = Map(
 
     // SEQUENCE PACKING — the training-loader step: concatenate all
@@ -261,5 +265,61 @@ object PrepQueries {
            |  FROM pairs)
            |WHERE rnk <= 10
            |ORDER BY lang, rnk""".stripMargin
+      }),
+
+    // DOCUMENT CHUNKING — the retrieval/context-window prep op: every
+    // document splits into 64-token windows on a 48-token stride
+    // (16-token overlap, so no boundary-spanning phrase is lost), each
+    // chunk carrying its offset, length, and a rolling content
+    // fingerprint (the chunk-level dedup / provenance key). Where
+    // q_seq_pack CONCATENATES docs into fixed training sequences, this
+    // keeps doc boundaries and OVERLAPS windows — the two ends of the
+    // sequence-prep spectrum.
+    //
+    // Scale shape: one corpus scan; the window generator and per-chunk
+    // hashing are pure map-side HOFs (explode of a bounded start
+    // sequence, slice, fold) — no shuffle at all until the final
+    // ORDER BY, and a production run would write chunks partitioned by
+    // doc hash instead of sorting. Short docs clamp to one partial
+    // window in both engines.
+    "q_doc_chunks" -> QueryDef(
+      (s, dir) => {
+        val dl = SparkSql
+        val fp = dl.foldBig(
+          dl.transform("ctoks", "t", dl.polyHash("t", 12)),
+          "acc", "h", s"(acc * 131 + h) % ${Dialect.M}")
+        Tables.documentsParallel(s, dir)
+          .selectExpr("doc_id", s"${dl.tokens("text")} AS toks")
+          .selectExpr("doc_id", "toks",
+            s"explode(sequence(1, greatest(size(toks), 1), $ChunkStride)) AS st")
+          .selectExpr("doc_id",
+            s"CAST((st - 1) div $ChunkStride AS BIGINT) AS chunk_idx",
+            "CAST(st AS BIGINT) AS start_tok",
+            s"slice(toks, st, $ChunkTokens) AS ctoks")
+          .selectExpr("doc_id", "chunk_idx", "start_tok",
+            "CAST(size(ctoks) AS BIGINT) AS n_tokens", s"$fp AS fp")
+          .orderBy("doc_id", "chunk_idx")
+      }, {
+        val dl = DuckSql
+        val fp = dl.foldBig(
+          dl.transform("ctoks", "t", dl.polyHash("t", 12)),
+          "acc", "h", s"(acc * 131 + h) % ${Dialect.M}")
+        s"""WITH docs AS (SELECT doc_id, ${dl.tokens("text")} AS toks
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, toks,
+           |    unnest(generate_series(1, greatest(${dl.sizeL("toks")}, 1),
+           |      $ChunkStride)) AS st
+           |  FROM docs),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+           |    CAST(st AS BIGINT) AS start_tok,
+           |    list_slice(toks, st, st + ${ChunkTokens - 1}) AS ctoks
+           |  FROM st)
+           |SELECT doc_id, chunk_idx, start_tok,
+           |  CAST(${dl.sizeL("ctoks")} AS BIGINT) AS n_tokens,
+           |  CAST($fp AS BIGINT) AS fp
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
       }))
 }
