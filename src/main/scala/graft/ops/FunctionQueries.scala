@@ -443,6 +443,50 @@ object FunctionQueries {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.75) AS p75_qty,
         |  count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // MAP-typed columns — the last container family after arrays and
+    // structs: per nation, a segment→count map built with
+    // map_from_entries over deterministically sorted entries, then
+    // probed (cardinality, point lookup with a missing-key default,
+    // sorted key list, value fold). The map stays INTERNAL to the
+    // query — outputs are scalars/strings, since the driver's compare
+    // can't hash raw container columns (the q_array_funcs lesson).
+    // Cross-engine notes: Spark element_at(m, k) yields NULL for a
+    // missing key while DuckDB map_extract returns a LIST (empty when
+    // missing) — both sides coalesce to 0; map_values order follows
+    // the sorted entry list in both engines.
+    "q_map_funcs" -> QueryDef(
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("c_nationkey")
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("c_mktsegment"), col("n")))))
+            .as("m"))
+          .selectExpr(
+            "CAST(c_nationkey AS BIGINT) AS nationkey",
+            "CAST(cardinality(m) AS BIGINT) AS n_segments",
+            "CAST(coalesce(element_at(m, 'BUILDING'), 0) AS BIGINT) AS n_building",
+            "array_join(sort_array(map_keys(m)), ',') AS segments",
+            "aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x) AS n_customers")
+          .orderBy("nationkey"),
+      """WITH per AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |maps AS (
+        |  SELECT c_nationkey,
+        |    map_from_entries(list_transform(
+        |      list_sort(list({'k': c_mktsegment, 'v': n})),
+        |      e -> e)) AS m
+        |  FROM per GROUP BY c_nationkey)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(cardinality(m) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(map_extract(m, 'BUILDING')[1], 0) AS BIGINT) AS n_building,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS segments,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), map_values(m)),
+        |    (a, x) -> a + x) AS n_customers
+        |FROM maps ORDER BY nationkey""".stripMargin)
   )
 }

@@ -137,6 +137,137 @@ object SimilarityQueries {
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Query subset for the PQ queries (matches the ANN family). */
+  private val PqQueries = 20
+
+  /** Quantized-BIGINT vectors + IVF routing cell, scratch-cached: the
+    * shared base frame of q_ann_pq / q_ann_ivfpq. */
+  private def pqQuantized(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.functions.TextHashFunctions.register(s)
+    ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS v",
+        s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
+  }
+
+  /** Map-side first-position-argmin code expression for subspace `ss`
+    * under centroid literals (cid-ascending dists array → ties take the
+    * smallest cid). */
+  private def pqCidExpr(cents: Seq[(Int, Seq[Long])], ss: Int): String = {
+    val sub = s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)"
+    val dists = cents
+      .map { case (_, c) =>
+        SparkSql.dist2Big(sub, c.mkString("array(", "L,", "L)")) }
+      .mkString("array(", ",", ")")
+    val cids = cents.map(_._1).mkString("array(", ",", ")")
+    s"element_at($cids, CAST(array_position($dists, array_min($dists)) AS INT))"
+  }
+
+  /** Learn the per-subspace PQ codebooks: seeds = subvectors of
+    * vec_id 0..PqCodes-1, then ONE Lloyd round — map-side assignment
+    * against seed literals plus a single map-combinable (ss, cid, dim)
+    * update bounded at 4×16×16 rows. The driver holds only the
+    * codebook (the broadcast-variable pattern, as in q_kmeans). */
+  private def pqLearnBook(v: DataFrame): Int => Seq[(Int, Seq[Long])] = {
+    val seedRows = v.filter(col("vec_id") < PqCodes)
+      .select("vec_id", "v").collect().sortBy(_.getLong(0))
+    val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
+      (r.getLong(0).toInt,
+        r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
+    }
+    val perSs = (0 until PqSubSpaces).map { ss =>
+      v.selectExpr(s"${pqCidExpr(seeds(ss), ss)} AS cid",
+          s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
+        .select(lit(ss).as("ss"), col("cid"),
+          posexplode(col("vs")).as(Seq("dim", "x")))
+    }
+    val c1 = perSs.reduce(_ unionByName _)
+      .groupBy("ss", "cid", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .selectExpr("ss", "cid", "dim", "sx div n AS c")
+      .collect()
+    val m = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
+      ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    m(_)
+  }
+
+  /** Byte-code encoding in long form (vec_id, cell, ss, code) — pure
+    * map over the cached frame (4 argmin projections + a stack). */
+  private def pqCodes(v: DataFrame,
+      book: Int => Seq[(Int, Seq[Long])]): DataFrame = {
+    val codeCols = (0 until PqSubSpaces)
+      .map(ss => s"${pqCidExpr(book(ss), ss)} AS code$ss")
+    val stackArgs = (0 until PqSubSpaces)
+      .map(ss => s"$ss, code$ss").mkString(", ")
+    v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
+      .select(col("vec_id"), col("cell"),
+        expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
+  }
+
+  /** Per-query ADC lookup table (query_id, ss, cid, qd2): |Q|×4×16
+    * exact subvector→centroid distances, built to be broadcast. */
+  private def pqQdist(s: SparkSession, v: DataFrame,
+      book: Int => Seq[(Int, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    val bookDf = (0 until PqSubSpaces)
+      .flatMap(ss => book(ss).map { case (cid, c) => (ss, cid, c) })
+      .toDF("ss", "cid", "c")
+    val qsub = (0 until PqSubSpaces).map { ss =>
+      v.filter(col("vec_id") < PqQueries)
+        .selectExpr("vec_id AS query_id", s"$ss AS ss",
+          s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS qs")
+    }.reduce(_ unionByName _)
+    qsub.join(bookDf, "ss")
+      .selectExpr("query_id", "ss", "cid",
+        s"${SparkSql.dist2Big("qs", "c")} AS qd2")
+  }
+
+  /** Shared oracle CTE prefix: quantized vectors → subvectors → seeds →
+    * one windowed-argmin Lloyd round → codebook → codes → per-query
+    * lookup table. The SAME relational text backs q_ann_pq and
+    * q_ann_ivfpq, mirroring pqLearnBook/pqCodes/pqQdist bit-for-bit. */
+  private lazy val pqOracleCtes: String = {
+    val dl = DuckSql
+    def d2(a: String, b: String) = dl.dist2Big(a, b)
+    s"""v AS (
+       |  SELECT vec_id, ${dl.quantVec("embedding", 1000000L)} AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, ss,
+       |    list_slice(v, ss * $PqSubDims + 1, (ss + 1) * $PqSubDims) AS vs
+       |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
+       |seeds AS (
+       |  SELECT ss, CAST(vec_id AS INT) AS cid, vs AS c
+       |  FROM sub WHERE vec_id < $PqCodes),
+       |a1 AS (
+       |  SELECT vec_id, ss, cid, vs FROM (
+       |    SELECT s.vec_id, s.ss, t.cid, s.vs,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
+       |        ORDER BY ${d2("s.vs", "t.c")}, t.cid) AS rn
+       |    FROM sub s JOIN seeds t ON s.ss = t.ss) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT ss, cid, list(c ORDER BY dim) AS c FROM (
+       |    SELECT ss, cid, zz AS dim,
+       |      CAST(sum(vs[zz]) // count(*) AS BIGINT) AS c
+       |    FROM a1 CROSS JOIN generate_series(1, $PqSubDims) t(zz)
+       |    GROUP BY ss, cid, zz)
+       |  GROUP BY ss, cid),
+       |codes AS (
+       |  SELECT vec_id, ss, cid AS code FROM (
+       |    SELECT s.vec_id, s.ss, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
+       |        ORDER BY ${d2("s.vs", "c.c")}, c.cid) AS rn
+       |    FROM sub s JOIN c1 c ON s.ss = c.ss) WHERE rn = 1),
+       |qd AS (
+       |  SELECT s.vec_id AS query_id, s.ss, c.cid,
+       |    CAST(${d2("s.vs", "c.c")} AS BIGINT) AS qd2
+       |  FROM sub s JOIN c1 c ON s.ss = c.ss WHERE s.vec_id < $PqQueries)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // Brute-force cosine near-duplicate pairs.
     "q_dedup_embedding" -> QueryDef(
@@ -429,27 +560,24 @@ object SimilarityQueries {
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       }),
 
-    // PRODUCT QUANTIZATION ANN (IVF-PQ's compression half; Jégou et al.,
-    // TPAMI'11): the 64-dim vector splits into 4 subvectors of 16 dims;
-    // each subspace learns a 16-entry codebook (one Lloyd round from
-    // deterministic seeds = the subvectors of vec_id 0..15); every
-    // corpus vector is stored as 4 one-byte codes (16× compression of
-    // the quantized vector); query-time distance is ASYMMETRIC DISTANCE
-    // COMPUTATION — per query, a 4×16 lookup table of exact
-    // query-subvector→centroid distances, and each corpus vector's
-    // estimate is the sum of 4 table lookups, never a full-dimension
-    // scan of the corpus floats.
+
+    // PRODUCT QUANTIZATION ANN (the compression half of IVF-PQ; Jégou
+    // et al., TPAMI'11): the 64-dim vector splits into 4 subvectors of
+    // 16 dims; each subspace learns a 16-entry codebook (one Lloyd
+    // round from deterministic seeds = the subvectors of vec_id 0..15,
+    // via pqLearnBook's broadcast pattern); every corpus vector is
+    // stored as 4 one-byte codes (16× compression of the quantized
+    // vector); query-time distance is ASYMMETRIC DISTANCE COMPUTATION —
+    // per query, a 4×16 lookup table of exact query-subvector→centroid
+    // distances, and each corpus vector's estimate is the sum of 4
+    // table lookups, never a full-dimension scan of the corpus floats.
     //
-    // Scale shape (the honest PQ economics): codebook learning is the
-    // q_kmeans pattern per subspace — assignment is MAP-SIDE against
-    // centroid literals (driver holds 4×16×16 longs, the broadcast-
-    // variable pattern), the update is ONE map-combinable
-    // (ss, cid, dim) shuffle bounded at 1024 rows. Encoding is pure
-    // map. The ADC join broadcasts the 4×16-per-query lookup table and
-    // shuffles only (query, vec, partial-sum) triples with map-side
-    // combine; at production scale PQ composes with the IVF cell
-    // routing above, which bounds the candidate set per query before
-    // any distance math runs.
+    // Scale shape: learning is map-side assignment + one 1024-row
+    // combinable update (see pqLearnBook); encoding is pure map; the
+    // ADC join broadcasts the per-query lookup table and shuffles only
+    // (query, vec, partial-sum) triples with map-side combine.
+    // q_ann_ivfpq below composes this with IVF cell routing, which is
+    // what bounds the candidate set at production scale.
     //
     // Exactness: subvectors ride Dialect.quantVec's 1e-6 BIGINT
     // quantization, distances are exact integer squared-L2, centroid
@@ -457,76 +585,13 @@ object SimilarityQueries {
     // smallest code in both engines (first-position min / ROW_NUMBER
     // on (d2, cid)) — so codes, lookup tables, and estimates are
     // bit-identical. The oracle derives the SAME codebook relationally
-    // (windowed argmin CTEs) from the same seeds.
+    // (windowed-argmin CTEs, shared text in pqOracleCtes).
     "q_ann_pq" -> QueryDef(
       (s, d) => {
-        val sq = SparkSql
-        val v = ScratchCache.scratch(Tables.embeddings(s, d)
-          .selectExpr("vec_id", s"${sq.quantVec("embedding", 1000000L)} AS v"))
-
-        // first-position argmin over centroid literals (cid-ascending
-        // dists array → ties take the smallest cid), fully map-side
-        def cidExpr(cents: Seq[(Int, Seq[Long])], ss: Int): String = {
-          val sub = s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)"
-          val dists = cents
-            .map { case (_, c) =>
-              sq.dist2Big(sub, c.mkString("array(", "L,", "L)")) }
-            .mkString("array(", ",", ")")
-          val cids = cents.map(_._1).mkString("array(", ",", ")")
-          s"element_at($cids, CAST(array_position($dists, array_min($dists)) AS INT))"
-        }
-
-        // seeds: the subvector slices of vec_id 0..15 (16×64 longs)
-        val seedRows = v.filter(col("vec_id") < PqCodes)
-          .collect().sortBy(_.getLong(0))
-        val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
-          (r.getLong(0).toInt,
-            r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
-        }
-
-        // one Lloyd round: map-side assignment, 1024-row combinable update
-        val perSs = (0 until PqSubSpaces).map { ss =>
-          v.selectExpr(s"${cidExpr(seeds(ss), ss)} AS cid",
-              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
-            .select(lit(ss).as("ss"), col("cid"),
-              posexplode(col("vs")).as(Seq("dim", "x")))
-        }
-        val c1 = perSs.reduce(_ unionByName _)
-          .groupBy("ss", "cid", "dim")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-          .selectExpr("ss", "cid", "dim", "sx div n AS c")
-          .collect()
-        val book: Int => Seq[(Int, Seq[Long])] = {
-          val m = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
-            ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
-              cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
-            }.toSeq.sortBy(_._1)
-          }
-          m(_)
-        }
-
-        // encode: 4 codes per vector, pure map; long form for the ADC join
-        val codeCols = (0 until PqSubSpaces)
-          .map(ss => s"${cidExpr(book(ss), ss)} AS code$ss")
-        val stackArgs = (0 until PqSubSpaces)
-          .map(ss => s"$ss, code$ss").mkString(", ")
-        val codes = v.selectExpr(("vec_id" +: codeCols): _*)
-          .select(col("vec_id"),
-            expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
-
-        // per-query ADC lookup table: |Q|×4×16 exact subspace distances
-        import s.implicits._
-        val bookDf = (0 until PqSubSpaces)
-          .flatMap(ss => book(ss).map { case (cid, c) => (ss, cid, c) })
-          .toDF("ss", "cid", "c")
-        val qsub = (0 until PqSubSpaces).map { ss =>
-          v.filter(col("vec_id") < 20)
-            .selectExpr("vec_id AS query_id", s"$ss AS ss",
-              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS qs")
-        }.reduce(_ unionByName _)
-        val qdist = qsub.join(bookDf, "ss")
-          .selectExpr("query_id", "ss", "cid", s"${sq.dist2Big("qs", "c")} AS qd2")
-
+        val v = pqQuantized(s, d)
+        val book = pqLearnBook(v)
+        val codes = pqCodes(v, book)
+        val qdist = pqQdist(s, v, book)
         val est = codes.join(broadcast(qdist),
             codes("ss") === qdist("ss") && codes("code") === qdist("cid"))
           .filter(col("query_id") =!= col("vec_id"))
@@ -538,53 +603,75 @@ object SimilarityQueries {
           .filter(col("rn") <= TopK)
           .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
           .orderBy("query_id", "rn")
-      }, {
-        val dl = DuckSql
-        def d2(a: String, b: String) = dl.dist2Big(a, b)
-        s"""WITH v AS (
-           |  SELECT vec_id, ${dl.quantVec("embedding", 1000000L)} AS v
-           |  FROM embeddings),
-           |sub AS (
-           |  SELECT vec_id, ss,
-           |    list_slice(v, ss * $PqSubDims + 1, (ss + 1) * $PqSubDims) AS vs
-           |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
-           |seeds AS (
-           |  SELECT ss, CAST(vec_id AS INT) AS cid, vs AS c
-           |  FROM sub WHERE vec_id < $PqCodes),
-           |a1 AS (
-           |  SELECT vec_id, ss, cid, vs FROM (
-           |    SELECT s.vec_id, s.ss, t.cid, s.vs,
-           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
-           |        ORDER BY ${d2("s.vs", "t.c")}, t.cid) AS rn
-           |    FROM sub s JOIN seeds t ON s.ss = t.ss) WHERE rn = 1),
-           |c1 AS (
-           |  SELECT ss, cid, list(c ORDER BY dim) AS c FROM (
-           |    SELECT ss, cid, zz AS dim,
-           |      CAST(sum(vs[zz]) // count(*) AS BIGINT) AS c
-           |    FROM a1 CROSS JOIN generate_series(1, $PqSubDims) t(zz)
-           |    GROUP BY ss, cid, zz)
-           |  GROUP BY ss, cid),
-           |codes AS (
-           |  SELECT vec_id, ss, cid AS code FROM (
-           |    SELECT s.vec_id, s.ss, c.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
-           |        ORDER BY ${d2("s.vs", "c.c")}, c.cid) AS rn
-           |    FROM sub s JOIN c1 c ON s.ss = c.ss) WHERE rn = 1),
-           |qd AS (
-           |  SELECT s.vec_id AS query_id, s.ss, c.cid,
-           |    CAST(${d2("s.vs", "c.c")} AS BIGINT) AS qd2
-           |  FROM sub s JOIN c1 c ON s.ss = c.ss WHERE s.vec_id < 20),
-           |est AS (
-           |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
-           |  FROM codes k JOIN qd q ON q.ss = k.ss AND q.cid = k.code
-           |  WHERE q.query_id <> k.vec_id
-           |  GROUP BY q.query_id, k.vec_id)
-           |SELECT query_id, neighbor_id, est_d2, rn FROM (
-           |  SELECT query_id, vec_id AS neighbor_id, est_d2,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY est_d2, vec_id) AS rn
-           |  FROM est) WHERE rn <= $TopK
-           |ORDER BY query_id, rn""".stripMargin
-      })
+      },
+      s"""WITH $pqOracleCtes,
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  WHERE q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // IVF-PQ — the COMPOSED production ANN index (Jégou et al.'s full
+    // recipe, the FAISS IVFPQ shape): the IVF coarse quantizer routes
+    // each query to its cell (the same deterministic graft_ivf_cell the
+    // q_ann_ivf family uses — at scale, cells are the write-time
+    // partition key, so candidate listing prunes at the FILE level,
+    // IvfWriteSpec), and only the cell's candidates are scored — with
+    // PQ asymmetric-distance lookups instead of full-dimension float
+    // scans. Routing bounds WHICH vectors are touched; PQ bounds the
+    // BYTES per touched vector: together, query cost ∝
+    // (corpus/cells) × 4 byte-code lookups.
+    //
+    // Mechanics: the ADC broadcast join gains the cell equality (the
+    // lookup table carries each query's cell, built map-side from the
+    // same cached frame), so the shuffle carries only same-cell
+    // (query, vec) partial sums. Cells with no candidates for a query
+    // simply emit fewer than TopK rows — characterized, not padded.
+    "q_ann_ivfpq" -> QueryDef(
+      (s, d) => {
+        val v = pqQuantized(s, d)
+        val book = pqLearnBook(v)
+        val codes = pqCodes(v, book)
+        val qdist = pqQdist(s, v, book)
+          .join(v.filter(col("vec_id") < PqQueries)
+            .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+              codes("cell") === qdist("qcell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $pqOracleCtes,
+         |cellt AS (
+         |  SELECT vec_id,
+         |    CAST(${argminPos(DuckSql, ivfDists(DuckSql, "embedding"))} AS INT) AS cell
+         |  FROM embeddings),
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN cellt ck ON ck.vec_id = k.vec_id
+         |  JOIN cellt cq ON cq.vec_id = q.query_id
+         |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin)
   )
 }
