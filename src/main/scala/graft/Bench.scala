@@ -140,8 +140,50 @@ object Bench {
     // shuffle-partition sweep) goes to BENCH_DETAIL.json next to
     // BASELINE.md — a committed artifact tools/stage_trend.py diffs
     // round-over-round.
+    // TREND GATE — tools/stage_trend.py's durable-signal check run
+    // in-process: before the previous committed BENCH_DETAIL.json is
+    // overwritten, diff per-query total shuffle bytes against it.
+    // Wall-time drift is noisy (GC, neighborhood — the r03
+    // q_dedup_prefix incident); SHUFFLE-BYTE growth >1.5× over a 1 MB
+    // floor is the durable signature of a plan regression (a new
+    // exchange, a lost broadcast, a wider payload) and is recorded in
+    // the artifact itself so a regression cannot slip through a round.
+    val trendJson =
+      if (args.nonEmpty) "[]"
+      else {
+        val prevFile = Seq("BENCH_DETAIL.json", "/root/repo/BENCH_DETAIL.json")
+          .map(new java.io.File(_)).find(_.exists())
+        val newSh: Map[String, Long] = analyzer.report().view
+          .mapValues(_.map(r => r.shuffleReadBytes + r.shuffleWriteBytes).sum)
+          .toMap
+        prevFile.map { f =>
+          try {
+            import org.json4s._
+            import org.json4s.jackson.JsonMethods
+            def num(v: JValue): Long = v match {
+              case JInt(x) => x.toLong
+              case JLong(x) => x
+              case JDouble(x) => x.toLong
+              case _ => 0L
+            }
+            val old = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
+            val oldSh: Map[String, Long] = old \ "stages" match {
+              case JObject(fields) => fields.collect {
+                case (q, JArray(st)) =>
+                  q -> st.map(s => num(s \ "sh_read") + num(s \ "sh_write")).sum
+              }.toMap
+              case _ => Map.empty
+            }
+            oldSh.toSeq.sorted.collect {
+              case (q, o) if o > (1L << 20) &&
+                  newSh.getOrElse(q, 0L) > o * 3 / 2 =>
+                s"""{"query":"$q","old_sh":$o,"new_sh":${newSh(q)}}"""
+            }.mkString("[", ",", "]")
+          } catch { case _: Throwable => "[]" }
+        }.getOrElse("[]")
+      }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"stages":$stagesJson,"sweep":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"stages":$stagesJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"sf":"$sfDir"}"""
     Seq("BASELINE.md", "/root/repo/BASELINE.md")
       .map(new java.io.File(_)).find(_.exists())
       .map(_.getAbsoluteFile.getParentFile).foreach { repo =>

@@ -267,6 +267,90 @@ object PrepQueries {
            |ORDER BY lang, rnk""".stripMargin
       }),
 
+    // BPE MERGE APPLICATION — the iteration step q_bpe_pairs feeds:
+    // take each language's TOP merge candidate, apply it to the
+    // vocabulary (every occurrence of the pair collapses to one merged
+    // symbol — replace() is leftmost non-overlapping in both engines,
+    // which is exactly BPE's merge order for a single pair), and
+    // re-count the pair table over the merged vocabulary — the
+    // pair-count → merge → re-count loop that IS tokenizer training.
+    // The merged symbol is '#', unreachable in tokensRe output, so the
+    // substitution is unambiguous. Per-round cost stays VOCAB-bounded:
+    // the merge and the re-count both run over (lang, token, cnt),
+    // never the corpus.
+    "q_bpe_encode" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, expr, length, row_number}
+        val vocab = graft.ScratchCache.scratch(
+          Tables.documentsParallel(s, d)
+            .selectExpr("lang", s"explode(${SparkSql.tokensRe("text")}) AS t")
+            .groupBy("lang", "t").agg(count(lit(1)).as("cnt")))
+        def pairCounts(src: org.apache.spark.sql.DataFrame, tcol: String,
+            keys: Seq[String]) =
+          src.filter(length(col(tcol)) >= 2)
+            .selectExpr(keys ++ Seq("cnt",
+              s"explode(transform(sequence(1, length($tcol) - 1)," +
+                s" i -> substring($tcol, i, 2))) AS pair"): _*)
+            .groupBy((keys :+ "pair").map(col): _*).agg(sum("cnt").as("cnt"))
+        val top1 = pairCounts(vocab, "t", Seq("lang"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("pair").as("merge_pair"))
+        val merged = vocab.join(broadcast(top1), "lang")
+          .selectExpr("lang", "merge_pair", "cnt",
+            "replace(t, merge_pair, '#') AS t2")
+        pairCounts(merged, "t2", Seq("lang", "merge_pair"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rnk") <= 5)
+          .selectExpr("lang", "merge_pair", "CAST(rnk AS BIGINT) AS rnk",
+            "pair", "cnt")
+          .orderBy("lang", "rnk")
+      }, {
+        val dl = DuckSql
+        s"""WITH vocab AS (
+           |  SELECT lang, t, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, unnest(${dl.tokensRe("text")}) AS t
+           |    FROM documents)
+           |  GROUP BY lang, t),
+           |p1 AS (
+           |  SELECT lang, pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, cnt,
+           |      unnest(list_transform(generate_series(1, length(t) - 1),
+           |        i -> substr(t, i, 2))) AS pair
+           |    FROM vocab WHERE length(t) >= 2)
+           |  GROUP BY lang, pair),
+           |top1 AS (
+           |  SELECT lang, pair AS merge_pair FROM (
+           |    SELECT lang, pair,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY cnt DESC, pair) AS rn
+           |    FROM p1) WHERE rn = 1),
+           |merged AS (
+           |  SELECT v.lang, t1.merge_pair, v.cnt,
+           |    replace(v.t, t1.merge_pair, '#') AS t2
+           |  FROM vocab v JOIN top1 t1 ON v.lang = t1.lang),
+           |p2 AS (
+           |  SELECT lang, merge_pair, pair, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT lang, merge_pair, cnt,
+           |      unnest(list_transform(generate_series(1, length(t2) - 1),
+           |        i -> substr(t2, i, 2))) AS pair
+           |    FROM merged WHERE length(t2) >= 2)
+           |  GROUP BY lang, merge_pair, pair)
+           |SELECT lang, merge_pair, CAST(rnk AS BIGINT) AS rnk, pair, cnt
+           |FROM (
+           |  SELECT lang, merge_pair, pair, cnt,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC, pair) AS rnk
+           |  FROM p2)
+           |WHERE rnk <= 5
+           |ORDER BY lang, rnk""".stripMargin
+      }),
+
     // DOCUMENT CHUNKING — the retrieval/context-window prep op: every
     // document splits into 64-token windows on a 48-token stride
     // (16-token overlap, so no boundary-spanning phrase is lost), each

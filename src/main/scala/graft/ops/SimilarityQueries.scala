@@ -148,7 +148,8 @@ object SimilarityQueries {
     ScratchCache.scratch(Tables.embeddings(s, d)
       .selectExpr("vec_id",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS v",
-        s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
+        s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell",
+        s"CAST(graft_ivf_cell2(embedding, $NCells) AS INT) AS cell2"))
   }
 
   /** Map-side first-position-argmin code expression for subspace `ss`
@@ -666,6 +667,74 @@ object SimilarityQueries {
          |  JOIN cellt ck ON ck.vec_id = k.vec_id
          |  JOIN cellt cq ON cq.vec_id = q.query_id
          |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // IVF-PQ with nprobe=2 — the recall knob of the composed index
+    // (the q_ann_ivf_probe2 axis applied to the PQ path): each query
+    // probes its nearest AND second-nearest coarse cell
+    // (graft_ivf_cell2 masks the first argmin), doubling the candidate
+    // set for boundary-straddling queries at exactly 2× the lookup
+    // cost. A corpus vector lives in ONE cell and the two probe cells
+    // are distinct by construction, so no (query, candidate) pair can
+    // double-count. Everything else — codebook, codes, ADC lookup
+    // table — is byte-identical to q_ann_ivfpq (shared helpers both
+    // sides).
+    "q_ann_ivfpq_probe2" -> QueryDef(
+      (s, d) => {
+        val v = pqQuantized(s, d)
+        val book = pqLearnBook(v)
+        val codes = pqCodes(v, book)
+        val q = v.filter(col("vec_id") < PqQueries)
+        val probes = q.selectExpr("vec_id AS query_id", "cell AS qcell")
+          .unionByName(q.selectExpr("vec_id AS query_id", "cell2 AS qcell"))
+        val qdist = pqQdist(s, v, book).join(probes, "query_id")
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+              codes("cell") === qdist("qcell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $pqOracleCtes,
+         |raw AS (
+         |  SELECT vec_id, ${ivfDists(DuckSql, "embedding")} AS dists
+         |  FROM embeddings),
+         |c1t AS (
+         |  SELECT vec_id, dists,
+         |    CAST(${argminPos(DuckSql, "dists")} AS INT) AS cell
+         |  FROM raw),
+         |c2t AS (
+         |  SELECT vec_id, cell,
+         |    CAST(${argminPos(DuckSql, "dists2")} AS INT) AS cell2 FROM (
+         |    SELECT vec_id, cell, list_transform(generate_series(1, $NCells),
+         |      ii -> CASE WHEN ii = cell THEN CAST('infinity' AS DOUBLE)
+         |            ELSE dists[ii] END) AS dists2
+         |    FROM c1t)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell AS qcell FROM c2t
+         |  WHERE vec_id < $PqQueries
+         |  UNION ALL
+         |  SELECT vec_id AS query_id, cell2 AS qcell FROM c2t
+         |  WHERE vec_id < $PqQueries),
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN c1t ck ON ck.vec_id = k.vec_id
+         |  JOIN probes p ON p.query_id = q.query_id AND p.qcell = ck.cell
+         |  WHERE q.query_id <> k.vec_id
          |  GROUP BY q.query_id, k.vec_id)
          |SELECT query_id, neighbor_id, est_d2, rn FROM (
          |  SELECT query_id, vec_id AS neighbor_id, est_d2,

@@ -225,6 +225,43 @@ object StreamQueries {
          |    AS running_cents
          |FROM events ORDER BY user_id, event_id""".stripMargin),
 
+    // Watermark-BUFFERED running totals (EventStream.runningSpendWm) —
+    // the TimeMode.EventTime variant that removes q_stream_running's
+    // time-ordered-batch precondition: rows hold in ListState until
+    // the watermark strictly passes their event-time second, then fold
+    // in (es, event_id) order, so ANY batch split within the watermark
+    // delay reproduces the batch running-sum window (out-of-order
+    // replay proven in RunningSpendWmSpec). With a 0-second delay over
+    // a finite replay the final watermark is max(ts), so every row in
+    // a strictly earlier second emits; rows in the final second stay
+    // (correctly) buffered — the oracle restricts to es < max(es).
+    "q_stream_running_wm" -> QueryDef(
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try
+          runToTable(s,
+            EventStream.runningSpendWm(EventStream.readEvents(s, d)).toDF(),
+            "graft_stream_running_wm", "append")
+            .orderBy("user_id", "event_id")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      },
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, ${DuckSql.epochSec("ts")} AS es,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         |      PARTITION BY user_id ORDER BY ${DuckSql.epochSec("ts")}, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS running_cents
+         |  FROM events)
+         |SELECT user_id, event_id, running_cents FROM r
+         |WHERE es < (SELECT max(${DuckSql.epochSec("ts")}) FROM events)
+         |ORDER BY user_id, event_id""".stripMargin),
+
     // Sessionization through transformWithState EVENT-TIME TIMERS
     // (EventStream.sessionizeV2) under the oracle gate. Emission is
     // exactly characterizable, so the oracle is the batch session-window

@@ -439,6 +439,102 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Watermark-BUFFERED running spend — the TimeMode.EventTime variant
+    * that removes RunningSpendProcessor's time-ordered-batch
+    * precondition (documented above): instead of trusting arrival
+    * order, every row buffers in ListState until the WATERMARK passes
+    * its whole event-time second, then folds into the running total in
+    * global (es, event_id) order. Any batch split whose disorder stays
+    * inside the watermark delay now reproduces the batch running-sum
+    * window exactly, at the cost of emission latency equal to that
+    * delay — the ordered-fold-vs-latency trade the reference's ordered
+    * edges make at shuffle time (SURVEY §2b), paid here at the state
+    * layer instead.
+    *
+    * Fold safety: a row folds only once es < floor(wm/1000). Spark
+    * drops input rows with ts < wm as late, and ts >= wm implies
+    * floor(ts_sec) >= floor(wm_sec) (floor is monotone), so no future
+    * row can sort below an already-folded one — the fold order is
+    * total regardless of how batches split. Rows in the final,
+    * never-passed watermark second stay correctly buffered (on an
+    * unbounded stream they are not foldable yet); the declared
+    * oracle encodes that by restricting to es < max(es). State is
+    * bounded by the watermark delay: a key holds at most
+    * delay-plus-one seconds of rows, spilled to RocksDB. */
+  case class SpendWmIn(user_id: Long, event_id: Long, es: Long,
+      cents: Long, ts: java.sql.Timestamp)
+
+  class RunningSpendWmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SpendWmIn, RunningOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    @transient private var buf: ListState[SpendWmIn] = _
+    @transient private var timer: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      buf = getHandle.getListState[SpendWmIn]("buf",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SpendWmIn](),
+        TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    /** Fold every buffered/incoming row whose second the watermark has
+      * strictly passed; keep the rest buffered and re-arm one timer at
+      * the earliest instant a pending row becomes foldable. `fired`
+      * marks a call from handleExpiredTimer, whose timer is already
+      * consumed and must not be deleted again. */
+    private def drain(user: Long, incoming: Array[SpendWmIn], wmMs: Long,
+        fired: Boolean): Iterator[RunningOut] = {
+      val all = buf.get().toArray ++ incoming
+      val wmSec = Math.floorDiv(wmMs, 1000L)
+      val (ready, pending) = all.partition(_.es < wmSec)
+      var acc = if (total.exists()) total.get() else 0L
+      val out = ready.sortBy(e => (e.es, e.event_id)).map { e =>
+        acc += e.cents
+        RunningOut(user, e.event_id, acc)
+      }
+      total.update(acc)
+      buf.clear()
+      if (timer.exists()) {
+        if (!fired) getHandle.deleteTimer(timer.get())
+        timer.clear()
+      }
+      if (pending.nonEmpty) {
+        buf.put(pending)
+        val due = math.max((pending.map(_.es).min + 1L) * 1000L, wmMs + 1L)
+        getHandle.registerTimer(due)
+        timer.update(due)
+      }
+      out.iterator
+    }
+    override def handleInputRows(user: Long, rows: Iterator[SpendWmIn],
+        timerValues: TimerValues): Iterator[RunningOut] =
+      drain(user, rows.toArray, timerValues.getCurrentWatermarkInMs(),
+        fired = false)
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RunningOut] =
+      drain(user, Array.empty, timerValues.getCurrentWatermarkInMs(),
+        fired = true)
+  }
+
+  def runningSpendWm(events: DataFrame, delay: String = "0 seconds"):
+      org.apache.spark.sql.Dataset[RunningOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts"))
+      .as[SpendWmIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningSpendWmProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Sessionization on the v2 state API with EVENT-TIME TIMERS — the
     * transformWithState rendition of sessionizeWithTimers, completing
     * the v2 surface (named state handles + registerTimer/
