@@ -366,6 +366,8 @@ object TextHashFunctions {
       exprs => LshBucketExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_token_counts",
       exprs => TokenCountsExpr(exprs(0)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_hilbert",
+      exprs => HilbertExpr(exprs(0), exprs(1), litInt(exprs(2))), "scala_udf")
   }
 }
 

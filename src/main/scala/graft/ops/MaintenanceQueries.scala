@@ -47,6 +47,39 @@ object MaintenanceQueries {
     s"(${terms.mkString(" + ")})"
   }
 
+  /** One unrolled step of the canonical Hilbert xy→d walk at bit `b`
+    * (the iterative conversion of the classic d2xy/xy2d pair): the
+    * quadrant index (3·rx XOR ry) contributes 4^b cells, then the
+    * frame reflects/swaps for the next finer bit. The XOR over
+    * rx,ry ∈ {0,1} is expressed arithmetically (3·rx + ry − 2·rx·ry —
+    * equal on all four corners) so the oracle evaluates pure-BIGINT
+    * text; the reflection constant is the FULL grid side minus one
+    * (2^DimBits − 1), per the canonical algorithm. Reads step-`i`
+    * columns (x$i, y$i, d$i), returns the (d', x', y') expression
+    * texts for step i+1. This generates the DuckDB oracle's unrolled
+    * CTE chain; the Spark side runs the codegen'd
+    * functions.HilbertKernel loop instead — two INDEPENDENT
+    * renditions under the oracle gate, and HilbertSpec additionally
+    * checks both against a third, imperative implementation. */
+  private[graft] def hilbertStep(dl: Dialect, b: Int, i: Int):
+      (String, String, String) = {
+    val rx = s"(${dl.shiftR(s"x$i", b.toString)} & 1)"
+    val ry = s"(${dl.shiftR(s"y$i", b.toString)} & 1)"
+    val cell = 1L << (2 * b)
+    val nM1 = (1L << DimBits) - 1
+    val dd = s"(d$i + $cell * (3 * $rx + $ry - 2 * $rx * $ry))"
+    // reflect-then-swap fused: when ry=1 the frame is unchanged; when
+    // ry=0 the swap always happens and the rx=1 case also reflects.
+    val nx = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nM1 - y$i ELSE y$i END) ELSE x$i END)"
+    val ny = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nM1 - x$i ELSE x$i END) ELSE y$i END)"
+    (dd, nx, ny)
+  }
+
+  /** DimBits visible to HilbertSpec, which cross-validates the
+    * generated chain, the codegen'd kernel, and an independent
+    * imperative implementation against each other. */
+  private[graft] def HilbertBits: Int = DimBits
+
   def defs: Map[String, QueryDef] = Map(
 
     // CDC MERGE — the nightly-ingest upsert: a change batch carrying
@@ -284,5 +317,238 @@ object MaintenanceQueries {
            |  min(sb) AS min_supp, max(sb) AS max_supp,
            |  ((max(pa) - min(pa) + 1) * (max(sb) - min(sb) + 1)) AS bbox_area
            |FROM bucketed GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+      }),
+
+    // SNAPSHOT CATALOG TIME TRAVEL — q_snapshot_diff against REAL
+    // stored versions: two table versions are COMMITTED through
+    // graft.sources.SnapshotCatalog (each version = a data sink plus a
+    // stats sink published all-or-nothing via the GroupCommit
+    // vertex-group protocol, then registered in the catalog's
+    // `_snapshots` log by atomic rename), read back by version number
+    // (v1 explicitly, v2 via latest-resolution), and diffed with the
+    // same full-outer classification. The versions round-trip through
+    // parquet as BIGINT cents, so storage adds no numeric wobble and
+    // the oracle — which derives the same two versions relationally —
+    // stays dtype-exact. Crash-consistency of the catalog itself
+    // (failure between group publish and log registration, recovery,
+    // version-number reuse) is SnapshotCatalogSpec's territory.
+    //
+    // Scale shape: writes are GroupCommit phase 1 (full parallelism,
+    // one pass per version); the catalog adds O(#versions) driver
+    // metadata; the diff is the q_snapshot_diff full-outer
+    // sort-merge join on the key, one shuffle per side.
+    "q_snapshot_catalog" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.SnapshotCatalog
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapcat").toString
+        val base = Tables.orders(s, dir).selectExpr(
+          "o_orderkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        val v2data = base
+          .filter(col("o_orderkey") % 13 =!= 0)
+          .selectExpr("o_orderkey",
+            "CASE WHEN o_orderkey % 7 = 0 THEN cents * 2 ELSE cents END AS cents")
+          .unionByName(base.filter(col("o_orderkey") % 11 === 3)
+            .selectExpr(s"o_orderkey + ${InsOff}L AS o_orderkey", "cents"))
+        def stats(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        SnapshotCatalog.commit(s, root, "orders_snap",
+          Seq("data" -> base, "stats" -> stats(base)))
+        SnapshotCatalog.commit(s, root, "orders_snap",
+          Seq("data" -> v2data, "stats" -> stats(v2data)))
+        val v1 = SnapshotCatalog.read(s, root, "orders_snap", 1L)
+          .selectExpr("o_orderkey", "cents AS old_cents")
+        val v2 = SnapshotCatalog.read(s, root, "orders_snap") // latest
+          .selectExpr("o_orderkey", "cents AS new_cents")
+        v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .selectExpr(
+            """CASE WHEN old_cents IS NULL THEN 'added'
+              |     WHEN new_cents IS NULL THEN 'deleted'
+              |     WHEN old_cents <> new_cents THEN 'changed'
+              |     ELSE 'unchanged' END AS diff_status""".stripMargin,
+            "coalesce(old_cents, 0) AS oc", "coalesce(new_cents, 0) AS nc")
+          .groupBy("diff_status")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("oc").as("sum_old_cents"),
+            sum("nc").as("sum_new_cents"))
+          .selectExpr("diff_status", "n_rows", "sum_old_cents",
+            "sum_new_cents", "(sum_new_cents - sum_old_cents) AS delta_cents")
+          .orderBy("diff_status")
+      },
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS old_cents
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 2 ELSE cents END AS new_cents
+         |  FROM b WHERE o_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $InsOff AS o_orderkey, cents AS new_cents
+         |  FROM b WHERE o_orderkey % 11 = 3),
+         |diff AS (
+         |  SELECT CASE WHEN v1.old_cents IS NULL THEN 'added'
+         |              WHEN v2.new_cents IS NULL THEN 'deleted'
+         |              WHEN v1.old_cents <> v2.new_cents THEN 'changed'
+         |              ELSE 'unchanged' END AS diff_status,
+         |    coalesce(v1.old_cents, 0) AS oc, coalesce(v2.new_cents, 0) AS nc
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(oc) AS BIGINT) AS sum_old_cents,
+         |  CAST(sum(nc) AS BIGINT) AS sum_new_cents,
+         |  CAST(sum(nc) - sum(oc) AS BIGINT) AS delta_cents
+         |FROM diff GROUP BY diff_status ORDER BY diff_status""".stripMargin),
+
+    // HILBERT-CURVE CLUSTERING — q_zorder_cluster's sibling on the
+    // space-filling curve with strictly better locality: unlike
+    // Morton order, the Hilbert walk never jumps across the grid
+    // (consecutive d values are always grid-neighbors), so equal-span
+    // buckets cut tighter per-dimension bounding boxes at the SAME
+    // bucket count — bbox_area here vs q_zorder_cluster's is the
+    // side-by-side comparison, and tighter boxes are directly more
+    // row-groups skipped per filter.
+    //
+    // Scale shape: identical to zorder — the walk is ONE codegen'd
+    // kernel call per row (functions.HilbertKernel; the 16-step
+    // chained-projection rendition measured 10× slower at sf0.1
+    // because its inlined whole-stage code exceeds JIT-friendly
+    // method size), one bounded max(h) scalar broadcast sizes the
+    // buckets, then one map-combinable 64-key aggregate. At 100 TB
+    // the same h key feeds repartitionByRange(h) +
+    // sortWithinPartitions before the write. The Spark kernel and the
+    // oracle's unrolled CTE chain are INDEPENDENT renditions of the
+    // canonical walk, and HilbertSpec checks both against a third,
+    // imperative implementation on a full 256×256 grid.
+    "q_hilbert_cluster" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{broadcast, max, min}
+        graft.functions.TextHashFunctions.register(s)
+        val mask = (1L << DimBits) - 1
+        val based = Tables.lineitem(s, dir).selectExpr(
+          s"(l_partkey & $mask) AS pa",
+          s"(l_suppkey & $mask) AS sb")
+        val h = based.selectExpr("pa", "sb",
+          s"graft_hilbert(pa, sb, $DimBits) AS h")
+        val hmax = h.agg(max("h").as("h_max"))
+        h.crossJoin(broadcast(hmax))
+          .selectExpr("pa", "sb",
+            s"((h * $ZBuckets) div (h_max + 1)) AS h_bucket")
+          .groupBy("h_bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("pa").as("min_part"), max("pa").as("max_part"),
+            min("sb").as("min_supp"), max("sb").as("max_supp"))
+          .selectExpr("h_bucket", "n_rows", "min_part", "max_part",
+            "min_supp", "max_supp",
+            "((max_part - min_part + 1) * (max_supp - min_supp + 1)) AS bbox_area")
+          .orderBy("h_bucket")
+      }, {
+        val dl = DuckSql
+        val mask = (1L << DimBits) - 1
+        val steps = (0 until DimBits).map { i =>
+          val (dd, nx, ny) = hilbertStep(dl, DimBits - 1 - i, i)
+          s"""h${i + 1} AS (
+             |  SELECT pa, sb, $dd AS d${i + 1}, $nx AS x${i + 1},
+             |    $ny AS y${i + 1}
+             |  FROM h$i)""".stripMargin
+        }
+        s"""WITH h0 AS (
+           |  SELECT (l_partkey & $mask) AS pa, (l_suppkey & $mask) AS sb,
+           |    (l_partkey & $mask) AS x0, (l_suppkey & $mask) AS y0,
+           |    CAST(0 AS BIGINT) AS d0
+           |  FROM lineitem),
+           |${steps.mkString(",\n")},
+           |hm AS (SELECT max(d$DimBits) AS h_max FROM h$DimBits),
+           |bucketed AS (
+           |  SELECT pa, sb, ((d$DimBits * $ZBuckets) // (h_max + 1)) AS h_bucket
+           |  FROM h$DimBits, hm)
+           |SELECT h_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(pa) AS min_part, max(pa) AS max_part,
+           |  min(sb) AS min_supp, max(sb) AS max_supp,
+           |  ((max(pa) - min(pa) + 1) * (max(sb) - min(sb) + 1)) AS bbox_area
+           |FROM bucketed GROUP BY h_bucket ORDER BY h_bucket""".stripMargin
+      }),
+
+    // CURVE COMPARISON — the clustering decision as a measured,
+    // oracle-gated artifact: ONE lineitem scan computes BOTH layout
+    // keys (Morton z + Hilbert h), both bucketizations use the same
+    // equal-span ZBuckets split over their observed ranges, and the
+    // output is the per-method bounding-box bill (bucket count, total
+    // and worst bbox_area). Lower area = fewer row-groups a
+    // dimension filter touches — this is the number a table-layout
+    // choice is made on, and the Hilbert walk's no-jump locality is
+    // exactly why its boxes come out tighter.
+    //
+    // Scale shape: one scan, one bounded 2-scalar broadcast (both
+    // maxes in one aggregate), two 64-key map-combinable aggregates.
+    "q_curve_compare" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{broadcast, max, min}
+        graft.functions.TextHashFunctions.register(s)
+        val mask = (1L << DimBits) - 1
+        val keyed = graft.ScratchCache.scratch(
+          Tables.lineitem(s, dir)
+            .selectExpr(
+              s"(l_partkey & $mask) AS pa",
+              s"(l_suppkey & $mask) AS sb")
+            .selectExpr("pa", "sb",
+              s"${zInterleave(SparkSql, "pa", "sb")} AS z",
+              s"graft_hilbert(pa, sb, $DimBits) AS h"))
+        val bounds = keyed.agg(max("z").as("z_max"), max("h").as("h_max"))
+        val b = keyed.crossJoin(broadcast(bounds))
+        def branch(method: String, key: String, mx: String) =
+          b.selectExpr("pa", "sb",
+              s"(($key * $ZBuckets) div ($mx + 1)) AS bucket")
+            .groupBy("bucket")
+            .agg(min("pa").as("min_part"), max("pa").as("max_part"),
+              min("sb").as("min_supp"), max("sb").as("max_supp"))
+            .selectExpr(s"'$method' AS method",
+              "((max_part - min_part + 1) * (max_supp - min_supp + 1)) AS bbox_area")
+            .groupBy("method")
+            .agg(count(lit(1)).as("n_buckets"),
+              sum("bbox_area").as("sum_bbox_area"),
+              org.apache.spark.sql.functions.max("bbox_area").as("max_bbox_area"))
+        branch("hilbert", "h", "h_max")
+          .unionByName(branch("zorder", "z", "z_max"))
+          .orderBy("method")
+      }, {
+        val dl = DuckSql
+        val mask = (1L << DimBits) - 1
+        val z = zInterleave(dl, "pa", "sb")
+        val steps = (0 until DimBits).map { i =>
+          val (dd, nx, ny) = hilbertStep(dl, DimBits - 1 - i, i)
+          s"""h${i + 1} AS (
+             |  SELECT pa, sb, z, $dd AS d${i + 1}, $nx AS x${i + 1},
+             |    $ny AS y${i + 1}
+             |  FROM h$i)""".stripMargin
+        }
+        s"""WITH h0 AS (
+           |  SELECT pa, sb, $z AS z, pa AS x0, sb AS y0,
+           |    CAST(0 AS BIGINT) AS d0
+           |  FROM (SELECT (l_partkey & $mask) AS pa,
+           |          (l_suppkey & $mask) AS sb FROM lineitem)),
+           |${steps.mkString(",\n")},
+           |hm AS (SELECT max(z) AS z_max, max(d$DimBits) AS h_max
+           |       FROM h$DimBits),
+           |both_b AS (
+           |  SELECT 'hilbert' AS method,
+           |    ((d$DimBits * $ZBuckets) // (h_max + 1)) AS bucket, pa, sb
+           |  FROM h$DimBits, hm
+           |  UNION ALL
+           |  SELECT 'zorder' AS method,
+           |    ((z * $ZBuckets) // (z_max + 1)) AS bucket, pa, sb
+           |  FROM h$DimBits, hm),
+           |boxes AS (
+           |  SELECT method, bucket,
+           |    ((max(pa) - min(pa) + 1) * (max(sb) - min(sb) + 1)) AS bbox_area
+           |  FROM both_b GROUP BY method, bucket)
+           |SELECT method, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(bbox_area) AS BIGINT) AS sum_bbox_area,
+           |  CAST(max(bbox_area) AS BIGINT) AS max_bbox_area
+           |FROM boxes GROUP BY method ORDER BY method""".stripMargin
       }))
 }
