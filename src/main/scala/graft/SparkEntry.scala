@@ -30,7 +30,8 @@ object SparkEntry {
       ops.SqlQueries.defs ++
       ops.GraphQueries.defs ++
       ops.PrepQueries.defs ++
-      ops.MaintenanceQueries.defs
+      ops.MaintenanceQueries.defs ++
+      ops.SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
