@@ -28,26 +28,62 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
 
-  /** `events.ts` is NANOSECOND-precision parquet, which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw int64
-    * nanos (`nanosAsLong`) and convert to a microsecond TimestampType —
-    * Spark's native precision. Declared event queries additionally floor
-    * to whole seconds for oracle parity (see graft.ops.EventQueries). */
+  /** `events.ts` is read PRECISION-ADAPTIVELY: the source must not
+    * hard-code the file layout (the reference's `MRInput` reader adapts
+    * to whatever the InputFormat yields —
+    * tez-mapreduce/src/main/java/org/apache/tez/mapreduce/input/MRInput.java:402,457).
+    * Branch on the LOADED schema:
+    *   - TIMESTAMP (µs, isAdjustedToUTC=true)  → use directly;
+    *   - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false) → cast to TimestampType,
+    *     an exact epoch mapping under the UTC session timezone every entry
+    *     point pins (matches DuckDB's naive read of the same file);
+    *   - INT64 (ns-precision files surfaced as raw longs via nanosAsLong,
+    *     which Spark's vectorized reader otherwise rejects with
+    *     PARQUET_TYPE_ILLEGAL) → convert nanos → µs TimestampType.
+    * Any other layout throws loudly, and a once-per-path min/max-year
+    * invariant catches unit drift (a wrong divisor lands decades away
+    * from the fixture's range) instead of letting windows silently
+    * collapse — the round-4 failure mode. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // SESSION CONTRACT: nanosAsLong cannot be scoped per-read — Spark's
     // ParquetFileFormat re-copies the session-conf value into every scan's
-    // hadoopConf at execution, overriding a DataFrameReader option
-    // (verified: the option passes driver-side schema inference but
-    // executor-side ParquetToSparkSchemaConverter still throws
-    // PARQUET_TYPE_ILLEGAL). The blast radius is narrow and one-directional:
-    // the flag only affects TIMESTAMP(NANOS) parquet columns, which Spark
-    // otherwise rejects outright — so the only behavior change for other
-    // reads in the session is "ns-precision files stop erroring".
+    // hadoopConf at execution, overriding a DataFrameReader option. The
+    // flag only affects TIMESTAMP(NANOS) parquet columns (which Spark
+    // otherwise rejects outright), so µs/tz-typed reads are untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(spark, dir, "events")
+    val decoded = raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other in $dir/events.parquet " +
+          "(expected TIMESTAMP, TIMESTAMP_NTZ, or int64 nanos)")
+    }
+    assertSaneEventTimes(decoded, s"$dir/events.parquet")
+    decoded
   }
+
+  /** Loud once-per-path invariant: decoded event times must land in a
+    * plausible era. A unit mistake (ns read as µs, µs read as ms, …)
+    * shifts timestamps by ≥1000× — out of [1990, 2100] — so a future
+    * fixture-layout change fails the FIRST query that touches events
+    * instead of silently corrupting every window downstream. Costs one
+    * single-column scan per path per JVM. */
+  private val validatedEventPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertSaneEventTimes(df: DataFrame, path: String): Unit =
+    if (!validatedEventPaths.contains(path)) {
+      import org.apache.spark.sql.functions.{col, max, min, year}
+      val row = df.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+      val (lo, hi) = (row.getInt(0), row.getInt(1))
+      require(lo >= 1990 && hi <= 2100,
+        s"events.ts decoded to implausible years [$lo, $hi] for $path — " +
+          "the file layout likely changed precision/unit; fix Tables.events")
+      validatedEventPaths.add(path)
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 

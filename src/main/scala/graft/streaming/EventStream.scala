@@ -15,30 +15,45 @@ import org.apache.spark.sql.types._
   * for these (Structured Streaming's incremental execution of the same
   * logical plan).
   *
-  * The fixture `events.parquet` is ns-precision; like Tables.events the
-  * stream reads int64 nanos and converts to µs timestamps.
+  * The stream schema is DERIVED from a batch read of the same path and
+  * decoded with the same precision-adaptive branching as Tables.events —
+  * a streaming source must not hard-code the file layout (round 4: a
+  * forced int64 schema silently mis-decoded µs fixtures 1000× small,
+  * collapsing every window). The batch read also runs Tables.events'
+  * loud min/max-year invariant BEFORE the stream starts, so a future
+  * layout change fails fast instead of streaming garbage.
   */
 object EventStream {
 
-  /** Raw schema of events.parquet with ts as int64 nanos (nanosAsLong). */
-  val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Apply the precision-adaptive `ts` decode to any events-shaped frame
+    * (batch or streaming): same branching as Tables.events — TIMESTAMP
+    * passes through, TIMESTAMP_NTZ casts exactly under the UTC session
+    * timezone, int64 is the legacy ns layout. Specs that time-split the
+    * fixture and replay their own written files go through this too, so
+    * every read path in the repo shares ONE layout contract. */
+  def decodeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case TimestampType    => df
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical type $other " +
+        "(expected TIMESTAMP, TIMESTAMP_NTZ, or int64 nanos)")
+  }
 
-  /** Streaming read of the events fixture directory. */
+  /** Streaming read of the events fixture directory, schema-adaptive. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // session-conf, not per-read option: see Tables.events for why this
     // key cannot be scoped (executor-side scans re-read the session value)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    // Batch-read the same path first: runs Tables.events' decoded-time
+    // sanity invariant loudly, driver-side, before any stream starts.
+    graft.Tables.events(spark, dir): Unit
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    decodeTs(spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(dir))
   }
 
   /** Tumbling 1-hour counts/sums per event type, 2-hour watermark. */

@@ -29,33 +29,18 @@ class RunningSpendWmSpec extends AnyFunSuite {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val raw = spark.read.schema(EventStream.rawSchema)
-        .parquet(s"$sf/events.parquet")
-      val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1)) // int64 nanos
+      val events = Tables.events(spark, sf)
+      val (lo, hi) = StreamReplay.microRange(events) // µs epochs
       val span = hi - lo + 1
-      val spanSec = span / 1000000000L
+      val spanSec = span / 1000000L
       val delaySec = spanSec * 3 / 8 + 1
 
       // 8 slice files, arrival order = adjacent pairs swapped; the
       // file source replays by ascending modification time.
       val order = Seq(1, 0, 3, 2, 5, 4, 7, 6)
-      val watch = java.nio.file.Files.createTempDirectory("graft_wm_watch").toFile
-      val scratch = java.nio.file.Files.createTempDirectory("graft_wm_scratch").toFile
-      order.zipWithIndex.foreach { case (slice, pos) =>
-        val outDir = new java.io.File(scratch, s"b$slice")
-        raw.filter(expr(s"((ts - ${lo}L) * 8) div ${span}L") === slice)
-          .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-        val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(watch, f"batch_$pos%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        assert(dst.setLastModified(1700000000000L + pos * 60000L))
-      }
-
-      val stream = spark.readStream.schema(EventStream.rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.getPath)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val slices = StreamReplay.slicePredicates(events, 8)
+      val watch = StreamReplay.writeSlices(events, order.map(slices), "wm")
+      val stream = StreamReplay.streamDir(spark, watch.getPath)
       val q = EventStream.runningSpendWm(stream, s"$delaySec seconds").toDF()
         .writeStream.format("memory").queryName("graft_wm_replay")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -64,7 +49,7 @@ class RunningSpendWmSpec extends AnyFunSuite {
       assert(fedBatches >= 8, s"expected >=8 non-empty micro-batches, saw $fedBatches")
 
       // Final watermark second: floor((max ts in ms − delay) / 1000).
-      val wmSecF = Math.floorDiv(hi / 1000000L - delaySec * 1000L, 1000L)
+      val wmSecF = Math.floorDiv(hi / 1000L - delaySec * 1000L, 1000L)
       val got = spark.table("graft_wm_replay")
         .orderBy("user_id", "event_id").collect().toSeq
       val want = Tables.events(spark, sf)

@@ -19,27 +19,10 @@ class SessionTimerSpec extends AnyFunSuite {
   private val Gap = 1800L
 
   test("timer sessionizer matches batch session windows across a replayed stream") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet")
-    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
-    val watch = java.nio.file.Files.createTempDirectory("graft_sess_watch").toFile
-    val scratch = java.nio.file.Files.createTempDirectory("graft_sess_scratch").toFile
-    (0 until 4).foreach { i =>
-      val outDir = new java.io.File(scratch, s"b$i")
-      raw.filter(expr(s"((ts - ${lo}L) * 4) div ${span}L") === i)
-        .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-      val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
-
-    val stream = spark.readStream.schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watch.getPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.events(spark, sf)
+    val watch = StreamReplay.writeSlices(events,
+      StreamReplay.slicePredicates(events, 4), "sess")
+    val stream = StreamReplay.streamDir(spark, watch.getPath)
     val q = EventStream.sessionizeWithTimers(stream, Gap).toDF()
       .writeStream.format("memory").queryName("graft_session_timers")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

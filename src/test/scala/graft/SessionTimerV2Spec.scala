@@ -26,26 +26,10 @@ class SessionTimerV2Spec extends AnyFunSuite {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val raw = spark.read.schema(EventStream.rawSchema)
-        .parquet(s"$sf/events.parquet")
-      val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-      val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
-      val watch = java.nio.file.Files.createTempDirectory("graft_sessv2_watch").toFile
-      val scratch = java.nio.file.Files.createTempDirectory("graft_sessv2_scratch").toFile
-      (0 until 4).foreach { i =>
-        val outDir = new java.io.File(scratch, s"b$i")
-        raw.filter(expr(s"((ts - ${lo}L) * 4) div ${span}L") === i)
-          .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-        val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        assert(dst.setLastModified(1700000000000L + i * 60000L))
-      }
-
-      val stream = spark.readStream.schema(EventStream.rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.getPath)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = Tables.events(spark, sf)
+      val watch = StreamReplay.writeSlices(raw,
+        StreamReplay.slicePredicates(raw, 4), "sessv2")
+      val stream = StreamReplay.streamDir(spark, watch.getPath)
       val q = EventStream.sessionizeV2(stream, Gap).toDF()
         .writeStream.format("memory").queryName("graft_session_v2")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -68,7 +52,7 @@ class SessionTimerV2Spec extends AnyFunSuite {
       // completeness below the final watermark: any batch session whose
       // close condition (end + gap) sits under max event time must have
       // been emitted — inline by a successor or by its timer
-      val maxEs = raw.agg(max(expr("ts div 1000000000"))).collect()(0).getLong(0)
+      val maxEs = raw.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
       val mustEmit = batch.filter { case (_, start, dur, _, _) =>
         start + dur + Gap < maxEs
       }

@@ -17,34 +17,10 @@ class StreamAsOfSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("streaming as-of equals batch as-of across a 4-batch time-split replay") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet")
-    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val span = hi - lo + 1
-
-    val watch = java.nio.file.Files.createTempDirectory("graft_asof_watch").toFile
-    val scratch = java.nio.file.Files.createTempDirectory("graft_asof_scratch").toFile
-    // 4 equal-width time ranges; equal-ts rows can never straddle a file
-    // boundary, which is the contract the carry path needs
-    (0 until 4).foreach { i =>
-      val outDir = new java.io.File(scratch, s"b$i")
-      // integer div (Column./ is floating-point division)
-      raw.filter(expr(s"((ts - ${lo}L) * 4) div ${span}L") === i)
-        .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-      val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // FileStreamSource picks oldest-modified first: pin mtimes ascending
-      // so replay order equals event-time order
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
-
-    val stream = spark.readStream.schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watch.getPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.events(spark, sf)
+    val watch = StreamReplay.writeSlices(events,
+      StreamReplay.slicePredicates(events, 4), "asof")
+    val stream = StreamReplay.streamDir(spark, watch.getPath)
     val q = EventStream.streamingAsOf(stream).toDF()
       .writeStream.format("memory").queryName("graft_stream_asof_replay")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

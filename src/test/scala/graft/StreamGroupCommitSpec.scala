@@ -27,33 +27,16 @@ class StreamGroupCommitSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def runStream(src: String, base: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = StreamReplay.streamDir(spark, src)
     val q = EventStream.sinkToGroupCommitted(stream, base)
     q.processAllAvailable()
     q.stop()
   }
 
   test("per-batch group commit: parity, restart idempotence, crash recovery") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet")
-    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-    val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
-
-    val src = java.nio.file.Files.createTempDirectory("graft_gc_src").toFile
-    val scratch = java.nio.file.Files.createTempDirectory("graft_gc_scr").toFile
-    Seq(col("ts") <= cut, col("ts") > cut).zipWithIndex.foreach { case (p, i) =>
-      val outDir = new java.io.File(scratch, s"b$i")
-      raw.filter(p).coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-      val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
+    val raw = Tables.events(spark, sf)
+    val src = StreamReplay.writeSlices(raw,
+      StreamReplay.slicePredicates(raw, 2), "gc")
     val base = java.nio.file.Files.createTempDirectory("graft_gc_base")
       .toFile.getPath
 

@@ -21,44 +21,30 @@ import graft.streaming.EventStream
 class StreamInnerJoinSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val WindowNs = 600L * 1000000000L // 10 minutes in ns
+  private val WindowUs = 600L * 1000000L // 10 minutes in µs
 
   test("inner interval join equals batch join across a batch-boundary cut") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet")
+    val raw = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
 
     // find a matched (purchase, follow-up) pair to cut between — widest
     // gap first so the cut point cannot collide with either timestamp
     val pp = raw.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
     val pair = pp.join(
-        raw.select(col("user_id").as("e_user"), col("ts").as("e_ts")),
+        raw.select(col("user_id").as("e_user"), col("us").as("e_us")),
         col("p_user") === col("e_user") &&
-          col("e_ts") > col("p_ts") &&
-          col("e_ts") <= col("p_ts") + lit(WindowNs))
-      .orderBy((col("e_ts") - col("p_ts")).desc, col("p_user"))
-      .select("p_ts", "e_ts").limit(1).collect()
+          col("e_us") > col("p_us") &&
+          col("e_us") <= col("p_us") + lit(WindowUs))
+      .orderBy((col("e_us") - col("p_us")).desc, col("p_user"))
+      .select("p_us", "e_us").limit(1).collect()
     assert(pair.nonEmpty, "fixture has no matched pair at all")
     val cut = pair(0).getLong(0) / 2 + pair(0).getLong(1) / 2
     assert(pair(0).getLong(0) < cut && cut < pair(0).getLong(1))
 
-    val watch = java.nio.file.Files.createTempDirectory("graft_sjoin_watch").toFile
-    val scratch = java.nio.file.Files.createTempDirectory("graft_sjoin_scratch").toFile
-    Seq(col("ts") <= cut, col("ts") > cut).zipWithIndex.foreach { case (p, i) =>
-      val outDir = new java.io.File(scratch, s"b$i")
-      raw.filter(p).coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-      val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // FileStreamSource picks oldest-modified first: replay in time order
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
-
-    val stream = spark.readStream.schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watch.getPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val watch = StreamReplay.writeSlices(raw.drop("us"),
+      Seq(unix_micros(col("ts")) <= cut, unix_micros(col("ts")) > cut), "sjoin")
+    val stream = StreamReplay.streamDir(spark, watch.getPath)
     val q = EventStream.purchaseFollowUps(stream)
       .writeStream.format("memory").queryName("graft_stream_join_replay")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

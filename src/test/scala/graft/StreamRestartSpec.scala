@@ -4,8 +4,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventStream
-
 /** Checkpoint-restart recovery — the streaming half of the
   * fault-tolerance story (FaultToleranceSpec covers task retry inside a
   * job; this covers a whole QUERY dying between micro-batches): a
@@ -25,35 +23,17 @@ class StreamRestartSpec extends AnyFunSuite {
   }
 
   test("stateful query resumes from checkpoint with no loss or double counting") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet")
-    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-    val (lo, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
-
-    val watch = java.nio.file.Files.createTempDirectory("graft_restart_watch").toFile
-    val scratch = java.nio.file.Files.createTempDirectory("graft_restart_scratch").toFile
+    val events = Tables.events(spark, sf)
+    val watch = StreamReplay.writeSlices(events,
+      StreamReplay.slicePredicates(events, 4), "restart")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toFile
-    (0 until 4).foreach { i =>
-      val outDir = new java.io.File(scratch, s"b$i")
-      raw.filter(expr(s"((ts - ${lo}L) * 4) div ${span}L") === i)
-        .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-      val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
 
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
 
-    def startQuery() = agg(
-      spark.readStream.schema(EventStream.rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.getPath)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    def startQuery() = agg(StreamReplay.streamDir(spark, watch.getPath))
       .writeStream.format("memory").queryName("graft_restart_out")
       .outputMode("complete")
       .option("checkpointLocation", ckpt.getPath)

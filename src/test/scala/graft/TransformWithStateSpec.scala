@@ -23,28 +23,10 @@ class TransformWithStateSpec extends AnyFunSuite {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val raw = spark.read.schema(EventStream.rawSchema)
-        .parquet(s"$sf/events.parquet")
-      val mm = raw.agg(min("ts"), max("ts")).collect()(0)
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val span = hi - lo + 1
-
-      val watch = java.nio.file.Files.createTempDirectory("graft_tws_watch").toFile
-      val scratch = java.nio.file.Files.createTempDirectory("graft_tws_scratch").toFile
-      (0 until 4).foreach { i =>
-        val outDir = new java.io.File(scratch, s"b$i")
-        raw.filter(expr(s"((ts - ${lo}L) * 4) div ${span}L") === i)
-          .coalesce(1).write.mode("overwrite").parquet(outDir.getPath)
-        val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(watch, f"batch_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        assert(dst.setLastModified(1700000000000L + i * 60000L))
-      }
-
-      val stream = spark.readStream.schema(EventStream.rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.getPath)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val events = Tables.events(spark, sf)
+      val watch = StreamReplay.writeSlices(events,
+        StreamReplay.slicePredicates(events, 4), "tws")
+      val stream = StreamReplay.streamDir(spark, watch.getPath)
       val q = EventStream.runningSpend(stream).toDF()
         .writeStream.format("memory").queryName("graft_tws_replay")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
