@@ -97,4 +97,14 @@ object Tables {
     documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
+  /** lineitem with the scan fanned out — same rationale as
+    * documentsParallel: the fixture is ONE parquet row group (atomic:
+    * the scan cannot parallelize it), so queries doing expensive per-row
+    * compute over lineitem (space-filling-curve keys, per-row hashing)
+    * pay one cheap narrow shuffle to use every core. Only for
+    * compute-heavy consumers — plain scans/joins/aggs read `lineitem`
+    * directly (their first shuffle distributes anyway). */
+  def lineitemParallel(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 }

@@ -22,26 +22,35 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 class StageAnalyzer extends SparkListener {
   final case class StageRow(query: String, stageId: Int, wallSec: Double,
       nTasks: Int, taskMaxSec: Double, taskMedSec: Double,
-      spillBytes: Long, shuffleReadBytes: Long, shuffleWriteBytes: Long) {
+      spillBytes: Long, shuffleReadBytes: Long, shuffleWriteBytes: Long,
+      workTasks: Int, workMedSec: Double) {
     def skewed: Boolean =
-      // materiality floor (the reference's SkewAnalyzer also gates on
-      // absolute size): a 27ms straggler over a 4ms median is scheduler
-      // noise, not data skew — only flag when the straggler could
-      // actually move a wall clock
-      nTasks >= 2 && taskMedSec > 0 && taskMaxSec >= 0.2 &&
-        taskMaxSec / taskMedSec > 4.0
+      // Skew = imbalance among tasks that HAD data to process, gated on
+      // absolute size (the reference's SkewAnalyzer compares per-task
+      // shuffle volume the same way). Two guards beyond max/median:
+      //  - the median is taken over tasks with >0 records (workMedSec) —
+      //    a 4ms zero-record byte-range stub next to a task that owns an
+      //    indivisible parquet row group is a fixture-layout artifact,
+      //    not a partitioning defect (a row group cannot be split; at
+      //    real scale the scan has thousands of them);
+      //  - a stage with <2 working tasks has no distribution to judge.
+      workTasks >= 2 && workMedSec > 0 && taskMaxSec >= 0.2 &&
+        taskMaxSec / workMedSec > 4.0
     def json: String =
       f"""{"stage":$stageId,"wall":$wallSec%.3f,"tasks":$nTasks,""" +
         f""""task_max":$taskMaxSec%.3f,"task_med":$taskMedSec%.3f,""" +
         s""""spill":$spillBytes,"sh_read":$shuffleReadBytes,""" +
-        s""""sh_write":$shuffleWriteBytes,"skew":$skewed}"""
+        s""""sh_write":$shuffleWriteBytes,""" +
+        f""""work_tasks":$workTasks,"work_med":$workMedSec%.3f,""" +
+        s""""skew":$skewed}"""
   }
 
   // single listener-bus thread writes these; the bench thread only reads
   // after quiesce — TrieMap keeps the cross-thread handoff safe
   private val stageQuery = TrieMap.empty[Int, String]
   private val stageWall = TrieMap.empty[Int, Double]
-  private val taskDur = TrieMap.empty[Int, ArrayBuffer[Long]]
+  // per task: (duration ms, records processed = input + shuffle-read)
+  private val taskDur = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
   @volatile private var label: String = "_untracked"
 
   /** Attribute subsequently submitted jobs' stages to this query. */
@@ -57,7 +66,13 @@ class StageAnalyzer extends SparkListener {
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val d = taskDur.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
-    if (te.taskInfo != null) d += te.taskInfo.duration
+    if (te.taskInfo != null) {
+      val recs =
+        if (te.taskMetrics == null) 0L
+        else te.taskMetrics.inputMetrics.recordsRead +
+          te.taskMetrics.shuffleReadMetrics.recordsRead
+      d += ((te.taskInfo.duration, recs))
+    }
   }
 
   // per-stage (spill, shuffleRead, shuffleWrite) from completed
@@ -82,12 +97,15 @@ class StageAnalyzer extends SparkListener {
     stageQuery.toSeq
       .filter { case (_, q) => q != "_untracked" }
       .map { case (id, q) =>
-        val durs = taskDur.get(id).map(_.toSeq.sorted).getOrElse(Nil)
+        val tasks = taskDur.get(id).map(_.toSeq).getOrElse(Nil)
+        val durs = tasks.map(_._1).sorted
         val med = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
         val mx = if (durs.isEmpty) 0.0 else durs.last / 1e3
+        val work = tasks.filter(_._2 > 0).map(_._1).sorted
+        val workMed = if (work.isEmpty) 0.0 else work(work.size / 2) / 1e3
         val (sp, sr, sw) = stageBytes.getOrElse(id, (0L, 0L, 0L))
         StageRow(q, id, stageWall.getOrElse(id, 0.0), durs.size, mx, med,
-          sp, sr, sw)
+          sp, sr, sw, work.size, workMed)
       }
       .filter(_.nTasks > 0)
       .groupBy(_.query)
@@ -102,6 +120,6 @@ class StageAnalyzer extends SparkListener {
   /** Queries with at least one skewed stage → worst max/median ratio. */
   def skewFlags(): Map[String, Double] =
     report().collect { case (q, rows) if rows.exists(_.skewed) =>
-      q -> rows.filter(_.skewed).map(r => r.taskMaxSec / r.taskMedSec).max
+      q -> rows.filter(_.skewed).map(r => r.taskMaxSec / r.workMedSec).max
     }
 }

@@ -513,21 +513,25 @@ object DedupQueries {
         // prefix entries carry their POSITION so the candidate join can
         // apply PPJoin's positional filter (Xiao et al. WWW'08 §3.2):
         // a shared prefix element at 1-based positions (pa1, pb1) caps
-        // the total overlap at 1 + min(sa - pa1, sb - pb1); pairs whose
-        // LOOSEST cap (earliest shared element, hence the max aggregate)
-        // cannot reach minoverlap = ceil(t/(1+t)·(sa+sb)) = ceil(7(sa+sb)/17)
-        // are pruned BEFORE the array re-joins — provably no false
-        // negatives, so the verify stage and the oracle are unchanged.
+        // the total overlap at 1 + min(sa - pa1, sb - pb1). A pair
+        // qualifies iff ANY shared prefix element's cap reaches
+        // minoverlap = ceil(t/(1+t)·(sa+sb)) = ceil(7(sa+sb)/17), so the
+        // filter is applied PER ROW, before any shuffle: token pairs
+        // failing their own cap drop map-side, and the surviving rows
+        // dedup with one distinct — strictly less shuffle volume than
+        // aggregating every shared-token pair and filtering after
+        // (provably no false negatives either way: the max-cap pair
+        // survives iff some row survives).
         val pre = docs.selectExpr("doc_id", "sz",
           s"posexplode(${SparkSql.sliceTo("cs", "sz - (7 * sz + 9) div 10 + 1")}) AS (p, c)")
         val cand = pre.selectExpr("doc_id AS doc_id_a", "sz AS sa0", "p AS pa", "c")
           .join(pre.selectExpr("doc_id AS doc_id_b", "sz AS sb0", "p AS pb", "c"), "c")
           .filter(col("doc_id_a") < col("doc_id_b") &&
-            expr("10 * sb0 >= 7 * sa0") && expr("10 * sa0 >= 7 * sb0"))
-          .groupBy("doc_id_a", "doc_id_b", "sa0", "sb0")
-          .agg(max(expr("least(sa0 - (pa + 1), sb0 - (pb + 1))")).as("rem"))
-          .filter(expr("1 + rem >= (7 * (sa0 + sb0) + 16) div 17"))
+            expr("10 * sb0 >= 7 * sa0") && expr("10 * sa0 >= 7 * sb0") &&
+            expr("1 + least(sa0 - (pa + 1), sb0 - (pb + 1)) >= " +
+              "(7 * (sa0 + sb0) + 16) div 17"))
           .select("doc_id_a", "doc_id_b")
+          .distinct()
         val xa = docs.selectExpr("doc_id AS doc_id_a", "cs AS ca")
         val xb = docs.selectExpr("doc_id AS doc_id_b", "cs AS cb")
         cand.join(xa, "doc_id_a").join(xb, "doc_id_b")

@@ -429,7 +429,10 @@ object MaintenanceQueries {
         import org.apache.spark.sql.functions.{broadcast, max, min}
         graft.functions.TextHashFunctions.register(s)
         val mask = (1L << DimBits) - 1
-        val based = Tables.lineitem(s, dir).selectExpr(
+        // lineitemParallel: the Hilbert kernel is the per-row cost here,
+        // and the fixture scan is one atomic row group — fan out first
+        // so the kernel runs on every core, not one scan task
+        val based = Tables.lineitemParallel(s, dir).selectExpr(
           s"(l_partkey & $mask) AS pa",
           s"(l_suppkey & $mask) AS sb")
         val h = based.selectExpr("pa", "sb",
@@ -490,8 +493,11 @@ object MaintenanceQueries {
         import org.apache.spark.sql.functions.{broadcast, max, min}
         graft.functions.TextHashFunctions.register(s)
         val mask = (1L << DimBits) - 1
+        // lineitemParallel: both curve keys are computed per row over an
+        // atomic single-row-group fixture scan — one narrow shuffle fans
+        // the kernel work out to every core before the cache builds
         val keyed = graft.ScratchCache.scratch(
-          Tables.lineitem(s, dir)
+          Tables.lineitemParallel(s, dir)
             .selectExpr(
               s"(l_partkey & $mask) AS pa",
               s"(l_suppkey & $mask) AS sb")
