@@ -173,13 +173,14 @@ object CurationQueries {
       }),
 
     // q_contamination's membership test at the scale where the blocklist
-    // CANNOT be broadcast: a BLOOM PREFILTER + exact verify. The
-    // blocklist is folded into a driver-built bloom filter (Spark's own
-    // bloom_filter_agg; ~8 bits/key — a 10^9-shingle blocklist is ~1 GB
-    // of bits where the exact set would be tens of GB), inlined into the
-    // plan as a foldable binary literal and probed map-side by the
-    // codegen'd BloomFilterMightContain, so ~98% of clean shingles never
-    // leave their scan task. Only bloom-POSITIVES reach the exact
+    // CANNOT be broadcast as an exact set: a BLOOM PREFILTER + exact
+    // verify. The blocklist is folded into a driver-built bloom filter
+    // (Spark's own bloom_filter_agg; ~8 bits/key — a 10^9-shingle
+    // blocklist is ~1 GB of bits where the exact set would be tens of
+    // GB), shipped as a BROADCAST VARIABLE (one torrent transfer per
+    // executor; the plan carries only the handle) and probed map-side by
+    // the codegen'd BloomMightContainBroadcast, so ~98% of clean
+    // shingles never leave their scan task. Only bloom-POSITIVES reach the exact
     // verification equi-join (no false negatives exist, and the join
     // removes the false positives), so the result is bit-identical to
     // q_contamination — same oracle — while the corpus-side shuffle
@@ -198,10 +199,19 @@ object CurationQueries {
         val bfBytes = bl.agg(expr(
             "graft_bloom_agg(xxhash64(s), 50000L, 400000L)"))
           .collect()(0).getAs[Array[Byte]](0)
-        val b64 = java.util.Base64.getEncoder.encodeToString(bfBytes)
+        // the filter travels as a BROADCAST VARIABLE, not a plan
+        // literal: the serialized expression carries only the handle;
+        // the bytes move once per executor via torrent broadcast (at
+        // blocklist scale the literal form bloats every plan copy —
+        // see graft.functions.BloomMightContainBroadcast)
+        val bf = s.sparkContext.broadcast(bfBytes)
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bloom_probe",
+          exprs => graft.functions.BloomMightContainBroadcast(bf, exprs(0)),
+          "scala_udf")
         val ex = docs.filter(s"doc_id % $EvalEvery <> 0")
           .selectExpr("doc_id", "size(hs) AS n_shingles", "explode(hs) AS s")
-          .filter(s"graft_might_contain(unbase64('$b64'), xxhash64(s))")
+          .filter("graft_bloom_probe(xxhash64(s))")
         ex.join(bl, "s")
           .groupBy("doc_id", "n_shingles")
           .agg(count(lit(1)).as("n_contaminated"))

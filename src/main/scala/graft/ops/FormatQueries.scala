@@ -122,6 +122,36 @@ object FormatQueries {
             "CAST(p[2] AS BIGINT) AS n_chars")
           .orderBy("doc_id")
       },
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+
+    // HADOOP-COMPAT round trip: documents travel as (LongWritable, Text)
+    // records through an ACTUAL Hadoop SequenceFile — written via
+    // saveAsSequenceFile (SequenceFileOutputFormat) and re-read via
+    // sc.sequenceFile (SequenceFileInputFormat + WritableConverter) —
+    // the literal "any Hadoop InputFormat" contract of the reference's
+    // MRInput (tez-mapreduce/src/main/java/org/apache/tez/mapreduce/
+    // input/MRInput.java:87): a user with existing SequenceFile/Writable
+    // data reads it through the same InputFormat class they already
+    // name, splits and all, with no conversion step. The Writable
+    // shuttle objects never leak into the frame (the converter copies),
+    // and the DataFrame boundary is one narrow map.
+    "q_seqfile_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = s"/tmp/graft_fmt/seq_${new java.io.File(d).getName}"
+        val hpath = new org.apache.hadoop.fs.Path(out)
+        val fs = hpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hpath)) fs.delete(hpath, true)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "concat(lang, '|', n_chars) AS v")
+          .rdd.map(r => (r.getLong(0), r.getString(1)))
+          .saveAsSequenceFile(out)
+        val back = s.sparkContext.sequenceFile[Long, String](out)
+        s.createDataFrame(back).toDF("doc_id", "v")
+          .selectExpr("doc_id", "split(v, '\\\\|') AS p")
+          .selectExpr("doc_id", "p[0] AS lang",
+            "CAST(p[1] AS BIGINT) AS n_chars")
+          .orderBy("doc_id")
+      },
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")
   )
 }
