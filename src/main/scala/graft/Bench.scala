@@ -84,6 +84,14 @@ object Bench {
     val stagesJson = analyzer.reportJson()
     val skewJson = analyzer.skewFlags().toSeq.sortBy(_._1)
       .map { case (q, r) => f""""$q":$r%.1f""" }.mkString("{", ",", "}")
+    // Snapshot per-query shuffle bytes HERE, before the outlier
+    // re-measure phase below: re-measured queries execute 3 more times
+    // under the same label, and a post-re-measure snapshot would
+    // attribute those extra runs' bytes to the query — a 4× phantom
+    // "regression" in the trend gate (observed on q_dedup_ngram r05).
+    val newSh: Map[String, Long] = analyzer.report().view
+      .mapValues(_.map(r => r.shuffleReadBytes + r.shuffleWriteBytes).sum)
+      .toMap
     // OUTLIER RE-MEASURE PROTOCOL: in-suite medians carry interference
     // (GC/load drain from adjacent heavy queries — the q_dedup_prefix
     // 8.29s-vs-1.29s incident in r03). Any query whose suite median
@@ -153,9 +161,6 @@ object Bench {
       else {
         val prevFile = Seq("BENCH_DETAIL.json", "/root/repo/BENCH_DETAIL.json")
           .map(new java.io.File(_)).find(_.exists())
-        val newSh: Map[String, Long] = analyzer.report().view
-          .mapValues(_.map(r => r.shuffleReadBytes + r.shuffleWriteBytes).sum)
-          .toMap
         prevFile.map { f =>
           try {
             import org.json4s._

@@ -21,11 +21,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are NOT silent (round-4 lesson: 10 erroring queries were
+    // only visible as absences): every failure is printed to BOTH
+    // streams and recorded in <outDir>/_errors.json next to the dumps,
+    // so a consumer of the artifact dir sees the error list even if it
+    // only diffs declared-vs-present names.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       finally ScratchCache.release() // drop this query's scratch frames
     }
@@ -44,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -58,3 +58,78 @@ object GraftMetrics
   def snapshot(): Seq[QueryRecord] = records.asScala.toSeq
   def clear(): Unit = records.clear()
 }
+
+/** Full task-counter accumulation — the breadth of the reference's
+  * `TaskCounter` enum (tez-api/src/main/java/org/apache/tez/common/
+  * counters/TaskCounter.java:26-140) mapped onto Spark's TaskMetrics,
+  * one listener for the whole session. Parity map (reference counter →
+  * field here):
+  *
+  *  - INPUT_RECORDS_PROCESSED / INPUT_BYTES → inputRecords/inputBytes
+  *  - OUTPUT_RECORDS / OUTPUT_BYTES_PHYSICAL → outputRecords/outputBytes
+  *  - REDUCE_INPUT_RECORDS → shuffleRecordsRead
+  *  - SHUFFLE_BYTES → shuffleRemoteBytes (fetched over the wire)
+  *  - SHUFFLE_BYTES_DISK_DIRECT → shuffleLocalBytes (read straight from
+  *    local disk, no fetch — Spark's local-block short circuit is the
+  *    same optimization)
+  *  - OUTPUT_RECORDS/OUTPUT_BYTES (map side) → shuffleRecordsWritten/
+  *    shuffleBytesWritten
+  *  - SHUFFLE_PHASE_TIME (fetch-wait component) → shuffleFetchWaitMs
+  *  - ADDITIONAL_SPILLS_BYTES_WRITTEN / SPILLED_RECORDS →
+  *    diskSpilledBytes/memorySpilledBytes (Spark meters spill in bytes
+  *    at both tiers; SpillCounterClusterSpec proves they move under a
+  *    forced spill)
+  *  - GC_TIME_MILLIS → gcTimeMs; plus peakExecutionMemory, which the
+  *    reference exposes via its memory-per-task accounting.
+  *
+  * Counters the reference keeps for its OWN sort/merge internals
+  * (MERGE_PHASE_TIME, NUM_MEM_TO_DISK_MERGES, …) have no Spark
+  * equivalent by design: Tungsten's UnsafeExternalSorter merges are
+  * internal to the task and surface as the spill/time counters above —
+  * the architectural absorption SURVEY §2d documents.
+  */
+object TaskCounters {
+  final case class Snapshot(
+      tasks: Long,
+      inputRecords: Long, inputBytes: Long,
+      outputRecords: Long, outputBytes: Long,
+      shuffleRecordsRead: Long, shuffleLocalBytes: Long,
+      shuffleRemoteBytes: Long, shuffleFetchWaitMs: Long,
+      shuffleRecordsWritten: Long, shuffleBytesWritten: Long,
+      shuffleWriteTimeNs: Long,
+      memorySpilledBytes: Long, diskSpilledBytes: Long,
+      peakExecutionMemory: Long, gcTimeMs: Long)
+
+  private val zero = Snapshot(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val acc = new java.util.concurrent.atomic.AtomicReference(zero)
+
+  private val listener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) acc.updateAndGet { s =>
+        Snapshot(
+          s.tasks + 1,
+          s.inputRecords + m.inputMetrics.recordsRead,
+          s.inputBytes + m.inputMetrics.bytesRead,
+          s.outputRecords + m.outputMetrics.recordsWritten,
+          s.outputBytes + m.outputMetrics.bytesWritten,
+          s.shuffleRecordsRead + m.shuffleReadMetrics.recordsRead,
+          s.shuffleLocalBytes + m.shuffleReadMetrics.localBytesRead,
+          s.shuffleRemoteBytes + m.shuffleReadMetrics.remoteBytesRead,
+          s.shuffleFetchWaitMs + m.shuffleReadMetrics.fetchWaitTime,
+          s.shuffleRecordsWritten + m.shuffleWriteMetrics.recordsWritten,
+          s.shuffleBytesWritten + m.shuffleWriteMetrics.bytesWritten,
+          s.shuffleWriteTimeNs + m.shuffleWriteMetrics.writeTime,
+          s.memorySpilledBytes + m.memoryBytesSpilled,
+          s.diskSpilledBytes + m.diskBytesSpilled,
+          math.max(s.peakExecutionMemory, m.peakExecutionMemory),
+          s.gcTimeMs + m.jvmGCTime)
+      }
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(listener)
+  def reset(): Unit = acc.set(zero)
+  def snapshot(): Snapshot = acc.get()
+}
