@@ -431,12 +431,16 @@ object MaintenanceQueries {
         val mask = (1L << DimBits) - 1
         // lineitemParallel: the Hilbert kernel is the per-row cost here,
         // and the fixture scan is one atomic row group — fan out first
-        // so the kernel runs on every core, not one scan task
-        val based = Tables.lineitemParallel(s, dir).selectExpr(
-          s"(l_partkey & $mask) AS pa",
-          s"(l_suppkey & $mask) AS sb")
-        val h = based.selectExpr("pa", "sb",
-          s"graft_hilbert(pa, sb, $DimBits) AS h")
+        // so the kernel runs on every core, not one scan task. Scratch-
+        // cached: both consumers (max(h) scalar + bucket aggregate) read
+        // the keyed frame, so the kernel runs once (q_curve_compare's
+        // shape).
+        val h = graft.ScratchCache.scratch(
+          Tables.lineitemParallel(s, dir).selectExpr(
+              s"(l_partkey & $mask) AS pa",
+              s"(l_suppkey & $mask) AS sb")
+            .selectExpr("pa", "sb",
+              s"graft_hilbert(pa, sb, $DimBits) AS h"))
         val hmax = h.agg(max("h").as("h_max"))
         h.crossJoin(broadcast(hmax))
           .selectExpr("pa", "sb",
