@@ -351,6 +351,119 @@ object PrepQueries {
            |ORDER BY lang, rnk""".stripMargin
       }),
 
+    // BPE SECOND MERGE ROUND — the q_bpe_encode loop unrolled one round
+    // deeper: round 1's top pair collapses to '#', the pair table is
+    // re-counted over the merged vocabulary (where '#'-adjacent pairs
+    // now compete — the merged symbol is a first-class alphabet member,
+    // exactly BPE's training dynamics), round 2's winner collapses to
+    // '@', and the output is the post-round-2 pair table. Proves the
+    // round structure COMPOSES: each round is vocab-bounded (merge +
+    // re-count over (lang, token, cnt), never the corpus), so a real
+    // N-round trainer is this same stage iterated with a driver loop
+    // holding only the merge table — the reference-scale property. Both
+    // sentinels are unreachable in tokensRe output and replace() is
+    // leftmost non-overlapping in both engines, so the substitution
+    // chain is deterministic and oracle-exact.
+    "q_bpe_encode2" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, length, row_number}
+        val vocab = graft.ScratchCache.scratch(
+          Tables.documentsParallel(s, d)
+            .selectExpr("lang", s"explode(${SparkSql.tokensRe("text")}) AS t")
+            .groupBy("lang", "t").agg(count(lit(1)).as("cnt")))
+        def pairCounts(src: org.apache.spark.sql.DataFrame, tcol: String,
+            keys: Seq[String]) =
+          src.filter(length(col(tcol)) >= 2)
+            .selectExpr(keys ++ Seq("cnt",
+              s"explode(transform(sequence(1, length($tcol) - 1)," +
+                s" i -> substring($tcol, i, 2))) AS pair"): _*)
+            .groupBy((keys :+ "pair").map(col): _*).agg(sum("cnt").as("cnt"))
+        def top1(pairs: org.apache.spark.sql.DataFrame, keys: Seq[String],
+            as: String) =
+          pairs.withColumn("rn", row_number().over(
+              Window.partitionBy(keys.map(col): _*)
+                .orderBy(col("cnt").desc, col("pair").asc)))
+            .filter(col("rn") === 1)
+            .select((keys.map(col) :+ col("pair").as(as)): _*)
+        val m1 = top1(pairCounts(vocab, "t", Seq("lang")), Seq("lang"), "merge1")
+        val merged1 = graft.ScratchCache.scratch(
+          vocab.join(broadcast(m1), "lang")
+            .selectExpr("lang", "merge1", "cnt",
+              "replace(t, merge1, '#') AS t2"))
+        val m2 = top1(pairCounts(merged1, "t2", Seq("lang", "merge1")),
+          Seq("lang", "merge1"), "merge2")
+        val merged2 = merged1.join(broadcast(m2), Seq("lang", "merge1"))
+          .selectExpr("lang", "merge1", "merge2", "cnt",
+            "replace(t2, merge2, '@') AS t3")
+        pairCounts(merged2, "t3", Seq("lang", "merge1", "merge2"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rnk") <= 5)
+          .selectExpr("lang", "merge1", "merge2",
+            "CAST(rnk AS BIGINT) AS rnk", "pair", "cnt")
+          .orderBy("lang", "rnk")
+      }, {
+        val dl = DuckSql
+        s"""WITH vocab AS (
+           |  SELECT lang, t, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, unnest(${dl.tokensRe("text")}) AS t
+           |    FROM documents)
+           |  GROUP BY lang, t),
+           |p1 AS (
+           |  SELECT lang, pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, cnt,
+           |      unnest(list_transform(generate_series(1, length(t) - 1),
+           |        i -> substr(t, i, 2))) AS pair
+           |    FROM vocab WHERE length(t) >= 2)
+           |  GROUP BY lang, pair),
+           |m1 AS (
+           |  SELECT lang, pair AS merge1 FROM (
+           |    SELECT lang, pair,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY cnt DESC, pair) AS rn
+           |    FROM p1) WHERE rn = 1),
+           |merged1 AS (
+           |  SELECT v.lang, m1.merge1, v.cnt,
+           |    replace(v.t, m1.merge1, '#') AS t2
+           |  FROM vocab v JOIN m1 ON v.lang = m1.lang),
+           |p2 AS (
+           |  SELECT lang, merge1, pair, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT lang, merge1, cnt,
+           |      unnest(list_transform(generate_series(1, length(t2) - 1),
+           |        i -> substr(t2, i, 2))) AS pair
+           |    FROM merged1 WHERE length(t2) >= 2)
+           |  GROUP BY lang, merge1, pair),
+           |m2 AS (
+           |  SELECT lang, merge1, pair AS merge2 FROM (
+           |    SELECT lang, merge1, pair,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY cnt DESC, pair) AS rn
+           |    FROM p2) WHERE rn = 1),
+           |merged2 AS (
+           |  SELECT g.lang, g.merge1, m2.merge2, g.cnt,
+           |    replace(g.t2, m2.merge2, '@') AS t3
+           |  FROM merged1 g JOIN m2
+           |    ON g.lang = m2.lang AND g.merge1 = m2.merge1),
+           |p3 AS (
+           |  SELECT lang, merge1, merge2, pair, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT lang, merge1, merge2, cnt,
+           |      unnest(list_transform(generate_series(1, length(t3) - 1),
+           |        i -> substr(t3, i, 2))) AS pair
+           |    FROM merged2 WHERE length(t3) >= 2)
+           |  GROUP BY lang, merge1, merge2, pair)
+           |SELECT lang, merge1, merge2, CAST(rnk AS BIGINT) AS rnk, pair, cnt
+           |FROM (
+           |  SELECT lang, merge1, merge2, pair, cnt,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC, pair) AS rnk
+           |  FROM p3)
+           |WHERE rnk <= 5
+           |ORDER BY lang, rnk""".stripMargin
+      }),
+
     // DOCUMENT CHUNKING — the retrieval/context-window prep op: every
     // document splits into 64-token windows on a 48-token stride
     // (16-token overlap, so no boundary-spanning phrase is lost), each
