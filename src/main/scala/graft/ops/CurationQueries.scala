@@ -230,6 +230,70 @@ object CurationQueries {
            |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
       }),
 
+    // INGEST-TIME decontamination — the STREAMING rendition of
+    // q_contamination_bloom, composing three proven pieces under one
+    // oracle: the documents arrive as an unbounded stream
+    // (readStream + AvailableNow for the gate), every micro-batch
+    // probes the BROADCAST bloom filter map-side via the codegen'd
+    // BloomMightContainBroadcast (built once, batch-side, before the
+    // stream starts — benchmark suites are static for an ingest run),
+    // survivors verify against the broadcast exact blocklist in a
+    // stream-STATIC join (stateless — no watermark, no join state),
+    // and the per-doc rollup is the only stateful operator. This is
+    // the production shape for filtering a 100 TB/day ingest against
+    // an eval suite: per-batch cost ∝ batch, nothing corpus-sized in
+    // state, blocklist bytes move once per executor. Same oracle as
+    // q_contamination — streaming must change nothing.
+    "q_stream_contamination" -> QueryDef(
+      (s, d) => {
+        graft.functions.TextHashFunctions.register(s)
+        graft.functions.GraftFunctions.register(s)
+        val docsB = Tables.documentsParallel(s, d)
+          .selectExpr("doc_id",
+            s"graft_shingle_hash_set(${SparkSql.tokens("text")}) AS hs")
+        val bl = ScratchCache.scratch(docsB.filter(s"doc_id % $EvalEvery = 0")
+          .selectExpr("explode(hs) AS s").distinct())
+        val bfBytes = bl.agg(expr(
+            "graft_bloom_agg(xxhash64(s), 50000L, 400000L)"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val bf = s.sparkContext.broadcast(bfBytes)
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bloom_probe",
+          exprs => graft.functions.BloomMightContainBroadcast(bf, exprs(0)),
+          "scala_udf")
+        val docSchema = s.read
+          .option("pathGlobFilter", "documents.parquet").parquet(d).schema
+        val stream = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(s"doc_id % $EvalEvery <> 0")
+          .selectExpr("doc_id",
+            s"graft_shingle_hash_set(${SparkSql.tokens("text")}) AS hs")
+          .selectExpr("doc_id", "size(hs) AS n_shingles", "explode(hs) AS s")
+          .filter("graft_bloom_probe(xxhash64(s))")
+          .join(broadcast(bl), "s")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .selectExpr("doc_id", "n_shingles", "n_contaminated",
+            "(CAST(n_contaminated AS DOUBLE) / n_shingles) AS contamination_ratio")
+        val q = stream.writeStream.format("memory")
+          .queryName("graft_stream_contamination")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_contamination").orderBy("doc_id")
+      }, {
+        val d = DuckSql
+        s"""WITH sh AS (SELECT doc_id, ${shingleHashSet(d)} AS hs FROM documents),
+           |bl AS (SELECT DISTINCT unnest(hs) AS s FROM sh WHERE doc_id % $EvalEvery = 0),
+           |ex AS (SELECT doc_id, ${d.sizeL("hs")} AS n_shingles, unnest(hs) AS s
+           |  FROM sh WHERE doc_id % $EvalEvery <> 0)
+           |SELECT doc_id, n_shingles, count(*) AS n_contaminated,
+           |  (CAST(count(*) AS DOUBLE) / n_shingles) AS contamination_ratio
+           |FROM ex JOIN bl USING (s)
+           |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
+      }),
+
     // Deterministic per-language stratified sampling: keep a doc when a
     // salted content hash of its key lands under the language's target
     // rate. Same reproducibility argument as q_hash_split (no sampler

@@ -28,10 +28,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
   // --- exact batch-equality pairs -----------------------------------
   Seq(
-    "q_stream_tumbling" -> "q_window_tumbling",
-    "q_stream_sliding"  -> "q_window_sliding",
-    "q_stream_session"  -> "q_window_session",
-    "q_stream_asof"     -> "q_asof_join"
+    "q_stream_tumbling"      -> "q_window_tumbling",
+    "q_stream_sliding"       -> "q_window_sliding",
+    "q_stream_session"       -> "q_window_session",
+    "q_stream_asof"          -> "q_asof_join",
+    "q_stream_contamination" -> "q_contamination"
   ).foreach { case (s, b) =>
     test(s"$s equals batch twin $b on sf0.001") {
       val got = run(s).collect().toSeq
