@@ -127,6 +127,55 @@ object EventQueries {
          |FROM (SELECT event_type,
          |        CAST(${DuckSql.jsonGetStr("props", "k")} AS BIGINT) AS k
          |      FROM events)
-         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // SEQUENTIAL FUNNEL ANALYSIS: view → click → purchase, per user,
+    // strictly time-ordered (each stage's event must be at-or-after the
+    // user's EARLIEST completion of the previous stage — the standard
+    // product-analytics funnel). Plan shape: three per-user min
+    // aggregates chained by equi-joins on user_id, so every shuffle is
+    // keyed on user_id and AQE collapses the chain onto ONE exchange
+    // reused across stages; per-stage state is one timestamp per user.
+    // The window-function alternative (ordering all events per user)
+    // shuffles and sorts the full event payload; this shape shuffles
+    // per-user scalars only — the difference at 100 TB/day of events.
+    // Exactness: stage times are whole-second BIGINT epochs; the only
+    // double is the final avg, computed from an exact BIGINT sum in one
+    // division, identical in both engines.
+    "q_event_funnel" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"),
+          unix_timestamp(col("ts")).as("es"), col("event_type"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("es").as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("es") >= col("t1"))
+          .groupBy("user_id").agg(min("es").as("t2"), min("t1").as("t1"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("es") >= col("t2"))
+          .groupBy("user_id").agg(min("es").as("t3"), min("t1").as("t1"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(
+            count(lit(1)).as("n_purchase"),
+            expr("round(CAST(CAST(sum(t3 - t1) AS BIGINT) AS DOUBLE)" +
+              " / count(*), 6)").as("avg_funnel_secs")))
+      },
+      s"""WITH e AS (SELECT user_id, ${DuckSql.epochSec("ts")} AS es, event_type
+         |  FROM events),
+         |s1 AS (SELECT user_id, min(es) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(es) AS t2, min(t1) AS t1
+         |  FROM e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE event_type = 'click' AND es >= t1 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(es) AS t3, min(t1) AS t1
+         |  FROM e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE event_type = 'purchase' AND es >= t2 GROUP BY e.user_id)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+         |  (SELECT round(CAST(CAST(sum(t3 - t1) AS BIGINT) AS DOUBLE)
+         |     / count(*), 6) FROM s3) AS avg_funnel_secs""".stripMargin)
   )
 }

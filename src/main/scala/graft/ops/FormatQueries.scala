@@ -152,6 +152,69 @@ object FormatQueries {
             "CAST(p[1] AS BIGINT) AS n_chars")
           .orderBy("doc_id")
       },
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+
+    // AVRO round trip through the ACTUAL Hadoop Avro container format
+    // (AvroKeyOutputFormat → AvroKeyInputFormat over GenericRecord,
+    // org.apache.avro.mapreduce — the other format a Hadoop/Tez shop
+    // names by InputFormat class next to SequenceFile, same MRInput
+    // "any InputFormat" contract, MRInput.java:87). Schema'd records
+    // (long/string/long), block-compressible container with sync
+    // markers → splittable on read exactly like the reference's splits.
+    // The GenericRecord shuttle is copied to primitives inside the same
+    // map (Avro readers REUSE the record object — the classic
+    // Hadoop-format trap the Writable note above documents for
+    // SequenceFile; `toString` + unboxing make the copy).
+    "q_avro_roundtrip" -> QueryDef(
+      (s, d) => {
+        import org.apache.avro.Schema
+        import org.apache.avro.generic.{GenericData, GenericRecord}
+        import org.apache.avro.mapred.AvroKey
+        import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+        import org.apache.hadoop.io.NullWritable
+        import org.apache.hadoop.mapreduce.Job
+
+        val schemaJson =
+          """{"type":"record","name":"Doc","fields":[
+            |{"name":"doc_id","type":"long"},
+            |{"name":"lang","type":"string"},
+            |{"name":"n_chars","type":"long"}]}""".stripMargin
+        val out = s"/tmp/graft_fmt/avro_${new java.io.File(d).getName}"
+        val hpath = new org.apache.hadoop.fs.Path(out)
+        val fs = hpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hpath)) fs.delete(hpath, true)
+        val wJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+        AvroJob.setOutputKeySchema(wJob, new Schema.Parser().parse(schemaJson))
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "lang", "n_chars").rdd
+          .mapPartitions { it =>
+            val sch = new Schema.Parser().parse(schemaJson)
+            it.map { r =>
+              val rec = new GenericData.Record(sch)
+              rec.put("doc_id", r.getLong(0))
+              rec.put("lang", r.getString(1))
+              rec.put("n_chars", r.getLong(2))
+              (new AvroKey[GenericRecord](rec), NullWritable.get())
+            }
+          }
+          .saveAsNewAPIHadoopFile(out,
+            classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+            classOf[AvroKeyOutputFormat[GenericRecord]], wJob.getConfiguration)
+        val rJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+        AvroJob.setInputKeySchema(rJob, new Schema.Parser().parse(schemaJson))
+        val back = s.sparkContext.newAPIHadoopFile(out,
+          classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rJob.getConfiguration)
+          .map { case (k, _) =>
+            val rec = k.datum()
+            (rec.get("doc_id").asInstanceOf[Long],
+              rec.get("lang").toString,
+              rec.get("n_chars").asInstanceOf[Long])
+          }
+        s.createDataFrame(back).toDF("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")
   )
 }

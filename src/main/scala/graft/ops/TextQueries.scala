@@ -600,7 +600,160 @@ object TextQueries {
              |GROUP BY tok, n_total
              |HAVING count(*) * 200 > n_total
              |ORDER BY cnt DESC, token""".stripMargin
+        }),
+
+      // BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) for
+      // a fixed 3-term query — the scoring function an inverted-index
+      // search / RAG retrieval layer runs over the corpus. Plan shape:
+      // because the query terms are KNOWN, tf per (doc, term) is computed
+      // MAP-SIDE inside a HOF (no explode, no posting shuffle at all);
+      // the only aggregation is the 6-number corpus-stats rollup
+      // (N, Σdl, df per term), which broadcasts back as a scalar frame,
+      // and the top-20 is a TakeOrdered — at 100 TB this is one scan +
+      // one broadcast + a k-bounded result, the optimal shape for
+      // query-at-a-time scoring (index-at-rest scoring is q_inverted_index).
+      // Float determinism: every double op is emitted with identical text
+      // and evaluation order in both engines from ONE generator; ranking
+      // orders by the ROUNDED score with a doc_id tie-break (the q_tfidf
+      // convention).
+      "q_bm25" -> QueryDef(
+        (s, dir) => {
+          val perdoc = Tables.documentsParallel(s, dir)
+            .selectExpr("doc_id" +: bm25PerDoc(SparkSql): _*)
+          val stats = perdoc.agg(
+            expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+            expr("CAST(sum(dl) AS BIGINT)").as("sum_dl"),
+            expr(bm25Df(0)).as("df0"),
+            expr(bm25Df(1)).as("df1"),
+            expr(bm25Df(2)).as("df2"))
+          perdoc.crossJoin(broadcast(stats))
+            .selectExpr(
+              "doc_id", "dl",
+              s"tf0 AS tf_${bm25Terms(0)}",
+              s"tf1 AS tf_${bm25Terms(1)}",
+              s"tf2 AS tf_${bm25Terms(2)}",
+              s"$bm25Score AS bm25")
+            .orderBy(col("bm25").desc, col("doc_id"))
+            .limit(20)
+        }, {
+          val d = DuckSql
+          s"""WITH perdoc AS (
+             |  SELECT doc_id, ${bm25PerDoc(d).mkString(", ")} FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+             |    ${bm25Df(0)} AS df0, ${bm25Df(1)} AS df1, ${bm25Df(2)} AS df2
+             |  FROM perdoc)
+             |SELECT doc_id, dl,
+             |  tf0 AS tf_${bm25Terms(0)}, tf1 AS tf_${bm25Terms(1)},
+             |  tf2 AS tf_${bm25Terms(2)}, $bm25Score AS bm25
+             |FROM perdoc CROSS JOIN stats
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        }),
+
+      // POINTWISE MUTUAL INFORMATION collocations: top-20 adjacent
+      // bigrams by PMI = log2(P(w1w2) / (P(w1)·P(w2))) among bigrams
+      // carrying ≥ 1/2000 of the corpus bigram mass (a RELATIVE
+      // threshold, so the query is scale-free — a fixed min-count would
+      // mean different semantics per SF). The collocation detector of a
+      // phrase-mining / tokenizer-seeding pipeline (the "New York"
+      // problem). Plan shape: both count frames are VOCAB-bounded
+      // (unigram ≤ |V|, bigram ≤ |V|²), totals broadcast as scalars,
+      // and the joins key on vocab-sized frames — corpus size only
+      // affects the two scans. Fixture note: the shared 31-word
+      // synthetic vocabulary gives near-independent tokens (PMI ≈ 0
+      // everywhere); the mechanism and the exact arithmetic are what
+      // the oracle checks (same caveat as q_lang_id).
+      "q_pmi" -> QueryDef(
+        (s, dir) => {
+          val toks = SparkSql.tokens("text")
+          val tok = graft.ScratchCache.scratch(
+            Tables.documentsParallel(s, dir).selectExpr(s"$toks AS t"))
+          val uni = tok.selectExpr("explode(t) AS w")
+            .groupBy("w").agg(count(lit(1)).as("c"))
+          val totU = uni.agg(sum("c").as("t_uni"))
+          val bi = tok.filter(expr("size(t) >= 2"))
+            .selectExpr(
+              "explode(transform(sequence(1, size(t) - 1)," +
+                " i -> struct(element_at(t, i) AS w1," +
+                " element_at(t, i + 1) AS w2))) AS b")
+            .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+            .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          val totB = bi.agg(sum("cnt").as("t_bi"))
+          bi.join(uni.selectExpr("w AS w1", "c AS c1"), "w1")
+            .join(uni.selectExpr("w AS w2", "c AS c2"), "w2")
+            .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+            .filter(expr("cnt * 2000 >= t_bi"))
+            .selectExpr("w1", "w2", "cnt",
+              "round(log2((CAST(cnt AS DOUBLE) / t_bi)" +
+                " / ((CAST(c1 AS DOUBLE) / t_uni)" +
+                " * (CAST(c2 AS DOUBLE) / t_uni))), 6) AS pmi")
+            .orderBy(col("pmi").desc, col("w1"), col("w2"))
+            .limit(20)
+        }, {
+          val d = DuckSql
+          s"""WITH docs AS (SELECT ${d.tokens("text")} AS t FROM documents),
+             |uni AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w),
+             |tu AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni),
+             |bi AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+             |      SELECT unnest(list_transform(
+             |        generate_series(1, ${d.sizeL("t")} - 1),
+             |        i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+             |      FROM docs WHERE ${d.sizeL("t")} >= 2))
+             |  GROUP BY w1, w2),
+             |tb AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_bi FROM bi)
+             |SELECT w1, w2, cnt,
+             |  round(log2((CAST(cnt AS DOUBLE) / t_bi)
+             |    / ((CAST(c1 AS DOUBLE) / t_uni)
+             |    * (CAST(c2 AS DOUBLE) / t_uni))), 6) AS pmi
+             |FROM bi
+             |JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+             |JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+             |CROSS JOIN tb CROSS JOIN tu
+             |WHERE cnt * 2000 >= t_bi
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
         })
     )
+  }
+
+  // ---- q_bm25: fixed-query BM25 scoring ----
+  // Terms chosen for df spread on the fixture vocabulary: 'query' is
+  // near-ubiquitous (low idf), 'join' mid, 'dup' rare (high idf — it
+  // dominates the ranking, as BM25 should). `def`, not `val`: the defs
+  // map above initializes first and vals declared below it would still
+  // be null when it runs.
+  private def bm25Terms = Seq("query", "join", "dup")
+
+  /** Per-doc map-side columns: dl (token count) + tf per query term. */
+  private def bm25PerDoc(d: Dialect): Seq[String] = {
+    val toks = d.tokens("text")
+    s"CAST(${d.sizeL(toks)} AS BIGINT) AS dl" +:
+      bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(${d.sizeL(d.filterL(toks, "t", s"t = '$t'"))} AS BIGINT) AS tf$i"
+      }
+  }
+
+  /** Document frequency of term i (identical SQL text in both engines). */
+  private def bm25Df(i: Int): String =
+    s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+
+  /** The BM25 sum over the fixed terms. All double arithmetic is fully
+    * parenthesized so both engines evaluate in the same order; 0.25 =
+    * 1-b and 2.2 = k1+1 are embedded as exact decimal literals both
+    * engines parse to the same IEEE-754 double. */
+  private def bm25Score: String = {
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val terms = bm25Terms.indices.map { i =>
+      val idf = s"log2(1.0 + ((CAST(n_docs - df$i AS DOUBLE) + 0.5)" +
+        s" / (CAST(df$i AS DOUBLE) + 0.5)))"
+      val denom = s"(CAST(tf$i AS DOUBLE)" +
+        s" + (1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / $avgdl)))))"
+      s"(((CAST(tf$i AS DOUBLE) * 2.2) / $denom) * $idf)"
+    }
+    s"round(${terms.reduce((a, b) => s"($a + $b)")}, 6)"
   }
 }
