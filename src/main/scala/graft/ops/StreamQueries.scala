@@ -195,6 +195,35 @@ object StreamQueries {
           .orderBy("user_id", "event_id"),
       TemporalJoinQueries.defs("q_asof_join").oracle.get),
 
+    // SEQUENTIAL FUNNEL computed BY the streaming engine
+    // (EventStream.funnelStates, mapGroupsWithState, O(1) per-user
+    // state = three optional timestamps): per-user funnel stages
+    // accumulate incrementally; the declared result is the same
+    // 4-number rollup — and the same ORACLE — as the batch
+    // q_event_funnel (streaming must change nothing). Snapshots
+    // collapse with a per-user max() (state is monotone -1 → value),
+    // so the rollup is robust to multi-batch update-mode sinks.
+    "q_stream_funnel" -> QueryDef(
+      (s, d) => {
+        val snaps = runToTable(s,
+          EventStream.funnelStates(EventStream.readEvents(s, d)).toDF(),
+          "graft_stream_funnel", "update")
+          .groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        snaps.agg(
+          expr("CAST(sum(CASE WHEN t1 >= 0 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_view"),
+          expr("CAST(sum(CASE WHEN t2 >= 0 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_click"),
+          expr("CAST(sum(CASE WHEN t3 >= 0 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_purchase"),
+          expr("round(CAST(CAST(sum(CASE WHEN t3 >= 0 THEN t3 - t1 ELSE 0 END)" +
+            " AS BIGINT) AS DOUBLE)" +
+            " / sum(CASE WHEN t3 >= 0 THEN 1 ELSE 0 END), 6)")
+            .as("avg_funnel_secs"))
+      },
+      EventQueries.defs("q_event_funnel").oracle.get),
+
     // Running per-user spend computed BY transformWithState — the v2
     // arbitrary-state API (StatefulProcessor + named typed state
     // handles on the RocksDB provider) under the same bit-exact oracle

@@ -362,6 +362,60 @@ object EventStream {
       }
   }
 
+  /** Incremental SEQUENTIAL-FUNNEL state (streaming twin of
+    * q_event_funnel): per-user state is exactly three optional epoch
+    * seconds (t1 = earliest view, t2 = earliest click at-or-after t1,
+    * t3 = earliest purchase at-or-after t2) — O(1) per user, never a
+    * buffer of events, which is what keeps a funnel over a 100 TB/day
+    * clickstream runnable forever.
+    *
+    * Exactness vs the batch min-chain: within each micro-batch rows
+    * sort by (es, stage) with stage order view < click < purchase, so a
+    * sequential scan reproduces the batch semantics precisely — every
+    * click candidate (es ≥ t1) sorts AFTER the view that set t1 (later
+    * second, or same second with the view first), hence the first
+    * accepted click IS min(click es ≥ t1); same argument one stage
+    * down. A single in-order batch (AvailableNow over the fixture) is
+    * therefore bit-equal to the batch query; across batches the carried
+    * state keeps the same result whenever batch boundaries respect
+    * event time (the streamingAsOf processing-time contract above).
+    * Unset stages carry -1 (state is monotone: -1 → a value, never
+    * back), so a batch-side max() per user collapses snapshots to the
+    * final state. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelSnapshot(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  def funnelStates(events: DataFrame): org.apache.spark.sql.Dataset[FunnelSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val stageOf = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          val sorted = rows
+            .flatMap { case (_, es, t) => stageOf.get(t).map(st => (es, st)) }
+            .toArray
+          java.util.Arrays.sort(sorted,
+            Ordering.by((p: (Long, Int)) => (p._1, p._2)))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          sorted.foreach { case (es, stage) =>
+            if (stage == 0 && st.t1 < 0) st = st.copy(t1 = es)
+            else if (stage == 1 && st.t2 < 0 && st.t1 >= 0 && es >= st.t1)
+              st = st.copy(t2 = es)
+            else if (stage == 2 && st.t3 < 0 && st.t2 >= 0 && es >= st.t2)
+              st = st.copy(t3 = es)
+          }
+          state.update(st)
+          FunnelSnapshot(user, st.t1, st.t2, st.t3)
+      }
+  }
+
   /** Custom per-key state via mapGroupsWithState (the arbitrary-Processor
     * analog, SURVEY.md §2f): running per-user event count + running value
     * sum, updated incrementally as batches arrive. */

@@ -32,7 +32,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
     "q_stream_sliding"       -> "q_window_sliding",
     "q_stream_session"       -> "q_window_session",
     "q_stream_asof"          -> "q_asof_join",
-    "q_stream_contamination" -> "q_contamination"
+    "q_stream_contamination" -> "q_contamination",
+    "q_stream_funnel"        -> "q_event_funnel"
   ).foreach { case (s, b) =>
     test(s"$s equals batch twin $b on sf0.001") {
       val got = run(s).collect().toSeq
