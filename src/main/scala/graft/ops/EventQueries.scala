@@ -146,14 +146,21 @@ object EventQueries {
       (s, d) => {
         val e = Tables.events(s, d).select(col("user_id"),
           unix_timestamp(col("ts")).as("es"), col("event_type"))
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("es").as("t1"))
-        val s2 = e.filter(col("event_type") === "click")
-          .join(s1, "user_id").filter(col("es") >= col("t1"))
-          .groupBy("user_id").agg(min("es").as("t2"), min("t1").as("t1"))
-        val s3 = e.filter(col("event_type") === "purchase")
-          .join(s2, "user_id").filter(col("es") >= col("t2"))
-          .groupBy("user_id").agg(min("es").as("t3"), min("t1").as("t1"))
+        // each stage frame is consumed twice (next stage + its rollup);
+        // scratch-caching the tiny one-row-per-user frames keeps the
+        // event scans at one per stage (each with its event_type filter
+        // pushed to parquet) instead of duplicating whole stage subtrees
+        val s1 = graft.ScratchCache.scratch(
+          e.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(min("es").as("t1")))
+        val s2 = graft.ScratchCache.scratch(
+          e.filter(col("event_type") === "click")
+            .join(s1, "user_id").filter(col("es") >= col("t1"))
+            .groupBy("user_id").agg(min("es").as("t2"), min("t1").as("t1")))
+        val s3 = graft.ScratchCache.scratch(
+          e.filter(col("event_type") === "purchase")
+            .join(s2, "user_id").filter(col("es") >= col("t2"))
+            .groupBy("user_id").agg(min("es").as("t3"), min("t1").as("t1")))
         s1.agg(count(lit(1)).as("n_view"))
           .crossJoin(s2.agg(count(lit(1)).as("n_click")))
           .crossJoin(s3.agg(

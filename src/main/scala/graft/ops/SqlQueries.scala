@@ -214,6 +214,30 @@ object SqlQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // TPC-H Q18 shape (large-volume orders): IN over a GROUPED-HAVING
+  // subquery — the "semi-join against an aggregate" pattern, distinct
+  // from Q4's EXISTS (semi-join against a filter): Spark must aggregate
+  // lineitem FIRST, then plan the IN as a left-semi join of orders
+  // against that aggregate, then re-join lineitem for the final rollup.
+  // At 100 TB the HAVING aggregate is map-combinable and its survivors
+  // are few (the big-order tail) → AQE turns the semi-join into a
+  // broadcast at runtime. Quantities are whole numbers stored as
+  // DOUBLE → per-row CAST to BIGINT makes every sum exact and
+  // order-independent in both engines.
+  private val BigOrdersSql =
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -225,7 +249,8 @@ object SqlQueries {
     "q_sql_forecast" -> ForecastSql,
     "q_sql_not_in" -> NotInSql,
     "q_sql_recursive" -> RecursiveSql,
-    "q_sql_correlated" -> CorrelatedSql)
+    "q_sql_correlated" -> CorrelatedSql,
+    "q_sql_big_orders" -> BigOrdersSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -239,6 +264,8 @@ object SqlQueries {
     "q_sql_forecast" -> sqlDef(Seq("lineitem"), ForecastSql),
     "q_sql_not_in" -> sqlDef(Seq("orders", "customer"), NotInSql),
     "q_sql_recursive" -> sqlDef(Seq("customer"), RecursiveSql),
-    "q_sql_correlated" -> sqlDef(Seq("orders"), CorrelatedSql)
+    "q_sql_correlated" -> sqlDef(Seq("orders"), CorrelatedSql),
+    "q_sql_big_orders" ->
+      sqlDef(Seq("customer", "orders", "lineitem"), BigOrdersSql)
   )
 }
