@@ -131,6 +131,17 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val ns = nodes("q_agg_sum_count")
     assert(ns.count(_.contains("HashAggregate")) >= 2)
   }
+  test("q_window_rank truncates per-group rows before the final window (WindowGroupLimit)") {
+    // Catalyst's InferWindowGroupLimit turns row_number()<=k into
+    // partial+final WindowGroupLimit operators: each map task keeps at
+    // most k rows per group BEFORE the exchange, so the per-group
+    // ranking never shuffles the full table — the optimizer absorbing
+    // the reference's combiner-style early truncation, the same idea
+    // q_topk_per_group implements explicitly with a bounded-state
+    // typed Aggregator.
+    val ns = nodes("q_window_rank")
+    assert(ns.exists(_.contains("WindowGroupLimit")), ns)
+  }
   test("q_contamination broadcasts the eval blocklist, never the corpus") {
     // benchmark suites are MBs vs a 100 TB corpus: the membership join
     // must be a broadcast of the blocklist side, not a corpus shuffle
