@@ -227,17 +227,31 @@ object SimilarityQueries {
         s"${SparkSql.dist2Big("qs", "c")} AS qd2")
   }
 
-  /** Shared oracle CTE prefix: quantized vectors → subvectors → seeds →
-    * one windowed-argmin Lloyd round → codebook → codes → per-query
-    * lookup table. The SAME relational text backs q_ann_pq and
-    * q_ann_ivfpq, mirroring pqLearnBook/pqCodes/pqQdist bit-for-bit. */
-  private lazy val pqOracleCtes: String = {
+  /** Quantized RESIDUAL frame for the IVFADC variant: v := quantVec(x)
+    * − quantVec(centroid(cell)), with the centroid being the same
+    * deterministic planeCoef vector the coarse quantizer measures
+    * against (cell is the 1-based argmin position → centroid index
+    * cell−1), quantized with the identical floor(x·1e6+0.5) both
+    * engines run — so residuals stay pure BIGINTs. */
+  private def pqResidual(s: SparkSession, d: String): DataFrame = {
+    val cq = SparkSql.transform(SparkSql.seqIncl("1", "64"), "dd",
+      s"CAST(floor(${planeCoef(SparkSql, "(7000 + cell - 1)", "dd - 1")}" +
+        " * 1000000.0 + 0.5) AS BIGINT)")
+    ScratchCache.scratch(pqQuantized(s, d)
+      .selectExpr("vec_id", "cell",
+        s"${SparkSql.zipSubBig("v", cq)} AS v"))
+  }
+
+  /** Shared tail of the PQ oracle derivation — everything downstream of
+    * the `v` vectors CTE (subvectors → seeds → one windowed-argmin
+    * Lloyd round → codebook → codes → per-query lookup table), so the
+    * raw-vector queries (q_ann_pq / q_ann_ivfpq) and the residual
+    * variant (q_ann_ivfpq_res) share one relational text that mirrors
+    * pqLearnBook/pqCodes/pqQdist bit-for-bit. */
+  private lazy val pqOracleTail: String = {
     val dl = DuckSql
     def d2(a: String, b: String) = dl.dist2Big(a, b)
-    s"""v AS (
-       |  SELECT vec_id, ${dl.quantVec("embedding", 1000000L)} AS v
-       |  FROM embeddings),
-       |sub AS (
+    s"""sub AS (
        |  SELECT vec_id, ss,
        |    list_slice(v, ss * $PqSubDims + 1, (ss + 1) * $PqSubDims) AS vs
        |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
@@ -267,6 +281,32 @@ object SimilarityQueries {
        |  SELECT s.vec_id AS query_id, s.ss, c.cid,
        |    CAST(${d2("s.vs", "c.c")} AS BIGINT) AS qd2
        |  FROM sub s JOIN c1 c ON s.ss = c.ss WHERE s.vec_id < $PqQueries)""".stripMargin
+  }
+
+  private lazy val pqOracleCtes: String =
+    s"""v AS (
+       |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+       |  FROM embeddings),
+       |$pqOracleTail""".stripMargin
+
+  /** Residual-variant oracle prefix: cells first (MATERIALIZED — the
+    * 16-centroid fold per row is referenced by the residual build AND
+    * both est joins; DuckDB would inline it per reference), then
+    * residual vectors, then the shared PQ tail. */
+  private lazy val pqResOracleCtes: String = {
+    val d = DuckSql
+    val cq = d.transform(d.seqIncl("1", "64"), "dd",
+      s"CAST(floor(${planeCoef(d, "(7000 + t.cell - 1)", "dd - 1")}" +
+        " * 1000000.0 + 0.5) AS BIGINT)")
+    s"""cellt0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(${argminPos(d, ivfDists(d, "embedding"))} AS INT) AS cell
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT e.vec_id,
+       |    ${d.zipSubBig(d.quantVec("embedding", 1000000L), cq)} AS v
+       |  FROM embeddings e JOIN cellt0 t ON e.vec_id = t.vec_id),
+       |$pqOracleTail""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -735,6 +775,58 @@ object SimilarityQueries {
          |  JOIN c1t ck ON ck.vec_id = k.vec_id
          |  JOIN probes p ON p.query_id = q.query_id AND p.qcell = ck.cell
          |  WHERE q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // IVF-PQ with RESIDUAL encoding — the full IVFADC recipe (Jégou et
+    // al., TPAMI'11 §IV): PQ codes quantize r = x − centroid(cell(x)),
+    // not x itself. Residuals concentrate around 0 with far less
+    // variance than raw vectors, so the same 4×16-entry codebook spends
+    // its codes on the part of the vector the coarse quantizer did NOT
+    // explain — the accuracy step that makes FAISS's IndexIVFPQ the
+    // production default over code-the-raw-vector PQ. Query-side ADC
+    // uses the query's residual wrt its own probed cell (nprobe=1 here:
+    // query cell = candidate cell, the asymmetric-distance contract).
+    // Everything else — seed choice, one Lloyd round, byte codes,
+    // broadcast lookup table, same-cell-bounded shuffle — is the
+    // q_ann_ivfpq machinery applied to the residual frame (shared
+    // helpers both sides; the oracle derives identical residuals
+    // relationally, with the centroid quantized by the same
+    // floor(x·1e6+0.5) as the data so residuals stay pure BIGINTs).
+    "q_ann_ivfpq_res" -> QueryDef(
+      (s, d) => {
+        val vr = pqResidual(s, d)
+        val book = pqLearnBook(vr)
+        val codes = pqCodes(vr, book)
+        val qdist = pqQdist(s, vr, book)
+          .join(vr.filter(col("vec_id") < PqQueries)
+            .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+              codes("cell") === qdist("qcell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $pqResOracleCtes,
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN cellt0 ck ON ck.vec_id = k.vec_id
+         |  JOIN cellt0 cq ON cq.vec_id = q.query_id
+         |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
          |  GROUP BY q.query_id, k.vec_id)
          |SELECT query_id, neighbor_id, est_d2, rn FROM (
          |  SELECT query_id, vec_id AS neighbor_id, est_d2,

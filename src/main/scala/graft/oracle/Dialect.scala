@@ -68,6 +68,8 @@ abstract class Dialect {
   def regexCount(s: String, re: String): String
   /** elementwise (a-b)^2 of two equal-length BIGINT lists. */
   def zipDiffSqBig(a: String, b: String): String
+  /** elementwise a-b of two equal-length BIGINT lists. */
+  def zipSubBig(a: String, b: String): String
 
   // ---- shared derived fragments (dialect-independent composition) ----
 
@@ -184,6 +186,8 @@ object SparkSql extends Dialect {
   def regexCount(s: String, re: String) = s"regexp_count($s, '$re')"
   def zipDiffSqBig(a: String, b: String) =
     s"zip_with($a, $b, (x, y) -> (x - y) * (x - y))"
+  def zipSubBig(a: String, b: String) =
+    s"zip_with($a, $b, (x, y) -> x - y)"
 }
 
 object DuckSql extends Dialect {
@@ -222,4 +226,6 @@ object DuckSql extends Dialect {
   def regexCount(s: String, re: String) = s"len(regexp_extract_all($s, '$re'))"
   def zipDiffSqBig(a: String, b: String) =
     s"list_transform(generate_series(1, len($a)), zz -> (($a)[zz] - ($b)[zz]) * (($a)[zz] - ($b)[zz]))"
+  def zipSubBig(a: String, b: String) =
+    s"list_transform(generate_series(1, len($a)), zz -> ($a)[zz] - ($b)[zz])"
 }
