@@ -215,6 +215,43 @@ object FormatQueries {
         s.createDataFrame(back).toDF("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
       },
-      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+
+    // SCHEMA EVOLUTION across file generations — the reality of reading
+    // years of accumulated data at 100 TB: generation 1 files carry
+    // (o_orderkey, o_custkey, cents); generation 2 adds o_orderstatus.
+    // One mergeSchema read reconciles both (parquet footers union;
+    // missing columns null-fill for old files — the reader adapts to
+    // the data, the MRInput contract yet again), and the rollup treats
+    // the null-filled legacy rows as their own 'legacy' bucket. The
+    // oracle recomputes the same rollup from the SOURCE table, so the
+    // gate checks the whole write→evolve→merge→read pipeline end to
+    // end. Cents are exact BIGINTs; generation assignment is a
+    // deterministic key parity.
+    "q_schema_evolution" -> QueryDef(
+      (s, d) => {
+        val out = s"/tmp/graft_fmt/evo_${new java.io.File(d).getName}"
+        val base = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+          "o_orderstatus")
+        base.filter("o_orderkey % 2 = 0")
+          .drop("o_orderstatus")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        base.filter("o_orderkey % 2 = 1")
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+          .selectExpr("coalesce(o_orderstatus, 'legacy') AS status_bucket",
+            "cents")
+          .groupBy("status_bucket")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+          .orderBy("status_bucket")
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |    ELSE 'legacy' END AS status_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY status_bucket ORDER BY status_bucket""".stripMargin)
   )
 }
