@@ -464,6 +464,85 @@ object PrepQueries {
            |ORDER BY lang, rnk""".stripMargin
       }),
 
+    // N-ROUND BPE TRAINER — the q_bpe_encode/encode2 round structure
+    // driven by an actual LOOP (rounds 1..4), emitting the artifact a
+    // tokenizer trainer actually produces: the per-language MERGE TABLE
+    // (round, winning pair, its count at selection). Each round is
+    // count-pairs → argmax-per-lang → collapse-to-sentinel over the
+    // (lang, token, cnt) vocabulary — vocab-bounded, never a corpus
+    // rescan — and the driver loop holds nothing but the round counter
+    // and the (tiny, broadcast) per-round winners. Sentinels
+    // '#','@','%','&' are unreachable in tokensRe output, so merged
+    // symbols are first-class alphabet members in later rounds (real
+    // BPE dynamics: round-2 pairs may contain round-1's symbol). The
+    // oracle unrolls the identical 4 rounds as MATERIALIZED CTEs
+    // (inlined, each round would re-scan documents per reference).
+    "q_bpe_train4" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, length, row_number}
+        val sentinels = Seq("#", "@", "%", "&")
+        var voc = graft.ScratchCache.scratch(
+          Tables.documentsParallel(s, d)
+            .selectExpr("lang", s"explode(${SparkSql.tokensRe("text")}) AS t")
+            .groupBy("lang", "t").agg(count(lit(1)).as("cnt")))
+        val rounds = (1 to sentinels.size).map { r =>
+          val top = graft.ScratchCache.scratch(voc
+            .filter(length(col("t")) >= 2)
+            .selectExpr("lang", "cnt",
+              "explode(transform(sequence(1, length(t) - 1)," +
+                " i -> substring(t, i, 2))) AS pair")
+            .groupBy("lang", "pair").agg(sum("cnt").as("cnt"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("lang")
+                .orderBy(col("cnt").desc, col("pair").asc)))
+            .filter(col("rn") === 1)
+            .select(col("lang"), col("pair").as("merge_pair"), col("cnt")))
+          voc = graft.ScratchCache.scratch(
+            voc.join(broadcast(top.select("lang", "merge_pair")), "lang")
+              .selectExpr("lang",
+                s"replace(t, merge_pair, '${sentinels(r - 1)}') AS t", "cnt"))
+          top.selectExpr("lang", s"CAST($r AS BIGINT) AS round",
+            "merge_pair", "cnt")
+        }
+        rounds.reduce(_ unionByName _).orderBy("lang", "round")
+      }, {
+        val dl = DuckSql
+        val sentinels = Seq("#", "@", "%", "&")
+        def round(r: Int, prev: String): String =
+          s"""p$r AS MATERIALIZED (
+             |  SELECT lang, pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+             |    SELECT lang, cnt,
+             |      unnest(list_transform(generate_series(1, length(t) - 1),
+             |        i -> substr(t, i, 2))) AS pair
+             |    FROM $prev WHERE length(t) >= 2)
+             |  GROUP BY lang, pair),
+             |t$r AS MATERIALIZED (
+             |  SELECT lang, pair AS merge_pair, cnt FROM (
+             |    SELECT lang, pair, cnt,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY cnt DESC, pair) AS rn
+             |    FROM p$r) WHERE rn = 1),
+             |v$r AS MATERIALIZED (
+             |  SELECT v.lang, replace(v.t, t1.merge_pair,
+             |    '${sentinels(r - 1)}') AS t, v.cnt
+             |  FROM $prev v JOIN t$r t1 ON v.lang = t1.lang)""".stripMargin
+        val rounds = (1 to sentinels.size)
+          .map(r => round(r, if (r == 1) "v0" else s"v${r - 1}"))
+          .mkString(",\n")
+        val out = (1 to sentinels.size)
+          .map(r => s"SELECT lang, CAST($r AS BIGINT) AS round, merge_pair, cnt FROM t$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH v0 AS MATERIALIZED (
+           |  SELECT lang, t, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT lang, unnest(${dl.tokensRe("text")}) AS t
+           |    FROM documents)
+           |  GROUP BY lang, t),
+           |$rounds
+           |SELECT lang, round, merge_pair, cnt FROM (
+           |$out)
+           |ORDER BY lang, round""".stripMargin
+      }),
+
     // DOCUMENT CHUNKING — the retrieval/context-window prep op: every
     // document splits into 64-token windows on a 48-token stride
     // (16-token overlap, so no boundary-spanning phrase is lost), each
