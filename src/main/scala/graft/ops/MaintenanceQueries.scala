@@ -25,6 +25,42 @@ object MaintenanceQueries {
   /** Synthetic-insert key offset (far above any fixture key range). */
   private val InsOff = 1000000000000L
 
+  /** Shared oracle for q_upsert_merge and q_stream_cdc: the final table
+    * state is identical whether the change set merges in one batch or
+    * arrives as a stream of key-disjoint micro-batches (upd/del on the
+    * same key commute to "deleted"; inserts are fresh keys). */
+  private val UpsertOracle =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |upd AS (
+       |  SELECT o_orderkey, (cents * 2) AS new_cents
+       |  FROM base WHERE o_orderkey % 7 = 0),
+       |del AS (
+       |  SELECT o_orderkey, 1 AS is_del FROM base WHERE o_orderkey % 13 = 0),
+       |ins AS (
+       |  SELECT o_orderkey + $InsOff AS o_orderkey, o_orderstatus, cents,
+       |    CAST(0 AS BIGINT) AS was_upd, CAST(1 AS BIGINT) AS was_ins
+       |  FROM base WHERE o_orderkey % 11 = 3),
+       |survivors AS (
+       |  SELECT b.o_orderkey, b.o_orderstatus,
+       |    coalesce(u.new_cents, b.cents) AS cents,
+       |    CAST(CASE WHEN u.new_cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS was_upd,
+       |    CAST(0 AS BIGINT) AS was_ins
+       |  FROM base b
+       |  LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+       |  LEFT JOIN del x ON b.o_orderkey = x.o_orderkey
+       |  WHERE x.is_del IS NULL),
+       |merged AS (
+       |  SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+       |SELECT o_orderstatus,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+       |  CAST(sum(was_upd) AS BIGINT) AS n_updated,
+       |  CAST(sum(was_ins) AS BIGINT) AS n_inserted
+       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Bits per dimension and the fixed z-bucket count. Buckets divide
     * the OBSERVED z range into ZBuckets equal spans, so the layout
     * (and the declared output size) is scale-invariant: the fixture's
@@ -123,36 +159,104 @@ object MaintenanceQueries {
             sum("was_ins").as("n_inserted"))
           .orderBy("o_orderstatus")
       },
-      s"""WITH base AS (
-         |  SELECT o_orderkey, o_orderstatus,
-         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
-         |  FROM orders),
-         |upd AS (
-         |  SELECT o_orderkey, (cents * 2) AS new_cents
-         |  FROM base WHERE o_orderkey % 7 = 0),
-         |del AS (
-         |  SELECT o_orderkey, 1 AS is_del FROM base WHERE o_orderkey % 13 = 0),
-         |ins AS (
-         |  SELECT o_orderkey + $InsOff AS o_orderkey, o_orderstatus, cents,
-         |    CAST(0 AS BIGINT) AS was_upd, CAST(1 AS BIGINT) AS was_ins
-         |  FROM base WHERE o_orderkey % 11 = 3),
-         |survivors AS (
-         |  SELECT b.o_orderkey, b.o_orderstatus,
-         |    coalesce(u.new_cents, b.cents) AS cents,
-         |    CAST(CASE WHEN u.new_cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS was_upd,
-         |    CAST(0 AS BIGINT) AS was_ins
-         |  FROM base b
-         |  LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
-         |  LEFT JOIN del x ON b.o_orderkey = x.o_orderkey
-         |  WHERE x.is_del IS NULL),
-         |merged AS (
-         |  SELECT * FROM survivors UNION ALL SELECT * FROM ins)
-         |SELECT o_orderstatus,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-         |  CAST(sum(was_upd) AS BIGINT) AS n_updated,
-         |  CAST(sum(was_ins) AS BIGINT) AS n_inserted
-         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      UpsertOracle),
+
+    // STREAMING CDC MERGE — the same change set arriving as an
+    // UNBOUNDED STREAM of change records (op ∈ U/D/I), merged per
+    // micro-batch into a table versioned by graft.sources.
+    // SnapshotCatalog: v1 is the base; each foreachBatch trigger reads
+    // the latest version, applies its micro-batch of changes with the
+    // identical key-join merge, and commits the next version
+    // all-or-nothing (GroupCommit under the catalog — readers never
+    // see a half-merged table, and every intermediate state stays
+    // time-travelable). The change stream splits into 3 key-disjoint
+    // files (maxFilesPerTrigger=1 → 3 real merge triggers), and the
+    // FINAL table state must equal the one-shot batch merge — same
+    // oracle as q_upsert_merge, because upd/del on a key commute to
+    // the same outcome and inserts are fresh keys: micro-batch
+    // composition is the claim under test. This is the production
+    // shape for continuously upserting a 100 TB/day change feed into
+    // a queryable versioned table.
+    "q_stream_cdc" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions.expr
+        import org.apache.spark.sql.streaming.Trigger
+        val tag = new java.io.File(d).getName
+        val root = s"/tmp/graft_cdc/$tag"
+        val watch = s"$root/_changes"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.orders(s, d).selectExpr(
+          "o_orderkey", "o_orderstatus",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        // v1: the base table, with merge-accounting columns zeroed
+        graft.sources.SnapshotCatalog.commit(s, root, "t", Seq("data" ->
+          base.selectExpr("o_orderkey", "o_orderstatus", "cents",
+            "CAST(0 AS BIGINT) AS was_upd", "CAST(0 AS BIGINT) AS was_ins")))
+        // the change feed: one record per op, split into 3 key-disjoint
+        // parquet files so AvailableNow delivers 3 separate merges
+        val changes = base.filter(expr("o_orderkey % 7 = 0"))
+          .selectExpr("o_orderkey", "'U' AS op", "(cents * 2) AS new_cents",
+            "CAST(NULL AS STRING) AS o_orderstatus", "CAST(NULL AS BIGINT) AS cents")
+          .unionByName(base.filter(expr("o_orderkey % 13 = 0"))
+            .selectExpr("o_orderkey", "'D' AS op",
+              "CAST(NULL AS BIGINT) AS new_cents",
+              "CAST(NULL AS STRING) AS o_orderstatus",
+              "CAST(NULL AS BIGINT) AS cents"))
+          .unionByName(base.filter(expr("o_orderkey % 11 = 3"))
+            .selectExpr(s"o_orderkey + ${InsOff}L AS o_orderkey", "'I' AS op",
+              "CAST(NULL AS BIGINT) AS new_cents", "o_orderstatus", "cents"))
+        (0 until 3).foreach { i =>
+          val tmp = s"$root/_chg_stage/$i"
+          changes.filter(expr(s"o_orderkey % 3 = $i")).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
+          fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"chg_$i.parquet"))
+        }
+        val chgSchema = s.read.parquet(watch).schema
+        val q = s.readStream.schema(chgSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+          .writeStream
+          .option("checkpointLocation", s"$root/_checkpoint")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cur = graft.sources.SnapshotCatalog.read(s, root, "t")
+            val upd = batch.filter(col("op") === "U")
+              .selectExpr("o_orderkey", "new_cents")
+            val del = batch.filter(col("op") === "D")
+              .select(col("o_orderkey"), lit(1).as("is_del"))
+            val ins = batch.filter(col("op") === "I")
+              .selectExpr("o_orderkey", "o_orderstatus", "cents",
+                "CAST(0 AS BIGINT) AS was_upd", "CAST(1 AS BIGINT) AS was_ins")
+            val merged = cur
+              .join(upd, Seq("o_orderkey"), "left")
+              .join(del, Seq("o_orderkey"), "left")
+              .filter(col("is_del").isNull)
+              .selectExpr("o_orderkey", "o_orderstatus",
+                "coalesce(new_cents, cents) AS cents",
+                "greatest(was_upd, CAST(CASE WHEN new_cents IS NOT NULL" +
+                  " THEN 1 ELSE 0 END AS BIGINT)) AS was_upd",
+                "was_ins")
+              .unionByName(ins)
+            graft.sources.SnapshotCatalog.commit(s, root, "t",
+              Seq("data" -> merged))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sources.SnapshotCatalog.read(s, root, "t")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("sum_cents"),
+            sum("was_upd").as("n_updated"),
+            sum("was_ins").as("n_inserted"))
+          .orderBy("o_orderstatus")
+      },
+      UpsertOracle),
 
     // SNAPSHOT DIFF — the inverse of the upsert: given two table
     // versions (v1 = the base, v2 = the base with q_upsert_merge's
