@@ -238,6 +238,213 @@ object SqlQueries {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  // TPC-H Q7 shape (volume shipping): bidirectional nation-pair trade
+  // revenue by ship year. Plan shape at scale: nation is a tiny
+  // broadcast on BOTH legs (supplier-side and customer-side), the
+  // nation-name disjunction prunes to two nations BEFORE the big
+  // orders⋈lineitem shuffle, and the final rollup has at most
+  // 2 pairs × years groups — map-combinable to almost nothing.
+  private val VolumeShippingSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // TPC-H Q8 shape (national market share): one nation's share of a
+  // region's import volume for one part type, by order year. The share
+  // is a ratio of two EXACT decimal sums, each cast to DOUBLE once —
+  // a single IEEE division per group, identical in both engines. The
+  // CASE carries an explicit DECIMAL zero so the conditional sum stays
+  // decimal end-to-end (no double accumulation anywhere).
+  private val MarketShareSql =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // TPC-H Q9 shape (product-type profit, lite: the fixture has no
+  // partsupp/ps_supplycost, so profit = discounted revenue): profit on
+  // a part-name family by supplier nation and order year. The
+  // p_name LIKE filter reaches the part scan (a tiny relation that
+  // then broadcasts into lineitem), so the big side is pruned by the
+  // join itself — the dominant cost stays one lineitem pass.
+  private val ProfitSql =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%widget%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // TPC-H Q10 shape (returned items): top-20 customers by revenue lost
+  // to returns over a half-year window. Revenue ties break to the
+  // customer key so the LIMIT cutoff is deterministic in both engines;
+  // the revenue doubles being ordered are casts of exact decimal sums,
+  // so DESC order is engine-identical too.
+  private val ReturnedItemsSql =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  n_name AS nation
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // TPC-H Q14 shape (promotion effect): promo revenue share by ship
+  // month. Both sums stay exact DECIMAL through the aggregate; the
+  // percentage is (double * 100.0) / double — the same two IEEE ops in
+  // the same order from the same parse tree in both engines.
+  private val PromoRevenueSql =
+    """SELECT y, m,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+      |    / CAST(sum(volume) AS DOUBLE) AS promo_pct
+      |FROM (
+      |  SELECT year(l_shipdate) AS y, month(l_shipdate) AS m, p_type,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') monthly
+      |GROUP BY y, m
+      |ORDER BY y, m""".stripMargin
+
+  // TPC-H Q15 shape (top supplier): the revenue view + scalar-max
+  // pattern. The per-supplier revenue aggregate is computed ONCE as a
+  // CTE (Spark reuses the subplan for the max via a subquery over the
+  // same aggregate; at scale the max side collapses to one row and
+  // broadcasts). Winner selection compares DECIMALs within each
+  // engine — exact, so both engines pick the identical supplier set
+  // even if revenues tie.
+  private val TopSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q17 shape (small-quantity-order revenue, lite: threshold at
+  // 0.5·avg instead of 0.2·avg — the fixture's uniform 1..50 quantities
+  // put almost nothing under 0.2·avg): revenue from orders far below a
+  // part's average order size. Catalyst decorrelates the per-part
+  // average into an aggregate + join (one extra lineitem aggregate,
+  // grouped on the join key — never a per-row subquery). Quantities
+  // are whole numbers in DOUBLE: the per-part sum and count are exact,
+  // the avg is one division, and 0.5·avg is exact scaling — the
+  // comparison is engine-identical.
+  private val SmallQtyRevenueSql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // TPC-H Q19 shape (discounted revenue, lite: no p_container in the
+  // fixture — the brand/size/quantity bands carry the disjunction):
+  // an OR-of-ANDs join predicate. Catalyst extracts the common
+  // p_partkey = l_partkey equi-condition so this plans as a hash join
+  // with the disjunction as a post-join filter — never a cartesian —
+  // and pushes the disjunction of brand/size bands down to the part
+  // scan as (brand IN …) ∧ (size range) supersets.
+  private val DiscRevenueSql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // TPC-H Q22 shape (global sales opportunity, lite: grouped by nation
+  // key instead of the fixture-absent phone prefix): well-funded
+  // customers with no recent orders. Exactness: balances quantize to cents
+  // BIGINT per row; the positive-average threshold is ONE double
+  // division of two exact integers; NOT EXISTS plans as a left-anti
+  // join (the orders side aggregates to distinct custkeys first under
+  // AQE). At 100 TB the anti join shuffles only custkeys.
+  private val IdleCustomersSql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |avg_pos AS (
+      |  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS a
+      |  FROM c WHERE cents > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM c CROSS JOIN avg_pos
+      |WHERE CAST(cents AS DOUBLE) > a
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -250,7 +457,16 @@ object SqlQueries {
     "q_sql_not_in" -> NotInSql,
     "q_sql_recursive" -> RecursiveSql,
     "q_sql_correlated" -> CorrelatedSql,
-    "q_sql_big_orders" -> BigOrdersSql)
+    "q_sql_big_orders" -> BigOrdersSql,
+    "q_sql_volume_shipping" -> VolumeShippingSql,
+    "q_sql_market_share" -> MarketShareSql,
+    "q_sql_profit" -> ProfitSql,
+    "q_sql_returned_items" -> ReturnedItemsSql,
+    "q_sql_promo_revenue" -> PromoRevenueSql,
+    "q_sql_top_supplier" -> TopSupplierSql,
+    "q_sql_small_qty" -> SmallQtyRevenueSql,
+    "q_sql_disc_revenue" -> DiscRevenueSql,
+    "q_sql_idle_customers" -> IdleCustomersSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -266,6 +482,28 @@ object SqlQueries {
     "q_sql_recursive" -> sqlDef(Seq("customer"), RecursiveSql),
     "q_sql_correlated" -> sqlDef(Seq("orders"), CorrelatedSql),
     "q_sql_big_orders" ->
-      sqlDef(Seq("customer", "orders", "lineitem"), BigOrdersSql)
+      sqlDef(Seq("customer", "orders", "lineitem"), BigOrdersSql),
+    "q_sql_volume_shipping" ->
+      sqlDef(Seq("supplier", "lineitem", "orders", "customer", "nation"),
+        VolumeShippingSql),
+    "q_sql_market_share" ->
+      sqlDef(Seq("part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region"), MarketShareSql),
+    "q_sql_profit" ->
+      sqlDef(Seq("part", "lineitem", "supplier", "orders", "nation"),
+        ProfitSql),
+    "q_sql_returned_items" ->
+      sqlDef(Seq("customer", "orders", "lineitem", "nation"),
+        ReturnedItemsSql),
+    "q_sql_promo_revenue" ->
+      sqlDef(Seq("lineitem", "part"), PromoRevenueSql),
+    "q_sql_top_supplier" ->
+      sqlDef(Seq("supplier", "lineitem"), TopSupplierSql),
+    "q_sql_small_qty" ->
+      sqlDef(Seq("lineitem", "part"), SmallQtyRevenueSql),
+    "q_sql_disc_revenue" ->
+      sqlDef(Seq("lineitem", "part"), DiscRevenueSql),
+    "q_sql_idle_customers" ->
+      sqlDef(Seq("customer", "orders"), IdleCustomersSql)
   )
 }
