@@ -664,5 +664,119 @@ object MaintenanceQueries {
            |  CAST(sum(bbox_area) AS BIGINT) AS sum_bbox_area,
            |  CAST(max(bbox_area) AS BIGINT) AS max_bbox_area
            |FROM boxes GROUP BY method ORDER BY method""".stripMargin
-      }))
+      }),
+
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the ⊕-merge refresh:
+    // a per-(returnflag, linestatus) revenue/count rollup is built ONCE
+    // over the base slice and persisted as the MV; the refresh then
+    // touches ONLY the MV (9-ish rows) and the delta slice — base rows
+    // are never rescanned. This is the re-aggregation algebra that
+    // makes nightly refresh of a 100 TB fact table O(delta), not
+    // O(table): SUM and COUNT are commutative monoids, so
+    // mv ⊕ agg(delta) ≡ agg(base ∪ delta), and AVG derives from the
+    // merged (sum, count) pair rather than being maintained itself
+    // (the standard decomposable-aggregate treatment). The oracle IS
+    // the full recompute over all of lineitem — equality proves the
+    // merge algebra, not just the arithmetic. Money is cents-BIGINT
+    // so both the partials and the merged totals are exact.
+    //
+    // Scale shape: the refresh plan is one delta scan (shipdate
+    // predicate pushed to parquet) → map-combinable partial agg →
+    // shuffle of ≤ |group keys| rows → full-outer merge join against
+    // an MV of the same tiny cardinality (AQE broadcasts it). The
+    // reference analog is the chained-reduce MRR pattern (SURVEY §2c)
+    // where stage N+1 consumes stage N's aggregate, not its input.
+    "q_incremental_agg" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val tag = new java.io.File(d).getName
+        val root = s"/tmp/graft_mv/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val cut = "TIMESTAMP '2000-01-01 00:00:00'"
+        val li = Tables.lineitem(s, d).selectExpr(
+          "l_returnflag", "l_linestatus", "l_shipdate",
+          "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        // nightly build — yesterday's state, persisted once
+        li.filter(expr(s"l_shipdate < $cut"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(s"$root/returns_mv")
+        // incremental refresh — reads the MV, not the base rows
+        val mv = s.read.parquet(s"$root/returns_mv")
+        val deltaAgg = li.filter(expr(s"l_shipdate >= $cut"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("cents").as("d_sum"), count(lit(1)).as("d_n"))
+        mv.join(deltaAgg, Seq("l_returnflag", "l_linestatus"), "full_outer")
+          .selectExpr("l_returnflag", "l_linestatus",
+            "CAST(coalesce(sum_cents, 0) + coalesce(d_sum, 0) AS BIGINT)" +
+              " AS sum_cents",
+            "CAST(coalesce(n_rows, 0) + coalesce(d_n, 0) AS BIGINT)" +
+              " AS n_rows")
+          .selectExpr("l_returnflag", "l_linestatus", "sum_cents", "n_rows",
+            "CAST(sum_cents AS DOUBLE) / n_rows AS avg_cents")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem) t
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // PARTITION EVOLUTION — a long-lived table changes its partition
+    // layout WITHOUT rewriting history: epoch-1 data is laid out by
+    // year only, epoch-2 data (from the cutover on) by
+    // (year, returnflag). The read side unions the two layouts and
+    // every query keeps working: the year predicate prunes DIRECTORIES
+    // in both epochs, the returnflag predicate prunes directories in
+    // epoch 2 and falls back to a row-level parquet filter in epoch 1.
+    // That asymmetry is the point — evolution means new data gets the
+    // finer layout's skipping immediately while old data stays valid
+    // and unrewritten (rewriting 100 TB of history to re-partition is
+    // exactly what a production table cannot afford; the Iceberg-style
+    // answer is per-epoch layouts under one logical table).
+    // PartitionEvolutionSpec asserts the directory pruning physically
+    // happens (scan numFiles collapses under an epoch-2 year filter).
+    // The oracle recomputes the same aggregate from the raw fixture —
+    // equality proves the union-of-layouts read loses nothing.
+    "q_partition_evolution" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val tag = new java.io.File(d).getName
+        val root = s"/tmp/graft_pevo/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val li = Tables.lineitem(s, d).selectExpr(
+          "year(l_shipdate) AS y", "l_returnflag",
+          "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        li.filter(expr("y < 1999"))
+          .write.mode("overwrite").partitionBy("y")
+          .parquet(s"$root/epoch1")
+        li.filter(expr("y >= 1999"))
+          .write.mode("overwrite").partitionBy("y", "l_returnflag")
+          .parquet(s"$root/epoch2")
+        val evolved = s.read.parquet(s"$root/epoch1")
+          .unionByName(s.read.parquet(s"$root/epoch2"))
+        evolved
+          .filter(col("y") >= 1997 && col("l_returnflag") === "R")
+          .groupBy("y")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .selectExpr("CAST(y AS BIGINT) AS y", "n_rows", "sum_cents")
+          .orderBy("y")
+      },
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |WHERE year(l_shipdate) >= 1997 AND l_returnflag = 'R'
+        |GROUP BY y
+        |ORDER BY y""".stripMargin))
 }
