@@ -448,6 +448,40 @@ object StreamQueries {
       },
       s"""SELECT DISTINCT event_type,
          |  ${DuckSql.epochTrunc("hour", "ts")} AS hour_epoch
-         |FROM events ORDER BY event_type, hour_epoch""".stripMargin)
+         |FROM events ORDER BY event_type, hour_epoch""".stripMargin),
+
+    // dropDuplicatesWithinWatermark — the state-TTL'd dedup operator
+    // (distinct physical op from dropDuplicates: its per-key state is
+    // EVICTED once the watermark passes the key's event time, which is
+    // the only way exact-id dedup runs forever on a 100 TB/day stream;
+    // plain dropDuplicates state grows without bound). The fixture's
+    // event_ids are unique, so the query INJECTS duplicates — a second
+    // streaming read of the same path filtered to event_id % 3 = 0
+    // unions in an exact copy of a third of the rows — and the oracle
+    // is the per-type rollup of the ORIGINAL events: if the operator
+    // failed to drop the injected copies, every third id would count
+    // twice and the sums would inflate. Duplicate rows are bitwise
+    // identical, so which arrival survives cannot affect output. The
+    // rollup runs batch-side on the sink table: the streaming graph
+    // keeps ONE stateful operator, the one under test.
+    "q_stream_dedup_wm" -> QueryDef(
+      (s, d) => {
+        val ev = EventStream.readEvents(s, d)
+        val dup = EventStream.readEvents(s, d)
+          .filter(col("event_id") % 3 === 0)
+        val deduped = ev.unionByName(dup)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents"))
+        runToTable(s, deduped, "graft_stream_dedup_wm", "append")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

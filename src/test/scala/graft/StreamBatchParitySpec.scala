@@ -53,6 +53,21 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got == want, s"stream dedup $got vs batch distinct $want")
   }
 
+  test("q_stream_dedup_wm drops the injected duplicates exactly") {
+    // The batch twin is the rollup over the PLAIN events table: the
+    // streaming side unions in a duplicate copy of every third id, so
+    // equality here proves dropDuplicatesWithinWatermark removed each
+    // injected row (counts would inflate by the copy fraction if not).
+    val got = run("q_stream_dedup_wm").collect().toSet
+    val want = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .collect().toSet
+    assert(got == want, "watermarked dedup output differs from batch rollup")
+  }
+
   test("q_stream_join equals the batch interval join") {
     val events = Tables.events(spark, sf)
     val want = events.filter(col("event_type") === "purchase")
