@@ -183,6 +183,80 @@ object EventQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
          |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
          |  (SELECT round(CAST(CAST(sum(t3 - t1) AS BIGINT) AS DOUBLE)
-         |     / count(*), 6) FROM s3) AS avg_funnel_secs""".stripMargin)
+         |     / count(*), 6) FROM s3) AS avg_funnel_secs""".stripMargin),
+
+    // TIME-SERIES GAP FILL + FORWARD FILL — regularize an irregular
+    // event stream onto each user's hourly grid: missing hours are
+    // materialized (sequence() explode over the user's [first, last]
+    // hour span) and carry the LAST OBSERVED hourly spend forward
+    // (last(_, ignoreNulls) over an unbounded-preceding row frame —
+    // the standard LOCF treatment). The declared output is the
+    // per-user rollup (grid size, gap count, and the exact BIGINT sum
+    // of the forward-filled values ON the gap hours), which pins the
+    // fill values themselves while keeping the result compact at any
+    // SF. The first grid hour always has events (the span comes FROM
+    // the observed hours), so a fill value always exists.
+    //
+    // Scale shape: the grid explode is per-user bounded (span hours,
+    // never a global calendar cross join); hourly rollup, span, grid,
+    // join, and window all share user_id partitioning, so one shuffle
+    // key carries the whole plan, and the LOCF window is a linear
+    // per-partition scan. At 100 TB/day this is the canonical
+    // feature-store regularization pass.
+    "q_gap_fill" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+        val hourly = ev.groupBy("user_id", "h")
+          .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+        val span = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+        val grid = span.select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("filled_cents",
+            last("cents", ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(expr("CASE WHEN n IS NULL THEN 1 ELSE 0 END"))
+              .as("n_gap_hours"),
+            sum(expr("CASE WHEN n IS NULL THEN filled_cents ELSE 0 END"))
+              .as("gap_filled_cents"))
+          .selectExpr("user_id", "n_hours",
+            "CAST(n_gap_hours AS BIGINT) AS n_gap_hours",
+            "CAST(gap_filled_cents AS BIGINT) AS gap_filled_cents")
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, h, sum(cents) AS cents, count(*) AS n
+        |  FROM ev GROUP BY user_id, h),
+        |span AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |filled AS (
+        |  SELECT g.user_id, hourly.n,
+        |    last_value(hourly.cents IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS filled_cents
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.user_id = hourly.user_id AND g.h = hourly.h)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gap_hours,
+        |  CAST(sum(CASE WHEN n IS NULL THEN filled_cents ELSE 0 END)
+        |    AS BIGINT) AS gap_filled_cents
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }

@@ -379,6 +379,31 @@ object StreamQueries {
          |WHERE p.event_type = 'purchase'
          |ORDER BY p.user_id, purchase_id, e.event_id""".stripMargin),
 
+    // LEFT SEMI stream-stream interval join — the streaming EXISTS:
+    // each purchase with ≥1 same-user follow-up inside 10 minutes is
+    // emitted EXACTLY ONCE, with no match fan-out (the trigger/alert
+    // shape; the inner variant above re-emits per matching event).
+    // Emission is match-driven like the inner join — watermarks bound
+    // state, they never hold back a semi row — so time-ordered
+    // AvailableNow replay loses nothing. Same µs-epoch oracle
+    // condition as q_stream_join, wrapped in EXISTS.
+    "q_stream_join_semi" -> QueryDef(
+      (s, d) =>
+        runToTable(s,
+          EventStream.purchaseFollowUpsSemi(EventStream.readEvents(s, d)),
+          "graft_stream_join_semi", "append")
+          .orderBy("user_id", "purchase_id"),
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+         |    event_id, event_type FROM events)
+         |SELECT p.user_id, p.event_id AS purchase_id
+         |FROM ev p
+         |WHERE p.event_type = 'purchase'
+         |  AND EXISTS (
+         |    SELECT 1 FROM ev e
+         |    WHERE e.user_id = p.user_id
+         |      AND e.us > p.us AND e.us - p.us <= 600000000)
+         |ORDER BY p.user_id, purchase_id""".stripMargin),
+
     // LEFT OUTER stream-stream interval join as a DECLARED query — the
     // null-extension side is WATERMARK-DRIVEN (a purchase's null row
     // can only emit once the watermark passes its 10-minute window),

@@ -139,6 +139,31 @@ object EventStream {
         col("event_id"), col("event_type"))
   }
 
+  /** LEFT SEMI stream-stream interval join — purchases that HAVE at
+    * least one same-user follow-up within 10 minutes, emitted once
+    * (no match payload, no duplication per match): the streaming
+    * EXISTS. Same watermark-bounded state as the inner variant; the
+    * semi form additionally guarantees single emission per left row,
+    * which is what an alerting/trigger pipeline wants at 100 TB/day —
+    * fan-out joins would re-emit per matching event. */
+  def purchaseFollowUpsSemi(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val follows = events
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(follows,
+      col("p_user") === col("e_user") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_semi")
+      .select(col("p_user").as("user_id"), col("purchase_id"))
+  }
+
   /** LEFT OUTER stream-stream interval join: every purchase is emitted —
     * matched against the same user's events in the following 10 minutes
     * when any exist, null-extended when none do. The outer side's
