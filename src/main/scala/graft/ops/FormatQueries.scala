@@ -252,6 +252,29 @@ object FormatQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM orders
-        |GROUP BY status_bucket ORDER BY status_bucket""".stripMargin)
+        |GROUP BY status_bucket ORDER BY status_bucket""".stripMargin),
+
+    // COMPRESSED-CONTAINER round trip — gzip'd CSV through the same
+    // export projection (MRInput/TextInputFormat reads compressed text
+    // transparently via the codec factory; Spark's text sources do the
+    // same from the file extension). The 100 TB codec trade is encoded
+    // here deliberately: gzip is NOT splittable, so each .csv.gz file
+    // is one read task — the writer repartitions to many files to keep
+    // read parallelism file-granular (the operational rule for
+    // compressed text at scale: many medium files, or a splittable
+    // container like parquet+zstd, never one giant .gz). The re-read
+    // frame under the bit-exact oracle proves the codec path preserves
+    // every value.
+    "q_gzip_roundtrip" -> QueryDef(
+      (s, d) => {
+        val proj = ordersProj(s, d)
+        val out = s"/tmp/graft_fmt/gz_${new java.io.File(d).getName}"
+        proj.repartition(8)
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(out)
+        s.read.schema(proj.schema).option("header", "true").csv(out)
+          .orderBy("o_orderkey")
+      },
+      oracle)
   )
 }
