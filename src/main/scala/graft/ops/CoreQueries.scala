@@ -66,6 +66,52 @@ object CoreQueries {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_shipdate""".stripMargin),
 
+    // STATS-ONLY AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from
+    // parquet FOOTER STATISTICS, zero row reads: with
+    // spark.sql.parquet.aggregatePushdown on, the V2 scan pushes the
+    // whole aggregate into the source (PushedAggregation in the plan,
+    // asserted in StatsAggPushdownSpec) and each task returns one
+    // pre-aggregated row per row group's metadata. At 100 TB this is
+    // the difference between a metadata sweep (seconds) and a full
+    // table read (hours) for the audit/accounting queries every
+    // pipeline runs constantly. Pushdown needs the DSv2 parquet scan
+    // (only ParquetScanBuilder implements SupportsPushDownAggregates),
+    // so the fn scopes BOTH confs — aggregatePushdown on, parquet off
+    // the V1 list — executes eagerly under them, and restores session
+    // state before returning (a lazily-returned frame would plan after
+    // the restore); the returned frame is the materialized one-row
+    // result. StatsAggPushdownSpec asserts PushedAggregation appears
+    // in the executed plan and the row matches the conf-off aggregate.
+    "q_stats_only_agg" -> QueryDef(
+      (s, d) => {
+        val kPush = "spark.sql.parquet.aggregatePushdown"
+        val kV1 = "spark.sql.sources.useV1SourceList"
+        val prevPush = s.conf.getOption(kPush)
+        val prevV1 = s.conf.getOption(kV1)
+        s.conf.set(kPush, "true")
+        s.conf.set(kV1, s.conf.get(kV1, "").split(",")
+          .map(_.trim).filter(v => v.nonEmpty && v != "parquet")
+          .mkString(","))
+        val row =
+          try Tables.lineitem(s, d).agg(
+            count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_key"),
+            max("l_orderkey").as("max_key")).collect()(0)
+          finally {
+            def restore(k: String, v: Option[String]): Unit =
+              v.fold(s.conf.unset(k))(s.conf.set(k, _))
+            restore(kPush, prevPush)
+            restore(kV1, prevV1)
+          }
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+          .toDF("n_rows", "min_key", "max_key")
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_orderkey) AS min_key,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin),
+
     "q_filter_predicate" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)
