@@ -666,6 +666,38 @@ object MaintenanceQueries {
            |FROM boxes GROUP BY method ORDER BY method""".stripMargin
       }),
 
+    // KEY-SKEW PROFILE — the diagnostic every 100 TB join/agg runs
+    // BEFORE choosing a strategy (salt? AQE skew split? broadcast?):
+    // per-key cardinalities of the prospective shuffle key, the
+    // heaviest keys with their exact share of the table, and the
+    // total alongside. One map-combinable count aggregate, a 1-row
+    // broadcast total, and a TakeOrdered top-10 (no global sort).
+    // The r04 lesson behind the work-aware skew flag
+    // (metrics.StageAnalyzer) was that DATA skew and SPLIT skew look
+    // identical in task times — this query is the data-side ground
+    // truth the analyzer's flag is checked against.
+    "q_skew_profile" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val k = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val total = k.agg(sum("n").as("total"))
+        k.crossJoin(broadcast(total))
+          .selectExpr("key", "CAST(n AS BIGINT) AS n",
+            "CAST(n AS DOUBLE) / total AS share")
+          .orderBy(col("n").desc, col("key"))
+          .limit(10)
+      },
+      """WITH k AS (
+        |  SELECT o_custkey AS key, count(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / total AS share
+        |FROM k CROSS JOIN (SELECT sum(n) AS total FROM k) t
+        |ORDER BY n DESC, key
+        |LIMIT 10""".stripMargin),
+
     // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the ⊕-merge refresh:
     // a per-(returnflag, linestatus) revenue/count rollup is built ONCE
     // over the base slice and persisted as the MV; the refresh then
