@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured recall of the approximate ANN paths against brute-force
+  * ground truth — the quality half of the accuracy/cost trade the
+  * declared queries encode structurally (the oracle gate proves each
+  * approximate query computes ITS OWN semantics exactly; this spec
+  * proves those semantics are USEFUL approximations of true top-k).
+  * Everything here is deterministic (hyperplane signs and k-means-style
+  * cell seeds are hash-derived), so the recall values are stable
+  * numbers, not flaky statistics — the floors are pinned just below
+  * the measured values and fail on any REGRESSION in bucketing or
+  * cell-routing logic. The ordering probe2 ≥ probe1 is the nprobe
+  * recall knob doing its job (FAISS's canonical trade at 100 TB:
+  * more cells probed → more of the true neighborhood seen).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF recall@3 is useful and monotone in nprobe") {
+    functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2")
+    val q = e.selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2")
+    val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce", "n2 AS cn2")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id",
+        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p1 = pairs("q_ann_ivf")
+    val p2 = pairs("q_ann_ivf_probe2")
+    val r1 = (truth & p1).size.toDouble / truth.size
+    val r2 = (truth & p2).size.toDouble / truth.size
+    info(f"recall@3 ivf_probe1=$r1%.3f ivf_probe2=$r2%.3f truth=${truth.size}")
+    assert(r2 >= r1, "probing more cells must not lose recall")
+    // Fixture context for the absolute floors: the synthetic embeddings
+    // are near-uniform in 64-dim (no cluster structure — the WORST case
+    // for a coarse quantizer) and the cells are hash-seeded rather than
+    // learned, so chance recall for 1-of-16 cells is ~0.06. Measured
+    // 0.155/0.258 (probe1/probe2) shows the routing is far better than
+    // chance; the floors sit just below those deterministic values and
+    // catch regressions in cell assignment or candidate generation, not
+    // benchmark-chasing recall (real corpora with cluster structure are
+    // where IVF recall climbs toward 1.0 as nprobe grows).
+    assert(r1 >= 0.12, f"probe1 recall collapsed: $r1%.3f (measured 0.155)")
+    assert(r2 >= 0.20, f"probe2 recall collapsed: $r2%.3f (measured 0.258)")
+  }
+}
