@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, count, lead, lit, sum}
 
 import graft.oracle.{Dialect, DuckSql, SparkSql}
 import graft.{QueryDef, Tables}
@@ -665,6 +666,46 @@ object MaintenanceQueries {
            |  CAST(max(bbox_area) AS BIGINT) AS max_bbox_area
            |FROM boxes GROUP BY method ORDER BY method""".stripMargin
       }),
+
+    // SCD TYPE-2 DIMENSION BUILD — slowly-changing-dimension history:
+    // each user's purchase stream becomes validity-interval rows
+    // (value, valid_from, valid_to, is_current), the warehouse pattern
+    // for AS-OF-queryable dimensions (the batch precompute behind
+    // q_asof_join's runtime lookup). One window pass: lead(ts) over
+    // (user, ts, event_id) closes each interval with the next change;
+    // the open row is current. At 100 TB the plan is a single shuffle
+    // on the dimension key and a linear per-partition window scan —
+    // no self-join (the naive interval build is a range self-join;
+    // lead() is the scalable form).
+    "q_scd2_build" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("es"), col("event_id"))
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .selectExpr("user_id", "event_id",
+            "unix_timestamp(ts) AS es",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents")
+          .withColumn("valid_to_epoch", lead(col("es"), 1).over(w))
+          .selectExpr("user_id", "event_id", "es AS valid_from_epoch",
+            "valid_to_epoch", "value_cents",
+            "(valid_to_epoch IS NULL) AS is_current")
+          .orderBy("user_id", "valid_from_epoch", "event_id")
+      },
+      s"""SELECT user_id, event_id,
+         |  ${graft.oracle.DuckSql.epochSec("ts")} AS valid_from_epoch,
+         |  lead(${graft.oracle.DuckSql.epochSec("ts")}) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY ${graft.oracle.DuckSql.epochSec("ts")}, event_id)
+         |    AS valid_to_epoch,
+         |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
+         |  (lead(${graft.oracle.DuckSql.epochSec("ts")}) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY ${graft.oracle.DuckSql.epochSec("ts")}, event_id)
+         |    IS NULL) AS is_current
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |ORDER BY user_id, valid_from_epoch, event_id""".stripMargin),
 
     // KEY-SKEW PROFILE — the diagnostic every 100 TB join/agg runs
     // BEFORE choosing a strategy (salt? AQE skew split? broadcast?):
