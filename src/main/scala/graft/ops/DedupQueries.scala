@@ -168,6 +168,42 @@ object DedupQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
 
+    // CANONICAL SELECTION BY QUALITY — exact dedup with a keep-BEST
+    // policy instead of keep-first: among duplicates, retain the copy
+    // with the highest quality signal (longest text, doc_id as the
+    // total-order tiebreak). This is the policy decision real curation
+    // pipelines actually make (min-id keeps an arbitrary copy; a
+    // quality-ranked keep preserves the best provenance/extraction of
+    // the duplicated content). Implemented as an arg-max per duplicate
+    // group via max_by-style struct ordering — one map-combinable
+    // aggregate, NO window over the corpus and no secondary shuffle:
+    // the (n_chars, doc_id) pair packs into a single orderable struct
+    // whose max is the kept row, so the plan is identical in shape to
+    // plain exact dedup at any scale.
+    "q_dedup_keep_best" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("text")
+          .agg(
+            org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.struct(
+                col("n_chars"), col("doc_id"))).as("best"),
+            count(lit(1)).as("n_copies"))
+          .selectExpr("best.doc_id AS keep_id",
+            "CAST(best.n_chars AS BIGINT) AS keep_n_chars",
+            "n_copies")
+          .orderBy("keep_id"),
+      // max_by key: DuckDB's max_by has no composite-key overload, so
+      // (n_chars, doc_id) packs into one injective BIGINT — doc_id is
+      // far below the 10^7 radix at every fixture SF, so the packed
+      // order equals the Spark side's struct order exactly.
+      """SELECT
+        |  max_by(doc_id, n_chars * 10000000 + doc_id) AS keep_id,
+        |  CAST(max_by(n_chars, n_chars * 10000000 + doc_id) AS BIGINT)
+        |    AS keep_n_chars,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+
     // EXACT DUPLICATED-SUBSTRING detection (the Lee et al. 2021
     // "Deduplicating Training Data Makes Language Models Better"
     // signal, arXiv:2107.06499): for every SubW-char window of every
