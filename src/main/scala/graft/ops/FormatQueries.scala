@@ -265,6 +265,23 @@ object FormatQueries {
     // container like parquet+zstd, never one giant .gz). The re-read
     // frame under the bit-exact oracle proves the codec path preserves
     // every value.
+    // Parquet + zstd — the splittable-columnar-compressed combination a
+    // 100 TB corpus actually stores (vs q_gzip_roundtrip's deliberately
+    // non-splittable text path): zstd ~snappy decode speed at gzip-class
+    // ratios, and row-group splitting is unaffected by the codec, so
+    // read parallelism is row-group-granular regardless of file count.
+    // The re-read frame under the bit-exact oracle proves codec + stats
+    // round-trip (footer statistics are written for zstd pages too).
+    "q_zstd_roundtrip" -> QueryDef(
+      (s, d) => {
+        val proj = ordersProj(s, d)
+        val out = s"/tmp/graft_fmt/zstd_${new java.io.File(d).getName}"
+        proj.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        s.read.parquet(out).orderBy("o_orderkey")
+      },
+      oracle),
+
     "q_gzip_roundtrip" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
