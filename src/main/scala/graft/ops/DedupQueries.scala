@@ -36,6 +36,11 @@ import graft.{QueryDef, ScratchCache, Tables}
 object DedupQueries {
 
   private val JaccardThreshold = 0.7
+
+  /** Salt fan-out for fixed-cardinality join keys (q_dedup_ngram's
+    * (lang, band) buckets): per-task pair volume drops NSalt×; sized
+    * to local[32], scales with the cluster in a real deployment. */
+  private val NSalt = 16
   // q_dedup_substring window width: ~12 words of the fixture vocabulary —
   // short enough to catch partial overlap, long enough that unrelated
   // docs share no window
@@ -470,13 +475,32 @@ object DedupQueries {
         // max), so 10·min ≥ 7·max is a PROVABLE no-op on the result —
         // the oracle is unchanged — that drops size-incompatible pairs
         // before the array re-joins pay for them.
+        // SALTED enumeration: (lang, band) alone has ~|langs|×|bands|
+        // cardinality — a FIXED key space that does not grow with the
+        // corpus, so one hot (lang, band) bucket concentrates a
+        // quadratic pair count on one task no matter how many
+        // executors exist (the r05 bench's work-aware skew flag
+        // caught exactly this: 96-task stage, max/median 33×). The
+        // salt splits side a of every bucket NSalt ways by doc_id;
+        // probes replicate per salt (probe rows are bare ids+sizes —
+        // NSalt× duplication of the CHEAP side), so each qualifying
+        // pair still matches EXACTLY ONE probe row ((band, salt) are
+        // both functions of the pair) and per-task pair volume drops
+        // NSalt×. At a larger deployment NSalt scales with the
+        // cluster; the invariant is the join key cardinality must
+        // grow with the parallelism, never stay fixed.
         val ids = docs.selectExpr("doc_id", "lang", "band", "size(hs) AS sz")
-        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band", "sz AS sza")
+        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band",
+          "sz AS sza", s"CAST(doc_id % $NSalt AS INT) AS salt")
         val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS bb", "sz AS szb")
-        val probes = Seq("bb - 1", "bb", "bb + 1").map(pb =>
-          b.selectExpr("doc_id_b", "lang", s"($pb) AS band", "szb"))
-          .reduce(_ unionAll _)
-        val cand = a.join(probes, Seq("lang", "band"))
+        val probes = b
+          .selectExpr("doc_id_b", "lang", "szb",
+            "explode(array(bb - 1, bb, bb + 1)) AS band")
+          .selectExpr("doc_id_b", "lang", "szb", "band",
+            s"explode(sequence(0, ${NSalt - 1})) AS salt")
+          .selectExpr("doc_id_b", "lang", "band", "szb",
+            "CAST(salt AS INT) AS salt")
+        val cand = a.join(probes, Seq("lang", "band", "salt"))
           .filter(col("doc_id_a") < col("doc_id_b") &&
             expr("10 * szb >= 7 * sza") && expr("10 * sza >= 7 * szb"))
           .select("doc_id_a", "doc_id_b")
