@@ -53,6 +53,17 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got == want, s"stream dedup $got vs batch distinct $want")
   }
 
+  test("q_stream_join_semi equals the batch EXISTS") {
+    val got = run("q_stream_join_semi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: distinct purchases with >=1 same-user follow-up in
+    // 10 minutes — the inner join's left side, deduplicated
+    val want = run("q_stream_join").select("user_id", "purchase_id")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"semi ${got.size} vs distinct-inner ${want.size}")
+  }
+
   test("q_stream_dedup_wm drops the injected duplicates exactly") {
     // The batch twin is the rollup over the PLAIN events table: the
     // streaming side unions in a duplicate copy of every third id, so
