@@ -214,6 +214,42 @@ object PrepQueries {
            |FROM post ORDER BY df DESC, token LIMIT $IndexTop""".stripMargin
       }),
 
+    // PHRASE SEARCH over a POSITIONAL index — the retrieval operator
+    // the plain inverted index cannot serve: "row scan" as a phrase
+    // requires token POSITIONS, matched by the classic adjacency join
+    // (postings of term1 at p ⋈ postings of term2 at p−1 on (doc,
+    // pos)). Scale shape: after the one tokenize pass (scratch-shared
+    // by both term branches), ONLY the queried terms' postings move —
+    // the join is on (doc_id, pos), cardinality ≈ the two posting
+    // lists, never the corpus. The oracle is algorithm-INDEPENDENT
+    // (substring occurrence counting via replace-length), valid here
+    // because the fixture vocabulary has no prefix/suffix collisions
+    // for the phrase terms and docs are single-space tokenized, so
+    // token adjacency ≡ substring occurrence; two unrelated
+    // algorithms agreeing is the strongest oracle form in this repo.
+    "q_phrase_search" -> QueryDef(
+      (s, d) => {
+        val dl = SparkSql
+        val pos = graft.ScratchCache.scratch(
+          Tables.documentsParallel(s, d)
+            .selectExpr("doc_id",
+              s"posexplode(${dl.tokens("text")}) AS (pos, token)"))
+        val t1 = pos.filter(col("token") === "row")
+          .select("doc_id", "pos")
+        val t2 = pos.filter(col("token") === "scan")
+          .selectExpr("doc_id", "pos - 1 AS pos")
+        t1.join(t2, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'row scan', '')))
+        |    / length('row scan') AS BIGINT) AS n_occurrences
+        |FROM documents
+        |WHERE contains(text, 'row scan')
+        |ORDER BY doc_id""".stripMargin),
+
     // BPE MERGE CANDIDATES — per language, the top-10 adjacent
     // character pairs by frequency, where a pair's frequency is the sum
     // of the corpus counts of every vocabulary token containing it (one
