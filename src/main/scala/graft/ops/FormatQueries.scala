@@ -265,6 +265,30 @@ object FormatQueries {
     // container like parquet+zstd, never one giant .gz). The re-read
     // frame under the bit-exact oracle proves the codec path preserves
     // every value.
+    // SORTED BOUNDED-FILE EXPORT — write-side layout control: rows
+    // hash-route to their key's partition (repartition on o_custkey),
+    // sort WITHIN each write task (sortWithinPartitions — a local
+    // sort, never a global range shuffle), and cap file size via
+    // maxRecordsPerFile (the writer rolls to a new file mid-task).
+    // The result is the layout downstream range readers want at
+    // 100 TB: every file internally key-sorted with bounded size, so
+    // parquet row-group min/max stats are tight and merge-readers
+    // stream without re-sorting. SortedExportSpec asserts the
+    // physical layout (per-file row cap + per-file sortedness); the
+    // oracle proves the roundtrip loses nothing.
+    "q_sorted_export" -> QueryDef(
+      (s, d) => {
+        val proj = ordersProj(s, d)
+        val out = s"/tmp/graft_fmt/sorted_${new java.io.File(d).getName}"
+        proj.repartition(col("o_custkey"))
+          .sortWithinPartitions("o_custkey", "o_orderkey")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", "4096")
+          .parquet(out)
+        s.read.parquet(out).orderBy("o_orderkey")
+      },
+      oracle),
+
     // Parquet + zstd — the splittable-columnar-compressed combination a
     // 100 TB corpus actually stores (vs q_gzip_roundtrip's deliberately
     // non-splittable text path): zstd ~snappy decode speed at gzip-class
