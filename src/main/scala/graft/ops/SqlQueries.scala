@@ -445,6 +445,103 @@ object SqlQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // The fixture has no partsupp table, so the three queries below that
+  // need one (Q2/Q11/Q20) DERIVE it deterministically from part ×
+  // supplier inside the query text — identical arithmetic in both
+  // engines, so the oracle is still bit-exact and the derived relation
+  // behaves like a real ~|part|·|supplier|/5 fact table (4M rows at
+  // sf0.1): membership, cost, and availqty are pure integer functions
+  // of the keys. At scale the derivation is one cross join the
+  // optimizer pushes the WHERE into; a real deployment reads the real
+  // table — the query SHAPES (correlated min, group-share threshold,
+  // nested semi-join chain) are what these exercise.
+  private val PartSuppCte =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+      |    ((p_partkey * 31 + s_suppkey * 17) % 1000000) AS ps_cost_cents,
+      |    ((p_partkey * 13 + s_suppkey * 7) % 1000 + 1) AS ps_availqty
+      |  FROM part CROSS JOIN supplier
+      |  WHERE (p_partkey * 7 + s_suppkey) % 5 = 0)""".stripMargin
+
+  // TPC-H Q2 shape (minimum-cost supplier): for every LARGE part, the
+  // EUROPE supplier(s) achieving the minimum derived supply cost — the
+  // correlated-min pattern planned as aggregate + re-join (never a
+  // per-part subquery). Money/cost is integer cents end-to-end; the
+  // LIMIT cutoff orders on (acctbal DESC, nation, supplier, part) —
+  // unique per row, so both engines cut identically.
+  private val MinCostSupplierSql =
+    s"""WITH $PartSuppCte,
+       |eu AS (
+       |  SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+       |    s_acctbal, s_name, n_name
+       |  FROM ps
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |mn AS (
+       |  SELECT ps_partkey, min(ps_cost_cents) AS min_cost
+       |  FROM eu GROUP BY ps_partkey)
+       |SELECT s_acctbal, s_name, n_name AS nation, p_partkey,
+       |  CAST(ps_cost_cents AS BIGINT) AS cost_cents
+       |FROM part
+       |JOIN eu ON p_partkey = ps_partkey
+       |JOIN mn ON mn.ps_partkey = p_partkey AND ps_cost_cents = min_cost
+       |WHERE p_type = 'LARGE'
+       |ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+       |LIMIT 20""".stripMargin
+
+  // TPC-H Q11 shape (important stock): parts whose derived stock value
+  // in one nation exceeds TWICE THE MEAN part value — Q11's fixed
+  // fraction divides by |parts| as the table grows, so a literal
+  // threshold empties (or floods) at other scales; the mean-relative
+  // form is scale-invariant. The cut is the INTEGER comparison
+  // val·n > 2·total — no floating point anywhere, exact in both
+  // engines; the (total, n) pair is a 1-row broadcast.
+  private val ImportantStockSql =
+    s"""WITH $PartSuppCte,
+       |v AS (
+       |  SELECT ps_partkey,
+       |    sum(ps_cost_cents * ps_availqty) AS val
+       |  FROM ps
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_3'
+       |  GROUP BY ps_partkey)
+       |SELECT ps_partkey AS partkey, CAST(val AS BIGINT) AS value_cents
+       |FROM v CROSS JOIN (SELECT sum(val) AS tot, count(*) AS n FROM v) t
+       |WHERE val * n > 2 * tot
+       |ORDER BY value_cents DESC, partkey""".stripMargin
+
+  // TPC-H Q20 shape (excess stock): suppliers in one nation holding
+  // more than twice the stock of a red part than they shipped of it in
+  // 1997 — the nested semi-join chain (supplier IN (pairs JOIN part
+  // JOIN shipped)). The shipped side is a LEFT join with qty
+  // defaulting to 0 (a never-shipped stocked part is the extreme
+  // excess case), keeping the predicate integer-exact.
+  private val ExcessStockSql =
+    s"""WITH $PartSuppCte,
+       |shipped AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    sum(CAST(l_quantity AS BIGINT)) AS qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY l_partkey, l_suppkey)
+       |SELECT s_suppkey, s_name
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey
+       |    FROM ps
+       |    JOIN part ON p_partkey = ps_partkey
+       |    LEFT JOIN shipped
+       |      ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |    WHERE p_name LIKE '%red%'
+       |      AND ps_availqty * 2 > coalesce(qty, 0))
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -466,7 +563,10 @@ object SqlQueries {
     "q_sql_top_supplier" -> TopSupplierSql,
     "q_sql_small_qty" -> SmallQtyRevenueSql,
     "q_sql_disc_revenue" -> DiscRevenueSql,
-    "q_sql_idle_customers" -> IdleCustomersSql)
+    "q_sql_idle_customers" -> IdleCustomersSql,
+    "q_sql_min_cost_supplier" -> MinCostSupplierSql,
+    "q_sql_important_stock" -> ImportantStockSql,
+    "q_sql_excess_stock" -> ExcessStockSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -504,6 +604,14 @@ object SqlQueries {
     "q_sql_disc_revenue" ->
       sqlDef(Seq("lineitem", "part"), DiscRevenueSql),
     "q_sql_idle_customers" ->
-      sqlDef(Seq("customer", "orders"), IdleCustomersSql)
+      sqlDef(Seq("customer", "orders"), IdleCustomersSql),
+    "q_sql_min_cost_supplier" ->
+      sqlDef(Seq("part", "supplier", "nation", "region"),
+        MinCostSupplierSql),
+    "q_sql_important_stock" ->
+      sqlDef(Seq("part", "supplier", "nation"), ImportantStockSql),
+    "q_sql_excess_stock" ->
+      sqlDef(Seq("part", "supplier", "nation", "lineitem"),
+        ExcessStockSql)
   )
 }
