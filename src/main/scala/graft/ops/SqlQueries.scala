@@ -542,6 +542,30 @@ object SqlQueries {
        |      AND ps_availqty * 2 > coalesce(qty, 0))
        |ORDER BY s_suppkey""".stripMargin
 
+  // TPC-H Q12 shape (shipping modes and priority): dual conditional
+  // counts per ship mode over a ship-year window. The fixture carries
+  // no l_shipmode, so the mode is DERIVED as an integer function of
+  // (l_orderkey, l_linenumber) — same device as the partsupp
+  // derivation above; the shape under test is the CASE-pivoted
+  // conditional aggregation over a joined year slice (Catalyst plans
+  // one shuffle on the 5-value mode key with full map-side combine).
+  private val ShipModeSql =
+    """SELECT ship_mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE (l_orderkey * 3 + l_linenumber) % 5
+      |      WHEN 0 THEN 'AIR' WHEN 1 THEN 'MAIL' WHEN 2 THEN 'RAIL'
+      |      WHEN 3 THEN 'SHIP' ELSE 'TRUCK' END AS ship_mode
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
+      |GROUP BY ship_mode
+      |ORDER BY ship_mode""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -566,7 +590,8 @@ object SqlQueries {
     "q_sql_idle_customers" -> IdleCustomersSql,
     "q_sql_min_cost_supplier" -> MinCostSupplierSql,
     "q_sql_important_stock" -> ImportantStockSql,
-    "q_sql_excess_stock" -> ExcessStockSql)
+    "q_sql_excess_stock" -> ExcessStockSql,
+    "q_sql_ship_modes" -> ShipModeSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -612,6 +637,8 @@ object SqlQueries {
       sqlDef(Seq("part", "supplier", "nation"), ImportantStockSql),
     "q_sql_excess_stock" ->
       sqlDef(Seq("part", "supplier", "nation", "lineitem"),
-        ExcessStockSql)
+        ExcessStockSql),
+    "q_sql_ship_modes" ->
+      sqlDef(Seq("lineitem", "orders"), ShipModeSql)
   )
 }
