@@ -51,6 +51,9 @@ class StageAnalyzer extends SparkListener {
   private val stageWall = TrieMap.empty[Int, Double]
   // per task: (duration ms, records processed = input + shuffle-read)
   private val taskDur = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
+  // stage DAG edges + job attribution, for the critical-path chain
+  private val stageParents = TrieMap.empty[Int, Seq[Int]]
+  private val stageJob = TrieMap.empty[Int, Int]
   @volatile private var label: String = "_untracked"
 
   /** Attribute subsequently submitted jobs' stages to this query. */
@@ -59,10 +62,15 @@ class StageAnalyzer extends SparkListener {
   /** Drop all recorded attributions (start of a measured pass). */
   def reset(): Unit = {
     stageQuery.clear(); stageWall.clear(); taskDur.clear(); stageBytes.clear()
+    stageParents.clear(); stageJob.clear()
   }
 
   override def onJobStart(js: SparkListenerJobStart): Unit =
-    js.stageInfos.foreach(si => stageQuery.putIfAbsent(si.stageId, label))
+    js.stageInfos.foreach { si =>
+      stageQuery.putIfAbsent(si.stageId, label)
+      stageParents.putIfAbsent(si.stageId, si.parentIds)
+      stageJob.putIfAbsent(si.stageId, js.jobId): Unit
+    }
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val d = taskDur.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
@@ -115,6 +123,57 @@ class StageAnalyzer extends SparkListener {
   def reportJson(): String =
     report().toSeq.sortBy(_._1).map { case (q, rows) =>
       s""""$q":${rows.map(_.json).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+
+  /** Per-query critical path — the reference's CriticalPathAnalyzer
+    * (tez-tools/analyzers/job-analyzer/.../CriticalPathAnalyzer.java)
+    * walks a finished DAG's vertex dependencies to the longest
+    * wall-time chain; here the chain runs over the stage DAG the
+    * scheduler actually executed (StageInfo.parentIds). Spark splits
+    * one query into MANY sequential jobs when it iterates (graph
+    * rounds, AQE re-plans, eager sub-actions), and stages of different
+    * jobs carry no parent edges — so the per-job chains are summed:
+    * jobs within one query run sequentially on the bench thread. The
+    * value separates "more rounds" (chain grows, stage walls flat)
+    * from "slower rounds" (chain flat, stage walls grow) for the
+    * iterative family — wall-clock alone cannot tell them apart.
+    *
+    * Returns query -> (criticalPathSec, stagesOnChain, nJobs). */
+  def criticalPaths(): Map[String, (Double, Int, Int)] =
+    report().map { case (q, rows) =>
+      val wall = rows.map(r => r.stageId -> r.wallSec).toMap
+      val byJob = rows.groupBy(r => stageJob.getOrElse(r.stageId, -1))
+      var totalSec = 0.0
+      var chainLen = 0
+      byJob.foreach { case (_, jr) =>
+        val ids = jr.map(_.stageId).toSet
+        // longest-path by stage wall over parent edges, restricted to
+        // stages that ran in this (query, job) — a parent that AQE
+        // reused/skipped has no row and contributes nothing
+        val memo = scala.collection.mutable.Map.empty[Int, (Double, Int)]
+        def best(id: Int): (Double, Int) = memo.get(id) match {
+          case Some(v) => v
+          case None =>
+            val ps = stageParents.getOrElse(id, Nil).filter(ids)
+            val (pw, pc) =
+              if (ps.isEmpty) (0.0, 0) else ps.map(best).maxBy(_._1)
+            val v = (wall.getOrElse(id, 0.0) + pw, 1 + pc)
+            memo(id) = v
+            v
+        }
+        if (ids.nonEmpty) {
+          val (w, c) = ids.toSeq.map(best).maxBy(_._1)
+          totalSec += w
+          chainLen += c
+        }
+      }
+      q -> ((totalSec, chainLen, byJob.size))
+    }
+
+  /** JSON object {query: {"s":…,"chain":…,"jobs":…}} for the artifact. */
+  def criticalJson(): String =
+    criticalPaths().toSeq.sortBy(_._1).map { case (q, (s, c, j)) =>
+      f""""$q":{"s":$s%.3f,"chain":$c,"jobs":$j}"""
     }.mkString("{", ",", "}")
 
   /** Queries with at least one skewed stage → worst max/median ratio. */

@@ -89,7 +89,11 @@ object CoreQueries {
         val prevPush = s.conf.getOption(kPush)
         val prevV1 = s.conf.getOption(kV1)
         s.conf.set(kPush, "true")
-        s.conf.set(kV1, s.conf.get(kV1, "").split(",")
+        // Drop ONLY parquet from the resolved V1 list: getOption
+        // resolves the entry's registered default, whereas
+        // get(kV1, "") returns "" when never explicitly set — which
+        // would silently flip EVERY file source to DSv2 here.
+        s.conf.set(kV1, prevV1.getOrElse("").split(",")
           .map(_.trim).filter(v => v.nonEmpty && v != "parquet")
           .mkString(","))
         val row =

@@ -113,7 +113,7 @@ object CurationQueries {
       (s, d) => {
         val docs = Tables.documents(s, d).selectExpr(
           s"${splitCase(SparkSql)} AS split", "doc_id", "lang", "n_chars")
-        val base = s"/tmp/graft_group/${new java.io.File(d).getName}"
+        val base = s"${graft.ProcScratch.base}/group/${new java.io.File(d).getName}"
         val ann = docs.groupBy("lang")
           .agg(count(lit(1)).as("lang_total"))
         val sinks = Seq("train", "val", "test").map { sp =>

@@ -35,7 +35,7 @@ object FormatQueries {
     "q_csv_roundtrip" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
-        val out = s"/tmp/graft_fmt/csv_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/csv_${new java.io.File(d).getName}"
         proj.write.mode("overwrite").option("header", "true").csv(out)
         s.read.schema(proj.schema).option("header", "true").csv(out)
           .orderBy("o_orderkey")
@@ -50,7 +50,7 @@ object FormatQueries {
           col("o_orderkey"), col("o_custkey"),
           struct(col("o_orderstatus"), col("o_totalprice")).as("info"),
           col("odate_epoch"))
-        val out = s"/tmp/graft_fmt/json_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/json_${new java.io.File(d).getName}"
         nested.write.mode("overwrite").json(out)
         s.read.schema(nested.schema).json(out)
           .select(col("o_orderkey"), col("o_custkey"),
@@ -70,7 +70,7 @@ object FormatQueries {
     "q_orc_roundtrip" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
-        val out = s"/tmp/graft_fmt/orc_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/orc_${new java.io.File(d).getName}"
         proj.write.mode("overwrite").orc(out)
         s.read.schema(proj.schema).orc(out)
           .orderBy("o_orderkey")
@@ -88,7 +88,7 @@ object FormatQueries {
     // gate, not just under its spec.
     "q_textfile_roundtrip" -> QueryDef(
       (s, d) => {
-        val out = s"/tmp/graft_fmt/text_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/text_${new java.io.File(d).getName}"
         Tables.documents(s, d)
           .selectExpr("concat(doc_id, '|', lang, '|', n_chars) AS value")
           .write.mode("overwrite").format("graft-text").save(out)
@@ -110,7 +110,7 @@ object FormatQueries {
     // parse closes the loop under the driver's bit-exact oracle.
     "q_binrec_roundtrip" -> QueryDef(
       (s, d) => {
-        val out = s"/tmp/graft_fmt/bin_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/bin_${new java.io.File(d).getName}"
         Tables.documents(s, d)
           .selectExpr(
             "CAST(concat(doc_id, '|', lang, '|', n_chars) AS BINARY) AS value")
@@ -137,7 +137,7 @@ object FormatQueries {
     // and the DataFrame boundary is one narrow map.
     "q_seqfile_roundtrip" -> QueryDef(
       (s, d) => {
-        val out = s"/tmp/graft_fmt/seq_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/seq_${new java.io.File(d).getName}"
         val hpath = new org.apache.hadoop.fs.Path(out)
         val fs = hpath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(hpath)) fs.delete(hpath, true)
@@ -179,7 +179,7 @@ object FormatQueries {
             |{"name":"doc_id","type":"long"},
             |{"name":"lang","type":"string"},
             |{"name":"n_chars","type":"long"}]}""".stripMargin
-        val out = s"/tmp/graft_fmt/avro_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/avro_${new java.io.File(d).getName}"
         val hpath = new org.apache.hadoop.fs.Path(out)
         val fs = hpath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(hpath)) fs.delete(hpath, true)
@@ -230,7 +230,7 @@ object FormatQueries {
     // deterministic key parity.
     "q_schema_evolution" -> QueryDef(
       (s, d) => {
-        val out = s"/tmp/graft_fmt/evo_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/evo_${new java.io.File(d).getName}"
         val base = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
           "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
           "o_orderstatus")
@@ -279,7 +279,7 @@ object FormatQueries {
     "q_sorted_export" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
-        val out = s"/tmp/graft_fmt/sorted_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/sorted_${new java.io.File(d).getName}"
         proj.repartition(col("o_custkey"))
           .sortWithinPartitions("o_custkey", "o_orderkey")
           .write.mode("overwrite")
@@ -299,7 +299,7 @@ object FormatQueries {
     "q_zstd_roundtrip" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
-        val out = s"/tmp/graft_fmt/zstd_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/zstd_${new java.io.File(d).getName}"
         proj.write.mode("overwrite")
           .option("compression", "zstd").parquet(out)
         s.read.parquet(out).orderBy("o_orderkey")
@@ -309,7 +309,7 @@ object FormatQueries {
     "q_gzip_roundtrip" -> QueryDef(
       (s, d) => {
         val proj = ordersProj(s, d)
-        val out = s"/tmp/graft_fmt/gz_${new java.io.File(d).getName}"
+        val out = s"${graft.ProcScratch.base}/fmt/gz_${new java.io.File(d).getName}"
         proj.repartition(8)
           .write.mode("overwrite").option("header", "true")
           .option("compression", "gzip").csv(out)

@@ -184,7 +184,7 @@ object MaintenanceQueries {
         import org.apache.spark.sql.functions.expr
         import org.apache.spark.sql.streaming.Trigger
         val tag = new java.io.File(d).getName
-        val root = s"/tmp/graft_cdc/$tag"
+        val root = s"${graft.ProcScratch.base}/cdc/$tag"
         val watch = s"$root/_changes"
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -763,7 +763,7 @@ object MaintenanceQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.expr
         val tag = new java.io.File(d).getName
-        val root = s"/tmp/graft_mv/$tag"
+        val root = s"${graft.ProcScratch.base}/mv/$tag"
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -822,7 +822,7 @@ object MaintenanceQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.expr
         val tag = new java.io.File(d).getName
-        val root = s"/tmp/graft_pevo/$tag"
+        val root = s"${graft.ProcScratch.base}/pevo/$tag"
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)

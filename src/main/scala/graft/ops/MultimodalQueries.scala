@@ -112,7 +112,7 @@ object MultimodalQueries {
     * q_multimodal_dup's: the container round trip must be invisible. */
   private def ingestDef: QueryDef = QueryDef(
     (s, d) => {
-      val out = s"/tmp/graft_mm/ingest_${new java.io.File(d).getName}"
+      val out = s"${graft.ProcScratch.base}/mm/ingest_${new java.io.File(d).getName}"
       Tables.documents(s, d)
         .selectExpr("CAST(concat(doc_id, '|', text) AS BINARY) AS value")
         .write.mode("overwrite").option("syncIntervalBytes", "2048")

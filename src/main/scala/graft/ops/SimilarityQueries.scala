@@ -32,6 +32,25 @@ object SimilarityQueries {
 
   private val NearDupThreshold = 0.4
   private val TopK = 5
+
+  /** Loud scale guard for the two DECLARED brute-force recall oracles
+    * (`q_dedup_embedding`, `q_ann_cosine`). Their all-pairs /
+    * corpus-scan plans are deliberate — they are the exactness oracle
+    * the LSH/IVF/PQ scale paths beside them are measured against
+    * (AnnRecallSpec) — but as declared queries a user could point one
+    * at a 100 TB corpus and get a quadratic plan. So the corpus side
+    * refuses, loudly and before any pair is materialized, past a bound
+    * where brute force stops being the right tool. The count is one
+    * column-pruned metadata-cheap scan — O(n) spent to avoid O(n²). */
+  private val BruteForceBound = 100000L
+  private def guardBrute(corpus: DataFrame, query: String): DataFrame = {
+    val n = corpus.count()
+    require(n <= BruteForceBound,
+      s"$query is a brute-force recall oracle: refusing a corpus of " +
+        s"$n rows (bound $BruteForceBound). Use the LSH/IVF scale " +
+        "path declared beside it (q_dedup_embedding_lsh / q_ann_ivf).")
+    corpus
+  }
   private val NPlanes = 6
   // Salted variant: split any LSH bucket larger than this many rows into
   // ceil(n/cap) salt shards. The cap is deliberately tiny so the fixture
@@ -314,9 +333,10 @@ object SimilarityQueries {
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
+        val e = guardBrute(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
-            "graft_vec_dot(embedding, embedding) AS n2")
+            "graft_vec_dot(embedding, embedding) AS n2"),
+          "q_dedup_embedding")
         val a = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea", "n2 AS na2")
         val b = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb", "n2 AS nb2")
         a.crossJoin(b)
@@ -377,9 +397,10 @@ object SimilarityQueries {
     "q_ann_cosine" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
+        val e = guardBrute(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
-            "graft_vec_dot(embedding, embedding) AS n2")
+            "graft_vec_dot(embedding, embedding) AS n2"),
+          "q_ann_cosine")
         val q = e.filter(col("vec_id") < 20)
           .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce", "n2 AS cn2")

@@ -566,6 +566,94 @@ object SqlQueries {
       |GROUP BY ship_mode
       |ORDER BY ship_mode""".stripMargin
 
+  // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+  // join customer→orders with an extra non-key predicate ON the join
+  // (Q13's `o_comment NOT LIKE '%special%requests%'`), then a
+  // two-level aggregation — orders per customer, customers per count.
+  // The fixture has no o_comment, so the excluded category is DERIVED
+  // as an integer function of the keys (same device as the partsupp /
+  // ship-mode derivations above): ~1/13 of orders are "special
+  // requests" and drop out of the count while the customer row
+  // survives with c_count = 0. Both aggregations are pure integer
+  // counts — bit-exact in any engine. Scale: the outer join shuffles
+  // on custkey; the second groupBy keys on the small distinct-count
+  // domain with full map-side combine.
+  private val CustDistSql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND (o_orderkey * 11 + o_custkey * 3) % 13 <> 0
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+  // counts per (brand, type, size) over the derived partsupp, with the
+  // complained-supplier exclusion (Q16's `s_comment LIKE
+  // '%Customer%Complaints%'` becomes a key-derived ~1/7 of suppliers —
+  // same device as above) and the brand/type/size NOT-filters. Q16's
+  // literal NOT IN would plan NULL-AWARE in Spark (parquet columns are
+  // nullable as far as the planner knows → BroadcastNestedLoopJoin —
+  // the shape q_sql_not_in deliberately exercises); since the keys are
+  // non-null in fact, the exclusion is written as the equivalent
+  // correlated NOT EXISTS, which plans as a left-anti hash join in
+  // both engines. count(DISTINCT) shuffles (group, suppkey) pairs —
+  // never whole rows. All-integer counting, bit-exact.
+  private val SupplierCntSql =
+    s"""WITH $PartSuppCte
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#12'
+       |  AND p_type <> 'SMALL'
+       |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM supplier
+       |    WHERE s_suppkey = ps_suppkey AND (s_suppkey * 19) % 7 = 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // TPC-H Q21 shape (suppliers who kept orders waiting): the
+  // multi-EXISTS / NOT-EXISTS self-join chain on lineitem — for each
+  // finished multi-supplier order, the supplier whose line was the
+  // ONLY late one. The fixture has no receipt/commit dates, so "late"
+  // is DERIVED as a ~1/4 integer function of (orderkey, suppkey,
+  // linenumber). Catalyst plans the EXISTS as a left-semi and the
+  // NOT EXISTS as a left-anti join on l_orderkey (never per-row
+  // subqueries); at 100 TB all three lineitem legs shuffle on the same
+  // orderkey key and AQE coalesces. Pure integer counting, bit-exact;
+  // the LIMIT cutoff orders on (numwait DESC, s_name) with s_name
+  // unique per supplier.
+  private val WaitingSupplierSql =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    ((l_orderkey * 7 + l_suppkey * 3 + l_linenumber) % 4 = 0)
+      |      AS late
+      |  FROM lineitem)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN l l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.late
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (
+      |    SELECT 1 FROM l l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM l l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** Verbatim SQL texts, exposed for the catalog-table + CBO rendition
     * (CatalogCboSpec runs the same text against ANALYZEd catalog
     * tables — the session/metastore half of the Hive-shaped surface). */
@@ -591,7 +679,10 @@ object SqlQueries {
     "q_sql_min_cost_supplier" -> MinCostSupplierSql,
     "q_sql_important_stock" -> ImportantStockSql,
     "q_sql_excess_stock" -> ExcessStockSql,
-    "q_sql_ship_modes" -> ShipModeSql)
+    "q_sql_ship_modes" -> ShipModeSql,
+    "q_sql_cust_dist" -> CustDistSql,
+    "q_sql_supplier_cnt" -> SupplierCntSql,
+    "q_sql_waiting_supplier" -> WaitingSupplierSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q_sql_pricing" -> sqlDef(Seq("lineitem"), PricingSql),
@@ -639,6 +730,13 @@ object SqlQueries {
       sqlDef(Seq("part", "supplier", "nation", "lineitem"),
         ExcessStockSql),
     "q_sql_ship_modes" ->
-      sqlDef(Seq("lineitem", "orders"), ShipModeSql)
+      sqlDef(Seq("lineitem", "orders"), ShipModeSql),
+    "q_sql_cust_dist" ->
+      sqlDef(Seq("customer", "orders"), CustDistSql),
+    "q_sql_supplier_cnt" ->
+      sqlDef(Seq("part", "supplier"), SupplierCntSql),
+    "q_sql_waiting_supplier" ->
+      sqlDef(Seq("supplier", "lineitem", "orders", "nation"),
+        WaitingSupplierSql)
   )
 }

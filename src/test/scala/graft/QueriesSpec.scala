@@ -238,6 +238,21 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(packed.getLong(0) == packed.getLong(1),
       s"packing collides: ${packed.getLong(0)} packed vs ${packed.getLong(1)} (df,s) pairs")
   }
+  test("q_dedup_keep_best radix packing is order-equivalent over the corpus") {
+    // The oracle packs (n_chars, doc_id) into n_chars*1e7 + doc_id —
+    // order-equivalent to Spark's struct max ONLY while doc_id stays
+    // below the 1e7 radix (and the packed value below Long range). A
+    // future fixture that breaches this must fail HERE, pointing at
+    // the assumption, not at an opaque hash mismatch in the gate.
+    val m = Tables.documents(spark, sf)
+      .selectExpr("max(doc_id) AS max_id", "max(n_chars) AS max_chars")
+      .collect()(0)
+    assert(m.getLong(0) < 10000000L,
+      s"doc_id ${m.getLong(0)} breaches q_dedup_keep_best's 1e7 radix " +
+        "— widen the packing in BOTH the oracle and this guard")
+    assert(m.getLong(1) < Long.MaxValue / 10000000L,
+      s"n_chars ${m.getLong(1)} would overflow the packed BIGINT")
+  }
   test("q_pagerank iterates over the cached edge relation (no rescan per round)") {
     val p = plan("q_pagerank")
     // the lineitem file scan feeds ONLY the cache build; every round

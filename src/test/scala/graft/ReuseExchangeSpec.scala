@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,7 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the queries in graft.ops build shared frames once (ScratchCache)
   * instead of re-deriving them per branch.
   */
-class ReuseExchangeSpec extends AnyFunSuite {
+class ReuseExchangeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession._
 
   test("self-join of one aggregate reuses the shuffle") {
@@ -27,8 +29,14 @@ class ReuseExchangeSpec extends AnyFunSuite {
     val joined = left.join(right, col("f1") === col("f2"))
     assert(joined.collect().nonEmpty) // materialize THIS frame: its own
     // QueryExecution must finalize (count() would plan a different one)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"expected exchange reuse in:\n${plan.take(800)}")
+    // Structural assertion (not a toString match, which is brittle
+    // across Spark/AQE renderings): AdaptiveSparkPlanHelper.collect
+    // descends through adaptive plans and query stages.
+    val reused = collect(joined.queryExecution.executedPlan) {
+      case r: ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      "expected a ReusedExchangeExec node in:\n" +
+        joined.queryExecution.executedPlan.toString.take(800))
   }
 }
