@@ -53,18 +53,19 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
   val StressQueries: Seq[String] = Seq(
     // dedup family (documents)
     "q_dedup_exact", "q_dedup_keep_best", "q_dedup_ngram",
-    "q_dedup_minhash", "q_dedup_prefix", "q_dedup_simhash",
-    "q_dedup_cluster",
+    "q_dedup_minhash", "q_dedup_minhash_weighted", "q_dedup_prefix",
+    "q_dedup_simhash", "q_dedup_substring", "q_dedup_cluster",
     // similarity / ANN family (embeddings)
     "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq",
     "q_kmeans",
-    // training-data prep + text (documents)
+    // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
-    "q_heavy_hitters",
+    "q_heavy_hitters", "q_contamination",
     // iterative graph family (lineitem)
     "q_cc_largestar", "q_pagerank",
     // temporal + streaming (events)
-    "q_event_funnel", "q_stream_join", "q_stream_session")
+    "q_event_funnel", "q_window_session",
+    "q_stream_join", "q_stream_session", "q_stream_tumbling")
 
   /** Per-replica big-table transforms. Key offsets are far above any
     * fixture id range; payload mutations are deterministic functions
@@ -186,8 +187,9 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       Seq("documents", "embeddings", "events", "lineitem")
         .foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val rows = queries.flatMap { q =>
-      SparkEntry.queries.get(q).map { fn =>
+      SparkEntry.queries.get(q).flatMap { fn => try {
         // small scale first (also the codegen warm-up for the query),
         // best-of-2 per scale: the MIN is the right statistic for a
         // ratio — noise only ever inflates
@@ -205,8 +207,16 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
         val planEqual = sig1 == sigN
         println(f"[scale] $q%-24s t1=$t1%6.2fs t$factor=$tN%7.2fs " +
           f"ratio=$ratio%5.2f planEqual=$planEqual")
-        (q, t1, tN, ratio, sig1, sigN)
-      }
+        Some((q, t1, tN, ratio, sig1, sigN))
+      } catch { case e: Throwable =>
+        // record and continue — one broken query must not cost the
+        // whole run's artifact
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(_ != '\n').take(200).replace("\"", "'")
+        println(s"[scale] $q FAILED: $msg")
+        failed += ((q, msg))
+        None
+      } }
     }
     Thread.sleep(1500) // drain listener bus before reading skew
     val skew = analyzer.skewFlags()
@@ -222,6 +232,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       val over = rows.filter(_._4 > linearBound).map(_._1)
       val planDiff = rows.filter(r => r._5 != r._6).map(_._1)
       s"""{"queries_run":${rows.size},""" +
+        s""""errors":${failed.map { case (q, m) =>
+          s"""{"query":"$q","error":"$m"}""" }.mkString("[", ",", "]")},""" +
         s""""ratio_gt_${factor}x1.5":${over.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""plan_shape_changed":${planDiff.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""max_skew":${if (skew.isEmpty) "null" else f"${skew.values.max}%.1f"}}"""

@@ -62,7 +62,7 @@ class StageAnalyzer extends SparkListener {
   /** Drop all recorded attributions (start of a measured pass). */
   def reset(): Unit = {
     stageQuery.clear(); stageWall.clear(); taskDur.clear(); stageBytes.clear()
-    stageParents.clear(); stageJob.clear()
+    stageParents.clear(); stageJob.clear(); stageSpan.clear()
   }
 
   override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -87,10 +87,16 @@ class StageAnalyzer extends SparkListener {
   // TaskMetrics — the SpillAnalyzerImpl / critical-path byte counters
   private val stageBytes = TrieMap.empty[Int, (Long, Long, Long)]
 
+  // submission/completion instants (ms) — the critical-path grouper
+  // uses interval overlap to tell parallel components from sequential
+  private val stageSpan = TrieMap.empty[Int, (Long, Long)]
+
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val si = sc.stageInfo
-    for (sub <- si.submissionTime; done <- si.completionTime)
+    for (sub <- si.submissionTime; done <- si.completionTime) {
       stageWall.put(si.stageId, (done - sub) / 1e3)
+      stageSpan.put(si.stageId, (sub, done))
+    }
     val m = si.taskMetrics
     if (m != null)
       stageBytes.put(si.stageId,
@@ -138,36 +144,89 @@ class StageAnalyzer extends SparkListener {
     * from "slower rounds" (chain flat, stage walls grow) for the
     * iterative family — wall-clock alone cannot tell them apart.
     *
+    * Implementation note: parent edges are followed across JOBS —
+    * under AQE every materialized query stage is submitted as its own
+    * job whose stageInfos carry parentIds pointing at earlier jobs'
+    * stages, so a per-job restriction would flatten every chain to
+    * length 1. Stages a driver loop genuinely disconnects (the
+    * LogicalRDD re-rooted iterative family) form separate weak
+    * components; components execute sequentially on the one action
+    * thread, so their chains SUM.
+    *
     * Returns query -> (criticalPathSec, stagesOnChain, nJobs). */
   def criticalPaths(): Map[String, (Double, Int, Int)] =
     report().map { case (q, rows) =>
+      val ids = rows.map(_.stageId).toSet
       val wall = rows.map(r => r.stageId -> r.wallSec).toMap
-      val byJob = rows.groupBy(r => stageJob.getOrElse(r.stageId, -1))
-      var totalSec = 0.0
-      var chainLen = 0
-      byJob.foreach { case (_, jr) =>
-        val ids = jr.map(_.stageId).toSet
-        // longest-path by stage wall over parent edges, restricted to
-        // stages that ran in this (query, job) — a parent that AQE
-        // reused/skipped has no row and contributes nothing
-        val memo = scala.collection.mutable.Map.empty[Int, (Double, Int)]
-        def best(id: Int): (Double, Int) = memo.get(id) match {
-          case Some(v) => v
-          case None =>
-            val ps = stageParents.getOrElse(id, Nil).filter(ids)
-            val (pw, pc) =
-              if (ps.isEmpty) (0.0, 0) else ps.map(best).maxBy(_._1)
-            val v = (wall.getOrElse(id, 0.0) + pw, 1 + pc)
-            memo(id) = v
-            v
-        }
-        if (ids.nonEmpty) {
-          val (w, c) = ids.toSeq.map(best).maxBy(_._1)
-          totalSec += w
-          chainLen += c
+      // ran-stage parents only: a skipped/reused stage has no row and
+      // contributes no wall time, but edges THROUGH it are preserved
+      // transitively by parentIds of the stages that did run
+      val par: Map[Int, Seq[Int]] = ids.iterator
+        .map(id => id -> stageParents.getOrElse(id, Nil).filter(ids))
+        .toMap
+      // longest path (by summed stage wall) ending at each stage
+      val memo = scala.collection.mutable.Map.empty[Int, (Double, Int)]
+      def best(id: Int): (Double, Int) = memo.get(id) match {
+        case Some(v) => v
+        case None =>
+          val ps = par(id)
+          val (pw, pc) =
+            if (ps.isEmpty) (0.0, 0) else ps.map(best).maxBy(_._1)
+          val v = (wall.getOrElse(id, 0.0) + pw, 1 + pc)
+          memo(id) = v
+          v
+      }
+      // weakly-connected components over the parent edges
+      val undirected = scala.collection.mutable.Map
+        .empty[Int, List[Int]].withDefaultValue(Nil)
+      par.foreach { case (c, ps) =>
+        ps.foreach { p =>
+          undirected(c) = p :: undirected(c)
+          undirected(p) = c :: undirected(p)
         }
       }
-      q -> ((totalSec, chainLen, byJob.size))
+      val seen = scala.collection.mutable.Set.empty[Int]
+      // per component: (chainSec, chainLen, intervalStart, intervalEnd)
+      val comps = scala.collection.mutable.ListBuffer
+        .empty[(Double, Int, Long, Long)]
+      ids.toSeq.sorted.foreach { root =>
+        if (!seen.contains(root)) {
+          val comp = scala.collection.mutable.ListBuffer.empty[Int]
+          val stack = scala.collection.mutable.Stack(root)
+          while (stack.nonEmpty) {
+            val v = stack.pop()
+            if (seen.add(v)) { comp += v; undirected(v).foreach(stack.push) }
+          }
+          val (w, c) = comp.map(best).maxBy(_._1)
+          val spans = comp.flatMap(stageSpan.get)
+          val lo = if (spans.isEmpty) 0L else spans.map(_._1).min
+          val hi = if (spans.isEmpty) 0L else spans.map(_._2).max
+          comps += ((w, c, lo, hi))
+        }
+      }
+      // Components are chains the dependency graph does NOT connect —
+      // either sequential driver-loop rounds (iterative family) or
+      // CONCURRENT side jobs (AQE broadcast stages have no shuffle
+      // parent edge). Tell them apart by wall-clock overlap: merge
+      // overlapping components into one parallel group (its critical
+      // chain = the group's longest), sum across disjoint groups.
+      var totalSec = 0.0
+      var chainLen = 0
+      var groupEnd = Long.MinValue
+      var gSec = 0.0
+      var gLen = 0
+      comps.sortBy(_._3).foreach { case (w, c, lo, hi) =>
+        if (lo > groupEnd) { // disjoint: flush previous group
+          totalSec += gSec; chainLen += gLen
+          gSec = w; gLen = c; groupEnd = hi
+        } else {
+          if (w > gSec) { gSec = w; gLen = c }
+          groupEnd = math.max(groupEnd, hi)
+        }
+      }
+      totalSec += gSec; chainLen += gLen
+      val nJobs = rows.map(r => stageJob.getOrElse(r.stageId, -1)).distinct.size
+      q -> ((totalSec, chainLen, nJobs))
     }
 
   /** JSON object {query: {"s":…,"chain":…,"jobs":…}} for the artifact. */

@@ -37,10 +37,6 @@ object DedupQueries {
 
   private val JaccardThreshold = 0.7
 
-  /** Salt fan-out for fixed-cardinality join keys (q_dedup_ngram's
-    * (lang, band) buckets): per-task pair volume drops NSalt×; sized
-    * to local[32], scales with the cluster in a real deployment. */
-  private val NSalt = 16
   // q_dedup_substring window width: ~12 words of the fixture vocabulary —
   // short enough to catch partial overlap, long enough that unrelated
   // docs share no window
@@ -461,49 +457,52 @@ object DedupQueries {
           .selectExpr("doc_id", "lang",
             s"${SparkSql.idiv("n_chars", "100")} AS band",
             s"$sparkShingleSet AS hs"))
-        // candidate id-pairs are enumerated WITHOUT the shingle arrays
-        // (nothing wide moves through the pair join). The |band_a-band_b|≤1
-        // predicate is turned into an equi-join on (lang, band): side b
-        // probes bands {band-1, band, band+1}, so a qualifying pair matches
-        // EXACTLY ONE probe row (its band_a equals one of three distinct
-        // values) — no dedup shuffle, and the join key has
-        // |lang|×|bands| cardinality instead of |lang|≈5 (the round-2
-        // skew-at-scale defect). Same bucket±1 banding as q_range_join.
-        // candidate ids carry the shingle-set SIZE so the length filter
-        // prunes before anything wide moves: J ≥ t implies
-        // min(|A|,|B|)/max(|A|,|B|) ≥ t (intersection ≤ min, union ≥
-        // max), so 10·min ≥ 7·max is a PROVABLE no-op on the result —
-        // the oracle is unchanged — that drops size-incompatible pairs
-        // before the array re-joins pay for them.
-        // SALTED enumeration: (lang, band) alone has ~|langs|×|bands|
-        // cardinality — a FIXED key space that does not grow with the
-        // corpus, so one hot (lang, band) bucket concentrates a
-        // quadratic pair count on one task no matter how many
-        // executors exist (the r05 bench's work-aware skew flag
-        // caught exactly this: 96-task stage, max/median 33×). The
-        // salt splits side a of every bucket NSalt ways by doc_id;
-        // probes replicate per salt (probe rows are bare ids+sizes —
-        // NSalt× duplication of the CHEAP side), so each qualifying
-        // pair still matches EXACTLY ONE probe row ((band, salt) are
-        // both functions of the pair) and per-task pair volume drops
-        // NSalt×. At a larger deployment NSalt scales with the
-        // cluster; the invariant is the join key cardinality must
-        // grow with the parallelism, never stay fixed.
-        val ids = docs.selectExpr("doc_id", "lang", "band", "size(hs) AS sz")
-        val a = ids.selectExpr("doc_id AS doc_id_a", "lang", "band",
-          "sz AS sza", s"CAST(doc_id % $NSalt AS INT) AS salt")
-        val b = ids.selectExpr("doc_id AS doc_id_b", "lang", "band AS bb", "sz AS szb")
-        val probes = b
-          .selectExpr("doc_id_b", "lang", "szb",
-            "explode(array(bb - 1, bb, bb + 1)) AS band")
-          .selectExpr("doc_id_b", "lang", "szb", "band",
-            s"explode(sequence(0, ${NSalt - 1})) AS salt")
-          .selectExpr("doc_id_b", "lang", "band", "szb",
-            "CAST(salt AS INT) AS salt")
-        val cand = a.join(probes, Seq("lang", "band", "salt"))
+        // CANDIDATE ENUMERATION, r06 rewrite. The r05 version
+        // self-joined on (lang, band, salt) — an equi-join whose key
+        // space (|langs|×|bands|×NSalt) is FIXED while bucket depth
+        // grows with the corpus, so candidate pairs grew with depth²:
+        // the 10× scale-stress run measured 32× the runtime at 10× the
+        // data (SCALE_r06.json) — salting had fixed the per-task skew
+        // (r05, 33×→1.03×) but not the total work. Blocking with a key
+        // space that does not grow with the data is quadratic no
+        // matter how it is salted.
+        //
+        // The fix is q_dedup_prefix's machinery INSIDE the blocks: a
+        // df-ordered prefix-filter join (Bayardo WWW'07 / Xiao WWW'08
+        // — see q_dedup_prefix below for the theorem) enumerates only
+        // pairs sharing a rare prefix shingle — a join key (shingle,
+        // lang) whose cardinality GROWS with the corpus vocabulary —
+        // and the block predicates (same lang, |band|≤1, size ratio)
+        // plus PPJoin's positional cap drop non-candidates map-side
+        // right after the equi-join. Jaccard ≥ t pairs all share a
+        // prefix element (prefix theorem), and every other filter here
+        // only restricts further, so the enumeration finds EXACTLY the
+        // oracle's pairs — the oracle text is unchanged. Cost at 1× is
+        // two extra vocab-bounded shuffles (df + packed re-group);
+        // at 10× the candidate volume follows true-pair volume
+        // (~linear) instead of bucket-depth².
+        val ex = ScratchCache.scratch(
+          docs.selectExpr("doc_id", "explode(hs) AS s"))
+        val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        val packed = ScratchCache.scratch(ex.join(dfTab, "s")
+          .selectExpr("doc_id", s"(df * ${graft.oracle.Dialect.M} + s) AS c")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("c"))).as("cs"),
+            count(lit(1)).as("sz"))
+          .join(docs.select("doc_id", "lang", "band"), "doc_id"))
+        val pre = packed.selectExpr("doc_id", "lang", "band", "sz",
+          s"posexplode(${SparkSql.sliceTo("cs", "sz - (7 * sz + 9) div 10 + 1")}) AS (p, c)")
+        val cand = pre.selectExpr("doc_id AS doc_id_a", "lang",
+            "band AS band_a", "sz AS sa0", "p AS pa", "c")
+          .join(pre.selectExpr("doc_id AS doc_id_b", "lang",
+            "band AS band_b", "sz AS sb0", "p AS pb", "c"), Seq("c", "lang"))
           .filter(col("doc_id_a") < col("doc_id_b") &&
-            expr("10 * szb >= 7 * sza") && expr("10 * sza >= 7 * szb"))
+            expr("abs(band_a - band_b) <= 1") &&
+            expr("10 * sb0 >= 7 * sa0") && expr("10 * sa0 >= 7 * sb0") &&
+            expr("1 + least(sa0 - (pa + 1), sb0 - (pb + 1)) >= " +
+              "(7 * (sa0 + sb0) + 16) div 17"))
           .select("doc_id_a", "doc_id_b")
+          .distinct()
         // arrays come back via SHUFFLED equi-joins on doc_id (as the
         // minhash path does): candidate volume per doc is bounded by the
         // block size, and nothing is broadcast — at corpus scale the

@@ -48,12 +48,26 @@ object EventStream {
     // Batch-read the same path first: runs Tables.events' decoded-time
     // sanity invariant loudly, driver-side, before any stream starts.
     graft.Tables.events(spark, dir): Unit
-    val fileSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    decodeTs(spark.readStream
-      .schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    // Layout-adaptive, like every other reader: the driver fixture is a
+    // single FILE named events.parquet inside the table dir (stream the
+    // dir with a glob so sibling tables are excluded); a Spark-written
+    // corpus (ScaleStress, downstream users) is a DIRECTORY of part
+    // files under events.parquet/ (stream that directory itself — a
+    // glob of the literal name would match nothing and die with
+    // UNABLE_TO_INFER_SCHEMA).
+    val asDir = new java.io.File(dir, "events.parquet")
+    if (asDir.isDirectory) {
+      val path = asDir.getPath
+      val fileSchema = spark.read.parquet(path).schema
+      decodeTs(spark.readStream.schema(fileSchema).parquet(path))
+    } else {
+      val fileSchema = spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      decodeTs(spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    }
   }
 
   /** Tumbling 1-hour counts/sums per event type, 2-hour watermark. */

@@ -73,6 +73,24 @@ class SpeculationClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       // single-machine local-cluster — both workers report `localhost` —
       // can never satisfy. On a real multi-host cluster the same signal is
       // followed by a launch; we count both, and assert on the signal.
+      //
+      // CLOSED DIVERGENCE (r06): the launch half is unprovable in this
+      // sandbox, permanently. Empirical dead-end: on
+      // local-cluster[2,2,1024] — two workers × two cores, so a free
+      // slot exists on the OTHER executor while the straggler runs —
+      // the same workload yields submitted=1, launched=0: the
+      // scheduler flags the straggler every 100ms interval but
+      // dequeueSpeculativeTask's hasAttemptOnHost(host) guard rejects
+      // every offer because both executors sit on `localhost`, and the
+      // worker hostname is fixed by Utils.localHostName in the ONE
+      // driver JVM that hosts both in-process Workers — there is no
+      // per-worker hostname knob. The reference's LegacySpeculator
+      // makes the same other-node placement assumption
+      // (tez-dag/.../speculation/legacy/LegacySpeculator.java:334);
+      // its own unit evidence (TestSpeculation) also runs on a mocked
+      // multi-node topology, not real second hosts. Submission IS the
+      // complete speculation decision; placement past it is generic
+      // scheduler behavior this library does not modify.
       override def onSpeculativeTaskSubmitted(e: SparkListenerSpeculativeTaskSubmitted): Unit =
         speculativeTasks.incrementAndGet()
       override def onTaskStart(ts: SparkListenerTaskStart): Unit =

@@ -61,6 +61,27 @@ def main(old_path, new_path):
         for q, a, b in sorted(drifts, key=lambda x: -x[2] / x[1]):
             print(f"  {q}: {a:.2f}s -> {b:.2f}s")
 
+    # critical-path movement (CriticalPathAnalyzer parity): separates
+    # "more rounds" (chain grew, per-stage walls flat) from "slower
+    # rounds" (chain flat, critical seconds grew) for the iterative
+    # family — wall-clock drift alone cannot tell these apart.
+    ocp, ncp = old.get("critical_path", {}), new.get("critical_path", {})
+    moved = []
+    for q in shared:
+        if q in ocp and q in ncp:
+            a, b = ocp[q], ncp[q]
+            chain_grew = b.get("chain", 0) > a.get("chain", 0)
+            sec_grew = a.get("s", 0) > 0.2 and b.get("s", 0) > 1.5 * a["s"]
+            if chain_grew or sec_grew:
+                moved.append((q, a, b))
+    if moved:
+        print("\ncritical-path movement (chain = stages on the longest "
+              "dependency chain):")
+        for q, a, b in moved:
+            print(f"  {q}: chain {a.get('chain')} -> {b.get('chain')}, "
+                  f"critical {a.get('s'):.2f}s -> {b.get('s'):.2f}s, "
+                  f"jobs {a.get('jobs')} -> {b.get('jobs')}")
+
     improved = [(q, oq[q], nq[q]) for q in shared
                 if oq[q] > 0.5 and nq[q] < oq[q] / 1.5]
     if improved:
