@@ -75,7 +75,15 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       case "documents" =>
         val lower = "abcdefghijklmnopqrstuvwxyz"
         val upper = lower.toUpperCase
-        def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
+        // distinct letter permutation per replica: rotation by k mod 26,
+        // composed with a reversal for k ≥ 26 — 52 distinct substitution
+        // alphabets, so no two replicas under factor ≤ 52 share shingles
+        // (a wrapped plain rotation would make replica 26 an EXACT copy
+        // of replica 0 and quadratically inflate cross-replica pairs)
+        def rot(s: String) = {
+          val r = s.drop(k % 26) + s.take(k % 26)
+          if (k >= 26) r.reverse else r
+        }
         df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
           .withColumn("text",
             translate(col("text"), lower + upper, rot(lower) + rot(upper)))

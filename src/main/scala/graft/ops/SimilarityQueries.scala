@@ -70,16 +70,55 @@ object SimilarityQueries {
     * onto hyperplane p is positive. `nPlanes` is the scale knob — buckets
     * = 2^nPlanes, chosen so per-bucket pair counts stay tractable as the
     * corpus grows (more planes → smaller buckets → fewer pairs/bucket). */
-  private def lshBucket(d: Dialect, emb: String, nPlanes: Int = NPlanes): String = {
+  private def lshBucket(d: Dialect, emb: String,
+      nPlanesExpr: String = NPlanes.toString): String = {
     val proj = d.foldDbl(
       d.transform(d.seqIncl("1", "64"), "dd",
         s"${planeCoef(d, "p", "dd - 1")} * ${d.elemAtDbl(emb, "dd")}"),
       "acc", "v", "acc + v")
     d.foldBig(
-      d.transform(d.seqIncl("0", (nPlanes - 1).toString), "p",
+      d.transform(d.seqIncl("0", s"(($nPlanesExpr) - 1)"), "p",
         s"CASE WHEN $proj > 0 THEN ${d.shiftL("CAST(1 AS BIGINT)", "p")} ELSE 0 END"),
       "a", "x", "a + x")
   }
+
+  // ---- CORPUS-ADAPTIVE INDEX KNOBS (r06) -------------------------------
+  // The LSH/IVF queries are corpus-wide kNN joins: every vector probes
+  // its bucket/cell, so total work is Σ|bucket|². With a FIXED plane or
+  // cell count that is quadratic in the corpus (the 30× scale-stress
+  // measured q_ann_ivf at 154× the runtime for 30× the data — the same
+  // fixed-cardinality-key defect class as q_dedup_ngram's old blocking).
+  // The knobs the Scaladoc always called "the scale knob" are therefore
+  // DERIVED FROM CORPUS SIZE, holding per-bucket/per-cell occupancy at
+  // the sf0.1 fixture's density (≈31 rows/bucket, ≈125 rows/cell), so
+  // per-probe candidate count is bounded and total work is linear. Both
+  // formulas are integer-exact and evaluate to the legacy constants
+  // (6 planes / 16 cells) at every fixture SF, so the DuckDB oracles —
+  // which compute the SAME formulas inline from count(*) — keep every
+  // fixture row bit-identical. The corpus count is one driver-side
+  // parquet count-star per query invocation (the bounded-scalar
+  // pattern); recall-vs-cost still moves with occupancy exactly as in a
+  // real IVF/LSH deployment (FAISS sizes nlist from N the same way).
+  private def corpusN(s: SparkSession, d: String): Long =
+    Tables.embeddings(s, d).count()
+
+  /** Smallest p ≥ NPlanes with 2^p · 125 ≥ 4N (occupancy ≤ 31.25). */
+  private[graft] def adaptivePlanes(n: Long): Int =
+    (NPlanes to 40).find(p => (1L << p) * 125 >= 4 * n).getOrElse(40)
+
+  /** max(NCells, ⌈N/125⌉) — occupancy ≤ 125 rows per Voronoi cell. */
+  private[graft] def adaptiveCells(n: Long): Int =
+    math.max(NCells, ((n + 124L) / 125L).toInt)
+
+  /** The same two knobs as inline DuckDB SQL over the embeddings view —
+    * pure integer arithmetic, so both engines agree at every N. */
+  private def duckPlanesExpr: String =
+    "GREATEST(6, (SELECT min(p) FROM (SELECT unnest(range(6, 41)) AS p) " +
+      "tpl WHERE (CAST(1 AS BIGINT) << p) * 125 >= " +
+      "4 * (SELECT count(*) FROM embeddings)))"
+  private def duckCellsExpr: String =
+    "GREATEST(16, CAST(((SELECT count(*) FROM embeddings) + 124) // 125 " +
+      "AS INT))"
 
   /** Embeddings with squared norm + LSH bucket for a caller-chosen plane
     * count — the parameterized entry point the AnnLshSpec scale test and
@@ -108,14 +147,17 @@ object SimilarityQueries {
     * the same LCG as the LSH planes with a decorrelating index offset;
     * `list_position(dists, min)` gives a deterministic first-min
     * tie-break in both engines. */
-  /** Per-row list of squared L2 distances to the NCells centroids. */
-  private def ivfDists(d: Dialect, emb: String): String = {
+  /** Per-row list of squared L2 distances to the cell centroids
+    * (`nCellsExpr` cells — a literal for the fixed-codebook PQ family,
+    * the corpus-adaptive expression for the IVF-flat queries). */
+  private def ivfDists(d: Dialect, emb: String,
+      nCellsExpr: String = NCells.toString): String = {
     val dist = d.foldDbl(
       d.transform(d.seqIncl("1", "64"), "dd",
         s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")}) * " +
           s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(7000 + jj)", "dd - 1")})"),
       "acc", "v", "acc + v")
-    d.transform(d.seqIncl("0", (NCells - 1).toString), "jj", dist)
+    d.transform(d.seqIncl("0", s"(($nCellsExpr) - 1)"), "jj", dist)
   }
 
   /** 1-based first-position argmin of a distance-list expression. */
@@ -126,8 +168,9 @@ object SimilarityQueries {
       s"list_position($dists, list_min($dists))"
   }
 
-  private def ivfCell(d: Dialect, emb: String): String =
-    argminPos(d, ivfDists(d, emb))
+  private def ivfCell(d: Dialect, emb: String,
+      nCellsExpr: String = NCells.toString): String =
+    argminPos(d, ivfDists(d, emb, nCellsExpr))
 
   /** DuckDB norm-augmented embeddings CTE (squared norm once per row). */
   private def duckNormCte: String =
@@ -145,7 +188,7 @@ object SimilarityQueries {
     val d = DuckSql
     s"""WITH eb AS (SELECT vec_id, embedding,
        |    ${d.dotDbl("embedding", "embedding")} AS n2,
-       |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
+       |    CAST(${lshBucket(d, "embedding", duckPlanesExpr)} AS BIGINT) AS bucket
        |  FROM embeddings)
        |SELECT query_id, neighbor_id, bucket, cosine, rn FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
@@ -160,7 +203,12 @@ object SimilarityQueries {
   private val PqQueries = 20
 
   /** Quantized-BIGINT vectors + IVF routing cell, scratch-cached: the
-    * shared base frame of q_ann_pq / q_ann_ivfpq. */
+    * shared base frame of q_ann_pq / q_ann_ivfpq. The PQ family keeps
+    * the FIXTURE-FIXED cell count (its oracles carry the 4×16×16
+    * codebooks as literals, and byte-code ADC makes its per-candidate
+    * cost ~100× cheaper than float dot products — the 30× stress
+    * measured it at 1.7×); the corpus-adaptive cell count lives on the
+    * IVF-FLAT queries above, whose candidate cost is the full vector. */
   private def pqQuantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     graft.functions.TextHashFunctions.register(s)
@@ -365,8 +413,9 @@ object SimilarityQueries {
     // replicated equi-join on bucket — linear, not quadratic.
     "q_dedup_embedding_lsh" -> QueryDef(
       (s, d) => {
-        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
-        val flips = (0 until NPlanes)
+        val np = adaptivePlanes(corpusN(s, d))
+        val e = ScratchCache.scratch(lshBucketed(s, d, np))
+        val flips = (0 until np)
           .map(p => s"CAST(${graft.oracle.SparkSql.xorB("bucket", (1L << p).toString)} AS BIGINT)")
           .mkString(", ")
         val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
@@ -383,7 +432,7 @@ object SimilarityQueries {
         val d = DuckSql
         s"""WITH eb AS (SELECT vec_id, embedding,
            |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${lshBucket(d, "embedding")} AS BIGINT) AS bucket
+           |    CAST(${lshBucket(d, "embedding", duckPlanesExpr)} AS BIGINT) AS bucket
            |  FROM embeddings)
            |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            |  ${duckCos("a", "b")} AS cosine
@@ -429,7 +478,7 @@ object SimilarityQueries {
     // don't each recompute norms + buckets over the corpus.
     "q_ann_lsh" -> QueryDef(
       (s, d) => {
-        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
+        val e = ScratchCache.scratch(lshBucketed(s, d, adaptivePlanes(corpusN(s, d))))
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "bucket")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -455,7 +504,7 @@ object SimilarityQueries {
     // per-bucket count frame is 2^NPlanes rows → broadcast.
     "q_ann_lsh_salted" -> QueryDef(
       (s, d) => {
-        val e = ScratchCache.scratch(lshBucketed(s, d, NPlanes))
+        val e = ScratchCache.scratch(lshBucketed(s, d, adaptivePlanes(corpusN(s, d))))
         val counts = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
         val sized = e.join(broadcast(counts), Seq("bucket"))
           .withColumn("nsalt",
@@ -488,10 +537,11 @@ object SimilarityQueries {
       (s, d) => {
         GraftFunctions.register(s)
         graft.functions.TextHashFunctions.register(s)
+        val nc = adaptiveCells(corpusN(s, d))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
+            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell"))
         val q = e.filter(col("vec_id") % 10 === 0)
           .selectExpr("vec_id AS arrival_id", "embedding AS qe", "n2 AS qn2", "cell")
         val c = e.filter(col("vec_id") % 10 =!= 0)
@@ -508,7 +558,7 @@ object SimilarityQueries {
         val d = DuckSql
         s"""WITH eb AS (SELECT vec_id, embedding,
            |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${ivfCell(d, "embedding")} AS INT) AS cell
+           |    CAST(${ivfCell(d, "embedding", duckCellsExpr)} AS INT) AS cell
            |  FROM embeddings)
            |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
            |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
@@ -531,10 +581,11 @@ object SimilarityQueries {
         graft.functions.TextHashFunctions.register(s)
         // native argmin expression (bit-identical to the SQL fold) +
         // persist so the self-join doesn't assign cells twice
+        val nc = adaptiveCells(corpusN(s, d))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell"))
+            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell"))
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "cell")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -552,7 +603,7 @@ object SimilarityQueries {
         val d = DuckSql
         s"""WITH eb AS (SELECT vec_id, embedding,
            |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${ivfCell(d, "embedding")} AS INT) AS cell
+           |    CAST(${ivfCell(d, "embedding", duckCellsExpr)} AS INT) AS cell
            |  FROM embeddings)
            |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
@@ -577,11 +628,12 @@ object SimilarityQueries {
         // native argmin/argmin2 expressions (graft_ivf_cell2 masks the
         // nearest cell and rescans — bit-identical to the oracle's
         // +inf-mask CTE chain, one codegen'd call instead of three HOFs)
+        val nc = adaptiveCells(corpusN(s, d))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell1",
-            s"CAST(graft_ivf_cell2(embedding, $NCells) AS INT) AS cell2"))
+            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell1",
+            s"CAST(graft_ivf_cell2(embedding, $nc) AS INT) AS cell2"))
         val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
             "n2 AS qn2", "cell1 AS cell")
           .unionAll(e.selectExpr("vec_id AS query_id", "embedding AS qe",
@@ -601,10 +653,10 @@ object SimilarityQueries {
         val d = DuckSql
         s"""WITH v0 AS (SELECT vec_id, embedding,
            |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    ${ivfDists(d, "embedding")} AS dists
+           |    ${ivfDists(d, "embedding", duckCellsExpr)} AS dists
            |  FROM embeddings),
            |v1 AS (SELECT *, CAST(${argminPos(d, "dists")} AS INT) AS cell1 FROM v0),
-           |v2 AS (SELECT *, list_transform(generate_series(1, $NCells),
+           |v2 AS (SELECT *, list_transform(generate_series(1, ($duckCellsExpr)),
            |    ii -> CASE WHEN ii = cell1 THEN CAST('infinity' AS DOUBLE)
            |          ELSE dists[ii] END) AS dists2 FROM v1),
            |v3 AS (SELECT *, CAST(${argminPos(d, "dists2")} AS INT) AS cell2 FROM v2),
