@@ -76,13 +76,19 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
         val lower = "abcdefghijklmnopqrstuvwxyz"
         val upper = lower.toUpperCase
         // distinct letter permutation per replica: rotation by k mod 26,
-        // composed with a reversal for k ≥ 26 — 52 distinct substitution
-        // alphabets, so no two replicas under factor ≤ 52 share shingles
-        // (a wrapped plain rotation would make replica 26 an EXACT copy
-        // of replica 0 and quadratically inflate cross-replica pairs)
+        // composed with a reversal and/or an adjacent-pair swap chosen
+        // by k/26 — 104 distinct substitution alphabets, so no two
+        // replicas under factor ≤ 104 share shingles (a wrapped plain
+        // rotation would make replica 26 an EXACT copy of replica 0 and
+        // quadratically inflate cross-replica pairs; note a half-swap
+        // would NOT do as the third variant — swapping halves of a
+        // rotation is just a rotation by 13 more)
         def rot(s: String) = {
-          val r = s.drop(k % 26) + s.take(k % 26)
-          if (k >= 26) r.reverse else r
+          var r = s.drop(k % 26) + s.take(k % 26)
+          if (((k / 26) & 1) == 1) r = r.reverse
+          if (((k / 26) & 2) == 2)
+            r = r.grouped(2).map(p => p.reverse).mkString
+          r
         }
         df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
           .withColumn("text",
@@ -246,10 +252,45 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
         s""""plan_shape_changed":${planDiff.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""max_skew":${if (skew.isEmpty) "null" else f"${skew.values.max}%.1f"}}"""
     }
-    val out =
-      s"""{"base_sf":"$baseDir","factor":$factor,"files_per_table":32,""" +
-        s""""queries":$qJson,"summary":$summary}"""
-    java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)
+    // Subset re-runs MERGE into an existing artifact (matched on
+    // base_sf + factor): re-measuring one repaired family must not
+    // discard the other 20+ queries' committed evidence.
+    val merged: String = {
+      val f = new java.io.File(outJson)
+      val prev: Option[Map[String, String]] =
+        if (only.isEmpty || !f.exists()) None
+        else try {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val old = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
+          val sameRun = (old \ "base_sf") == JString(baseDir) &&
+            (old \ "factor") == JInt(factor)
+          if (!sameRun) None
+          else old \ "queries" match {
+            case JObject(fields) => Some(fields.map { case (k, v) =>
+              k -> JsonMethods.compact(JsonMethods.render(v))
+            }.toMap)
+            case _ => None
+          }
+        } catch { case _: Throwable => None }
+      prev match {
+        case Some(oldQ) =>
+          val fresh = rows.map(_._1).toSet
+          val keep = oldQ.view.filterKeys(k => !fresh.contains(k)).toMap
+          val freshJson = qJson.stripPrefix("{").stripSuffix("}")
+          val keptJson = keep.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+          val allQ = Seq(keptJson, freshJson).filter(_.nonEmpty).mkString(",")
+          s"""{"base_sf":"$baseDir","factor":$factor,"files_per_table":32,""" +
+            s""""queries":{$allQ},"summary":$summary,""" +
+            s""""merged_subset":${rows.map(r => "\"" + r._1 + "\"")
+              .mkString("[", ",", "]")}}"""
+        case None =>
+          s"""{"base_sf":"$baseDir","factor":$factor,"files_per_table":32,""" +
+            s""""queries":$qJson,"summary":$summary}"""
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), merged)
     println(s"[scale] wrote $outJson")
     spark.stop()
   }

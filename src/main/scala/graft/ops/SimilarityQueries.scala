@@ -106,9 +106,18 @@ object SimilarityQueries {
   private[graft] def adaptivePlanes(n: Long): Int =
     (NPlanes to 40).find(p => (1L << p) * 125 >= 4 * n).getOrElse(40)
 
-  /** max(NCells, ⌈N/125⌉) — occupancy ≤ 125 rows per Voronoi cell. */
+  /** Smallest c ≥ NCells with c²·1000 ≥ 128N — i.e. c ≈ 16·√(N/2000),
+    * FAISS's √N-scaled nlist (exactly 16 at the sf0.1 fixture). √N is
+    * the balance point of the two costs a FLAT coarse quantizer pays:
+    * assignment is O(N·c·d) and corpus-wide probing is O(N·(N/c)·d),
+    * so c ∝ N would make assignment itself quadratic (measured: the
+    * first cut of this knob used N/125 and the 100× point showed the
+    * quantizer dominating) while c ∝ √N caps the whole self-join at
+    * O(N^1.5·d) — the flat-IVF floor; the truly-linear neighbor is the
+    * LSH path (assignment O(N·log N·d), constant bucket occupancy). */
   private[graft] def adaptiveCells(n: Long): Int =
-    math.max(NCells, ((n + 124L) / 125L).toInt)
+    (NCells to 4096).find(c => c.toLong * c * 1000L >= 128L * n)
+      .getOrElse(4096)
 
   /** The same two knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
@@ -117,8 +126,9 @@ object SimilarityQueries {
       "tpl WHERE (CAST(1 AS BIGINT) << p) * 125 >= " +
       "4 * (SELECT count(*) FROM embeddings)))"
   private def duckCellsExpr: String =
-    "GREATEST(16, CAST(((SELECT count(*) FROM embeddings) + 124) // 125 " +
-      "AS INT))"
+    "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 4097)) " +
+      "AS c) tc WHERE c * c * 1000 >= " +
+      "128 * (SELECT count(*) FROM embeddings)))"
 
   /** Embeddings with squared norm + LSH bucket for a caller-chosen plane
     * count — the parameterized entry point the AnnLshSpec scale test and
