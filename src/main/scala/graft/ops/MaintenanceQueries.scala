@@ -62,6 +62,63 @@ object MaintenanceQueries {
        |  CAST(sum(was_ins) AS BIGINT) AS n_inserted
        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** orders reduced to (key, status, cents) — the CDC base table. */
+  private def centsBase(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).selectExpr(
+      "o_orderkey", "o_orderstatus",
+      "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+
+  /** The change feed as one op-tagged frame (op ∈ U/D/I), shared by the
+    * batch and streaming CDC queries. */
+  private def cdcChanges(base: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.expr
+    base.filter(expr("o_orderkey % 7 = 0"))
+      .selectExpr("o_orderkey", "'U' AS op", "(cents * 2) AS new_cents",
+        "CAST(NULL AS STRING) AS o_orderstatus", "CAST(NULL AS BIGINT) AS cents")
+      .unionByName(base.filter(expr("o_orderkey % 13 = 0"))
+        .selectExpr("o_orderkey", "'D' AS op",
+          "CAST(NULL AS BIGINT) AS new_cents",
+          "CAST(NULL AS STRING) AS o_orderstatus",
+          "CAST(NULL AS BIGINT) AS cents"))
+      .unionByName(base.filter(expr("o_orderkey % 11 = 3"))
+        .selectExpr(s"o_orderkey + ${InsOff}L AS o_orderkey", "'I' AS op",
+          "CAST(NULL AS BIGINT) AS new_cents", "o_orderstatus", "cents"))
+  }
+
+  /** KEY-LOCAL merge of an op-tagged change frame into the current
+    * state — [[graft.sources.KeyedTable.mergeDelta]]'s contract: output
+    * keys ⊆ keys(cur) ∪ keys(changes), and identity on an empty change
+    * set (greatest(was_upd, 0) = was_upd), which is exactly what lets
+    * untouched files carry by reference. */
+  private[graft] def cdcMerge(cur: org.apache.spark.sql.DataFrame,
+      ch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val upd = ch.filter(col("op") === "U").selectExpr("o_orderkey", "new_cents")
+    val del = ch.filter(col("op") === "D")
+      .select(col("o_orderkey"), lit(1).as("is_del"))
+    val ins = ch.filter(col("op") === "I")
+      .selectExpr("o_orderkey", "o_orderstatus", "cents",
+        "CAST(0 AS BIGINT) AS was_upd", "CAST(1 AS BIGINT) AS was_ins")
+    cur.join(upd, Seq("o_orderkey"), "left")
+      .join(del, Seq("o_orderkey"), "left")
+      .filter(col("is_del").isNull)
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "coalesce(new_cents, cents) AS cents",
+        "greatest(was_upd, CAST(CASE WHEN new_cents IS NOT NULL" +
+          " THEN 1 ELSE 0 END AS BIGINT)) AS was_upd",
+        "was_ins")
+      .unionByName(ins)
+  }
+
+  /** The merged table's per-status accounting — the shared oracle's
+    * output shape. */
+  private def cdcFinalAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cents").as("sum_cents"),
+        sum("was_upd").as("n_updated"),
+        sum("was_ins").as("n_inserted"))
+      .orderBy("o_orderstatus")
+
   /** Bits per dimension and the fixed z-bucket count. Buckets divide
     * the OBSERVED z range into ZBuckets equal spans, so the layout
     * (and the declared output size) is scale-invariant: the fixture's
@@ -164,20 +221,25 @@ object MaintenanceQueries {
 
     // STREAMING CDC MERGE — the same change set arriving as an
     // UNBOUNDED STREAM of change records (op ∈ U/D/I), merged per
-    // micro-batch into a table versioned by graft.sources.
-    // SnapshotCatalog: v1 is the base; each foreachBatch trigger reads
-    // the latest version, applies its micro-batch of changes with the
-    // identical key-join merge, and commits the next version
-    // all-or-nothing (GroupCommit under the catalog — readers never
-    // see a half-merged table, and every intermediate state stays
-    // time-travelable). The change stream splits into 3 key-disjoint
-    // files (maxFilesPerTrigger=1 → 3 real merge triggers), and the
-    // FINAL table state must equal the one-shot batch merge — same
-    // oracle as q_upsert_merge, because upd/del on a key commute to
-    // the same outcome and inserts are fresh keys: micro-batch
-    // composition is the claim under test. This is the production
-    // shape for continuously upserting a 100 TB/day change feed into
-    // a queryable versioned table.
+    // micro-batch into a graft.sources.KeyedTable: v1 is the base laid
+    // out as ~16 key-sorted files with footer-tight key ranges; each
+    // foreachBatch trigger FILE-PRUNES — a broadcast binary-search
+    // probe maps the batch's keys to the files whose ranges they
+    // intersect, ONLY those files rewrite (inserts append into per-gap
+    // files), and every untouched file carries into the next manifest
+    // BY REFERENCE. Per-trigger cost is O(delta · fanout), not
+    // O(table) — the copy-on-write discipline a 100 TB table with a
+    // continuous change feed requires (v1..v6 read the full table per
+    // trigger; DeltaMergeSpec asserts files_rewritten ≪ files_total
+    // and carried files' bytes untouched). The manifest registers by
+    // atomic rename, so readers see whole versions only, and every
+    // intermediate state stays time-travelable. The change stream
+    // splits into 3 KEY-RANGE chunks (maxFilesPerTrigger=1 → 3 real
+    // merge triggers, each touching only its third of the file set),
+    // and the FINAL table state must equal the one-shot batch merge —
+    // same oracle as q_upsert_merge, because upd/del on a key commute
+    // to the same outcome and inserts are fresh keys: micro-batch
+    // composition is the claim under test.
     "q_stream_cdc" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.DataFrame
@@ -189,29 +251,28 @@ object MaintenanceQueries {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val base = Tables.orders(s, d).selectExpr(
-          "o_orderkey", "o_orderstatus",
-          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
-        // v1: the base table, with merge-accounting columns zeroed
-        graft.sources.SnapshotCatalog.commit(s, root, "t", Seq("data" ->
+        val base = centsBase(s, d)
+        // v1: the base table, with merge-accounting columns zeroed,
+        // range-partitioned into key-sorted files (tight footer ranges)
+        graft.sources.KeyedTable.write(s, root, "t",
           base.selectExpr("o_orderkey", "o_orderstatus", "cents",
-            "CAST(0 AS BIGINT) AS was_upd", "CAST(0 AS BIGINT) AS was_ins")))
-        // the change feed: one record per op, split into 3 key-disjoint
-        // parquet files so AvailableNow delivers 3 separate merges
-        val changes = base.filter(expr("o_orderkey % 7 = 0"))
-          .selectExpr("o_orderkey", "'U' AS op", "(cents * 2) AS new_cents",
-            "CAST(NULL AS STRING) AS o_orderstatus", "CAST(NULL AS BIGINT) AS cents")
-          .unionByName(base.filter(expr("o_orderkey % 13 = 0"))
-            .selectExpr("o_orderkey", "'D' AS op",
-              "CAST(NULL AS BIGINT) AS new_cents",
-              "CAST(NULL AS STRING) AS o_orderstatus",
-              "CAST(NULL AS BIGINT) AS cents"))
-          .unionByName(base.filter(expr("o_orderkey % 11 = 3"))
-            .selectExpr(s"o_orderkey + ${InsOff}L AS o_orderkey", "'I' AS op",
-              "CAST(NULL AS BIGINT) AS new_cents", "o_orderstatus", "cents"))
+            "CAST(0 AS BIGINT) AS was_upd", "CAST(0 AS BIGINT) AS was_ins"),
+          "o_orderkey", nFiles = 16)
+        // the change feed, split into 3 key-RANGE chunks so each
+        // trigger's merge demonstrably touches only a file subset
+        // (keys stay disjoint across chunks → merges compose)
+        val mxKey = base.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+          .collect()(0).getLong(0) // bounded scalar
+        val cuts = Seq(mxKey / 3, 2 * mxKey / 3)
+        val changes = cdcChanges(base)
         (0 until 3).foreach { i =>
+          val pred = i match {
+            case 0 => s"o_orderkey < ${cuts(0)}"
+            case 1 => s"o_orderkey >= ${cuts(0)} AND o_orderkey < ${cuts(1)}"
+            case _ => s"o_orderkey >= ${cuts(1)}"
+          }
           val tmp = s"$root/_chg_stage/$i"
-          changes.filter(expr(s"o_orderkey % 3 = $i")).coalesce(1)
+          changes.filter(expr(pred)).coalesce(1)
             .write.mode("overwrite").parquet(tmp)
           val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
             .map(_.getPath).find(_.getName.endsWith(".parquet")).get
@@ -224,38 +285,41 @@ object MaintenanceQueries {
           .writeStream
           .option("checkpointLocation", s"$root/_checkpoint")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val cur = graft.sources.SnapshotCatalog.read(s, root, "t")
-            val upd = batch.filter(col("op") === "U")
-              .selectExpr("o_orderkey", "new_cents")
-            val del = batch.filter(col("op") === "D")
-              .select(col("o_orderkey"), lit(1).as("is_del"))
-            val ins = batch.filter(col("op") === "I")
-              .selectExpr("o_orderkey", "o_orderstatus", "cents",
-                "CAST(0 AS BIGINT) AS was_upd", "CAST(1 AS BIGINT) AS was_ins")
-            val merged = cur
-              .join(upd, Seq("o_orderkey"), "left")
-              .join(del, Seq("o_orderkey"), "left")
-              .filter(col("is_del").isNull)
-              .selectExpr("o_orderkey", "o_orderstatus",
-                "coalesce(new_cents, cents) AS cents",
-                "greatest(was_upd, CAST(CASE WHEN new_cents IS NOT NULL" +
-                  " THEN 1 ELSE 0 END AS BIGINT)) AS was_upd",
-                "was_ins")
-              .unionByName(ins)
-            graft.sources.SnapshotCatalog.commit(s, root, "t",
-              Seq("data" -> merged))
+            graft.sources.KeyedTable.mergeDelta(
+              s, root, "t", batch, "o_orderkey")(cdcMerge)
             ()
           }
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        graft.sources.SnapshotCatalog.read(s, root, "t")
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n_rows"),
-            sum("cents").as("sum_cents"),
-            sum("was_upd").as("n_updated"),
-            sum("was_ins").as("n_inserted"))
-          .orderBy("o_orderstatus")
+        cdcFinalAgg(graft.sources.KeyedTable.read(s, root, "t"))
+      },
+      UpsertOracle),
+
+    // FILE-PRUNED BATCH MERGE — the q_upsert_merge change set applied
+    // through the KeyedTable copy-on-write path in ONE mergeDelta call:
+    // base → 16 key-sorted files, probe → touched set, one rewrite job
+    // over touched files + one append job for the insert gap, manifest
+    // carries the rest by reference. Equality with the purely
+    // relational q_upsert_merge (same oracle) proves the storage path
+    // adds nothing and loses nothing; the pruning evidence itself
+    // (files_rewritten ≪ files_total on a sparse batch) is
+    // DeltaMergeSpec's.
+    "q_delta_merge" -> QueryDef(
+      (s, d) => {
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/dmerge/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = centsBase(s, d)
+        graft.sources.KeyedTable.write(s, root, "t",
+          base.selectExpr("o_orderkey", "o_orderstatus", "cents",
+            "CAST(0 AS BIGINT) AS was_upd", "CAST(0 AS BIGINT) AS was_ins"),
+          "o_orderkey", nFiles = 16)
+        graft.sources.KeyedTable.mergeDelta(
+          s, root, "t", cdcChanges(base), "o_orderkey")(cdcMerge)
+        cdcFinalAgg(graft.sources.KeyedTable.read(s, root, "t"))
       },
       UpsertOracle),
 

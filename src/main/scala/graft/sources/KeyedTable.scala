@@ -1,0 +1,321 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SparkException
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Key-range-manifested versioned table with FILE-PRUNED copy-on-write
+  * merge — the storage layout that makes a continuous change feed
+  * O(delta · fanout) per merge instead of O(table).
+  *
+  * Layout under a root:
+  *
+  * {{{
+  *   <root>/<table>/files/<name>.parquet    immutable, key-sorted data files
+  *   <root>/<table>/_manifests/<N>          version N: "relpath\tmin\tmax\trows" lines
+  *   <root>/<table>/_stage/...              in-flight writes (never read)
+  * }}}
+  *
+  * A version is a LIST OF FILES with their key ranges (read from the
+  * parquet footer statistics the key-sorted write produces — the
+  * `q_sorted_export` layout discipline made load-bearing). Files are
+  * immutable and SHARED across versions: a merge writes only
+  * replacement files for the ranges a change batch actually touches and
+  * re-references every other file from the previous manifest, so the
+  * bytes rewritten per merge track the delta, not the table. The
+  * manifest registers via create-temp + atomic rename (the
+  * [[SnapshotCatalog]] linearization point; the reference analog is the
+  * output-commit decision in
+  * `tez-mapreduce/src/main/java/org/apache/tez/mapreduce/committer/MROutputCommitter.java`
+  * and the DAG-success commit in
+  * `tez-dag/src/main/java/org/apache/tez/dag/app/dag/impl/DAGImpl.java`).
+  *
+  * Pruning invariant: file key ranges are kept NON-OVERLAPPING, so a
+  * key maps to at most one file ([[graft.functions.IntervalSlotBroadcast]]).
+  * The initial write range-partitions on the key; every merge
+  * re-partitions its output BY SLOT (original file index, or gap index
+  * for keys no file holds), so each replacement file's span stays
+  * inside its predecessor's span and each appended file's span stays
+  * inside one inter-file gap.
+  *
+  * At 100 TB: the manifest is O(#files) driver metadata; the slot probe
+  * is a broadcast binary search per change key (never a row × file
+  * join); the rewrite reads and writes only the touched files at full
+  * cluster parallelism. Accumulated small append files hand off to the
+  * usual compaction pass ([[Compaction]]).
+  */
+object KeyedTable {
+
+  final case class FileEntry(relPath: String, minKey: Long, maxKey: Long,
+      rows: Long)
+
+  /** What one merge touched — the evidence `files_rewritten ≪
+    * files_total` on a sparse batch (DeltaMergeSpec asserts it). */
+  final case class MergeStats(version: Long, filesTotal: Int,
+      filesCarried: Int, filesRewritten: Int, filesAppended: Int)
+
+  private def tableDir(root: String, table: String) = new Path(root, table)
+  private def filesDir(root: String, table: String) =
+    new Path(tableDir(root, table), "files")
+  private def manifestDir(root: String, table: String) =
+    new Path(tableDir(root, table), "_manifests")
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Highest registered version, 0 if none. */
+  def latestVersion(spark: SparkSession, root: String, table: String): Long = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root, table)
+    if (!fs.exists(md)) 0L
+    else fs.listStatus(md).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      .map(_.toLong).foldLeft(0L)(math.max)
+  }
+
+  /** Read a version's manifest, sorted by minKey. */
+  def manifest(spark: SparkSession, root: String, table: String,
+      version: Long = 0L): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val v = if (version > 0) version else latestVersion(spark, root, table)
+    val p = new Path(manifestDir(root, table), s"$v")
+    if (!fs.exists(p))
+      throw new SparkException(s"keyed table $table/v=$v is not registered")
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    body.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(rp, mn, mx, n) = line.split("\t")
+      FileEntry(rp, mn.toLong, mx.toLong, n.toLong)
+    }.toSeq.sortBy(_.minKey)
+  }
+
+  /** Read one version (latest when 0) as a DataFrame. */
+  def read(spark: SparkSession, root: String, table: String,
+      version: Long = 0L): DataFrame = {
+    val td = tableDir(root, table).toString
+    val paths = manifest(spark, root, table, version)
+      .map(e => s"$td/${e.relPath}")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Key min/max/rowcount from the parquet FOOTER — a metadata read,
+    * no data pages touched. None when the file holds zero rows. */
+  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
+      path: Path, keyCol: String): Option[(Long, Long, Long)] = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var rows = 0L
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == keyCol)
+          .getOrElse(throw new SparkException(
+            s"$path: no column chunk for key '$keyCol'"))
+        val st = c.getStatistics
+        if (st == null || st.isEmpty && b.getRowCount > 0)
+          throw new SparkException(s"$path: key '$keyCol' has no footer stats")
+        if (b.getRowCount > 0) {
+          mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
+          mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
+        }
+      }
+      if (rows == 0) None else Some((mn, mx, rows))
+    } finally rd.close()
+  }
+
+  /** Stage-write `df`, then move its part files into `files/` under
+    * fresh names and return their footer-derived entries. */
+  private def stageIn(spark: SparkSession, root: String, table: String,
+      keyCol: String, tag: String)(write: String => Unit): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val stage = new Path(tableDir(root, table),
+      s"_stage/${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    write(stage.toString)
+    val fd = filesDir(root, table)
+    fs.mkdirs(fd)
+    // partitionBy writes land under <stage>/__slot=<s>/part-*.parquet;
+    // plain writes under <stage>/part-*.parquet — collect both shapes
+    def parts(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) parts(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    val entries = parts(stage).zipWithIndex.flatMap { case (p, i) =>
+      footerRange(conf, p, keyCol).map { case (mn, mx, rows) =>
+        val name = s"${tag}_${i}_${p.getName.hashCode.toHexString}.parquet"
+        val dest = new Path(fd, name)
+        if (!fs.rename(p, dest))
+          throw new SparkException(s"keyed table: rename $p -> $dest failed")
+        FileEntry(s"files/$name", mn, mx, rows)
+      }
+    }
+    fs.delete(stage, true)
+    entries
+  }
+
+  /** Register `entries` as the next version (atomic rename). */
+  private def commitManifest(spark: SparkSession, root: String, table: String,
+      entries: Seq[FileEntry]): Long = {
+    val fs = fsOf(spark, root)
+    val v = latestVersion(spark, root, table) + 1
+    val md = manifestDir(root, table)
+    fs.mkdirs(md)
+    val tmp = new Path(md, s"$v.tmp")
+    val fin = new Path(md, s"$v")
+    val out = fs.create(tmp, true)
+    out.write(entries.map(e =>
+      s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.rows}")
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new SparkException(s"keyed table $table/v=$v: lost the version race")
+    }
+    v
+  }
+
+  /** Full build: range-partition on the key into ~`nFiles` key-sorted
+    * files (tight, non-overlapping footer ranges) and register v1 (or
+    * the next version). The write is one range shuffle — the same
+    * total-order layout `q_sorted_export` proves, made addressable. */
+  def write(spark: SparkSession, root: String, table: String, df: DataFrame,
+      keyCol: String, nFiles: Int): Long = {
+    require(df.schema(keyCol).dataType == LongType,
+      s"keyed table key '$keyCol' must be BIGINT")
+    val entries = stageIn(spark, root, table, keyCol, "base") { dir =>
+      df.repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(dir)
+    }
+    commitManifest(spark, root, table, entries)
+  }
+
+  /** FILE-PRUNED MERGE: apply a key-local change batch, rewriting only
+    * the files whose key range the batch intersects.
+    *
+    * `mergeFn(cur, changes)` must be KEY-LOCAL: its output keys are a
+    * subset of `keys(cur) ∪ keys(changes)`, each output row depends
+    * only on its key's rows from both sides, and
+    * `mergeFn(cur, ∅) ≡ cur` (untouched files are carried by
+    * reference, which asserts exactly that identity). The CDC
+    * upsert/delete/insert join is the canonical instance.
+    *
+    * Plan shape: one broadcast binary-search probe tags every change
+    * key with its slot (file index or gap index); the touched-file set
+    * collects bounded by #files; ONE job rewrites the touched files
+    * (scan of touched files only — the change batch joins inside
+    * `mergeFn`, AQE broadcasts the small side); ONE job appends
+    * gap-keyed inserts. Output partitions BY SLOT so every replacement
+    * span nests inside its predecessor and every append span nests
+    * inside one gap — ranges stay non-overlapping for the next probe.
+    */
+  def mergeDelta(outerSpark: SparkSession, root: String, table: String,
+      changes: DataFrame, keyCol: String)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): MergeStats = {
+    // analyze/read through the CHANGES' session: under foreachBatch the
+    // micro-batch frame is bound to a session CLONE whose function
+    // registry snapshot predates this call — registering on the outer
+    // session would leave graft_file_slot unresolvable here
+    val spark = changes.sparkSession
+    val entries = manifest(spark, root, table)
+    val td = tableDir(root, table).toString
+    val ranges = spark.sparkContext.broadcast(
+      (entries.map(_.minKey).toArray, entries.map(_.maxKey).toArray))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_file_slot",
+      exprs => graft.functions.IntervalSlotBroadcast(ranges, exprs(0)),
+      "scala_udf")
+    val slotted = changes
+      .withColumn("__slot",
+        org.apache.spark.sql.functions.expr(s"graft_file_slot($keyCol)"))
+      .persist()
+    try {
+      val touched = slotted.filter(col("__slot") >= 0)
+        .select("__slot").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by #files
+      val touchedSet = touched.toSet
+      val curSchema = spark.read
+        .parquet(s"$td/${entries.head.relPath}").schema
+      val emptyCur = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
+
+      val rewritten: Seq[FileEntry] =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val curTouched = spark.read.parquet(
+            touched.map(i => s"$td/${entries(i).relPath}").toIndexedSeq: _*)
+          val chTouched = slotted.filter(col("__slot") >= 0).drop("__slot")
+          val merged = mergeFn(curTouched, chTouched)
+            .withColumn("__slot", org.apache.spark.sql.functions
+              .expr(s"graft_file_slot($keyCol)"))
+          stageIn(spark, root, table, keyCol, "rw") { dir =>
+            merged.repartition(touched.length, col("__slot"))
+              .sortWithinPartitions("__slot", keyCol)
+              .write.mode("overwrite").partitionBy("__slot").parquet(dir)
+          }
+        }
+
+      val appended: Seq[FileEntry] = {
+        val chGap = slotted.filter(col("__slot") < 0)
+        val fresh = mergeFn(emptyCur, chGap.drop("__slot"))
+          .withColumn("__slot", org.apache.spark.sql.functions
+            .expr(s"graft_file_slot($keyCol)"))
+        stageIn(spark, root, table, keyCol, "app") { dir =>
+          fresh.repartition(col("__slot"))
+            .sortWithinPartitions("__slot", keyCol)
+            .write.mode("overwrite").partitionBy("__slot").parquet(dir)
+        }
+      }
+
+      val carried = entries.zipWithIndex
+        .filterNot { case (_, i) => touchedSet(i) }.map(_._1)
+      val v = commitManifest(spark, root, table,
+        carried ++ rewritten ++ appended)
+      MergeStats(v, entries.size, carried.size, rewritten.size, appended.size)
+    } finally {
+      slotted.unpersist()
+      ranges.destroy()
+    }
+  }
+
+  /** Retention GC: drop all but the newest `keepLast` manifests, then
+    * delete every data file no SURVIVING manifest references — the
+    * shared-file analog of [[SnapshotCatalog.expire]] (unregister
+    * first, delete second, so readers never resolve a path that is
+    * about to vanish... beyond the standard time-travel GC caveat). */
+  def expire(spark: SparkSession, root: String, table: String,
+      keepLast: Int): (Seq[Long], Int) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root, table)
+    if (!fs.exists(md)) return (Seq.empty, 0)
+    val versions = fs.listStatus(md).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      .map(_.toLong).sorted.toSeq
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(md, s"$v"), false))
+    val live = versions.drop(drop.size)
+      .flatMap(v => manifest(spark, root, table, v)).map(_.relPath).toSet
+    val fd = filesDir(root, table)
+    var removed = 0
+    if (fs.exists(fd)) fs.listStatus(fd).filter(_.isFile).foreach { st =>
+      if (!live(s"files/${st.getPath.getName}")) {
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    (drop, removed)
+  }
+}
