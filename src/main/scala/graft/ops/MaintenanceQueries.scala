@@ -915,5 +915,65 @@ object MaintenanceQueries {
         |FROM lineitem
         |WHERE year(l_shipdate) >= 1997 AND l_returnflag = 'R'
         |GROUP BY y
-        |ORDER BY y""".stripMargin))
+        |ORDER BY y""".stripMargin),
+
+    // MID-DAG RECOVERY — the reference's AM-restart behavior
+    // (RecoveryService.java persists DAG history; RecoveryParser.java
+    // replays it so finished vertices are restored, not re-run) as an
+    // oracle-gated query: a 3-stage pipeline (filter → join → rollup)
+    // commits each stage through the GroupCommit protocol, an injected
+    // driver death lands AFTER the join stage's commit, and the
+    // restarted run resumes from the committed outputs — the query
+    // itself asserts that ONLY the final stage recomputes, then
+    // returns the rollup the oracle recomputes relationally. Equality
+    // proves the resumed pipeline loses nothing; RecoverySpec adds the
+    // counter/mtime evidence and the died-inside-commit roll-forward.
+    //
+    // Scale shape: each boundary materializes once at full parallelism
+    // (the checkpoint trade); the resume read is ordinary parquet, so
+    // the tail stage re-enters Catalyst with pushdown intact.
+    "q_pipeline_recovery" -> QueryDef(
+      (s, d) => {
+        import graft.sources.StageRecovery
+        import graft.sources.StageRecovery.{Kill, Stage}
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/recov/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ordersProj = Tables.orders(s, d)
+          .selectExpr("o_orderkey", "o_orderstatus")
+        val stages = Seq(
+          Stage("filtered", _ => Tables.lineitem(s, d)
+            .filter(col("l_shipdate").isNotNull &&
+              org.apache.spark.sql.functions.year(col("l_shipdate")) <= 1996)
+            .selectExpr("l_orderkey", "l_returnflag",
+              "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents")),
+          Stage("joined", cur => cur.join(ordersProj,
+            cur("l_orderkey") === ordersProj("o_orderkey"))
+            .select("l_returnflag", "o_orderstatus", "cents")),
+          Stage("rollup", cur => cur
+            .groupBy("l_returnflag", "o_orderstatus")
+            .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+            .orderBy("l_returnflag", "o_orderstatus")))
+        // run 1: dies after the join stage committed
+        try {
+          StageRecovery.run(s, root, s.emptyDataFrame, stages,
+            Kill(failAfterStage = Some("joined")))
+          throw new IllegalStateException("injected death did not fire")
+        } catch { case _: org.apache.spark.SparkException => () }
+        // run 2 (the restarted AM): resume — only the tail recomputes
+        val (res, ran) = StageRecovery.run(s, root, s.emptyDataFrame, stages)
+        require(ran == Seq("rollup"),
+          s"recovery must skip committed stages, recomputed: $ran")
+        res
+      },
+      """SELECT l_returnflag, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate IS NOT NULL AND year(l_shipdate) <= 1996
+        |GROUP BY l_returnflag, o_orderstatus
+        |ORDER BY l_returnflag, o_orderstatus""".stripMargin))
 }
