@@ -291,6 +291,69 @@ object TextHashKernels {
     val dists = ivfDistArr(arr, nCells)
     argmin(dists, argmin(dists, -1)) + 1
   }
+
+  /** Squared L2 distances to the `s` SUPER-centroids of the two-level
+    * coarse quantizer (LCG rows 9000+i). */
+  private def superDistArr(arr: ArrayData, s: Int): Array[Double] = {
+    val dists = new Array[Double](s)
+    var i = 0
+    while (i < s) {
+      var dist = 0.0
+      var dd = 1
+      while (dd <= 64) {
+        val c = ivfCoef((9000L + i) * 64 + (dd - 1))
+        val x = arr.getFloat(dd - 1).toDouble
+        dist += (x - c) * (x - c)
+        dd += 1
+      }
+      dists(i) = dist
+      i += 1
+    }
+    dists
+  }
+
+  /** Squared L2 distances to super `si`'s `m` CHILD centroids: child
+    * (si, j) sits at the midpoint of the super centroid and an
+    * independent LCG point (rows 20000+si·m+j) — children cluster near
+    * their parent, which is what makes parent-routing a good proxy for
+    * the flat argmin. */
+  private def childDistArr(arr: ArrayData, si: Int, m: Int): Array[Double] = {
+    val dists = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      var dist = 0.0
+      var dd = 1
+      while (dd <= 64) {
+        val c = 0.5 * (ivfCoef((9000L + si) * 64 + (dd - 1)) +
+          ivfCoef((20000L + si.toLong * m + j) * 64 + (dd - 1)))
+        val x = arr.getFloat(dd - 1).toDouble
+        dist += (x - c) * (x - c)
+        dd += 1
+      }
+      dists(j) = dist
+      j += 1
+    }
+    dists
+  }
+
+  /** TWO-LEVEL coarse-quantizer cell (1-based global id si·m + j + 1):
+    * argmin over s supers, then argmin over that super's m children —
+    * O((s+m)·d) per row instead of the flat quantizer's O(s·m·d),
+    * which is what lets the cell count grow ∝ corpus (constant
+    * occupancy) without assignment itself going superlinear. */
+  def ivfCellH(arr: ArrayData, s: Int, m: Int): Int = {
+    val si = argmin(superDistArr(arr, s), -1)
+    si * m + argmin(childDistArr(arr, si, m), -1) + 1
+  }
+
+  /** nprobe=2 companion: best child of the SECOND-nearest super — the
+    * cross-super-boundary probe, aimed exactly at the neighbors the
+    * two-level routing can lose to a parent flip. */
+  def ivfCellH2(arr: ArrayData, s: Int, m: Int): Int = {
+    val sd = superDistArr(arr, s)
+    val si2 = argmin(sd, argmin(sd, -1))
+    si2 * m + argmin(childDistArr(arr, si2, m), -1) + 1
+  }
 }
 
 /** array<string> → array<bigint>: polyHash of each element. */
@@ -362,6 +425,12 @@ object TextHashFunctions {
       exprs => IvfCellExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_ivf_cell2",
       exprs => IvfCell2Expr(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_ivf_cell_h",
+      exprs => IvfCellHExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
+      "scala_udf")
+    r.createOrReplaceTempFunction("graft_ivf_cell_h2",
+      exprs => IvfCellH2Expr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
+      "scala_udf")
     r.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => LshBucketExpr(exprs(0), litInt(exprs(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_token_counts",
@@ -505,5 +574,33 @@ case class IvfCell2Expr(child: Expression, nCells: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHashKernels.ivfCell2($c, $nCells)")
   override protected def withNewChildInternal(c: Expression): IvfCell2Expr =
+    copy(child = c)
+}
+
+/** Two-level coarse-quantizer cell (s supers × m children). */
+case class IvfCellHExpr(child: Expression, s: Int, m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_cell_h"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.ivfCellH(input.asInstanceOf[ArrayData], s, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.ivfCellH($c, $s, $m)")
+  override protected def withNewChildInternal(c: Expression): IvfCellHExpr =
+    copy(child = c)
+}
+
+/** Two-level probe2 cell: best child of the second-nearest super. */
+case class IvfCellH2Expr(child: Expression, s: Int, m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_cell_h2"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.ivfCellH2(input.asInstanceOf[ArrayData], s, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.ivfCellH2($c, $s, $m)")
+  override protected def withNewChildInternal(c: Expression): IvfCellH2Expr =
     copy(child = c)
 }

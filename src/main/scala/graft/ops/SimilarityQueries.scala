@@ -106,29 +106,95 @@ object SimilarityQueries {
   private[graft] def adaptivePlanes(n: Long): Int =
     (NPlanes to 40).find(p => (1L << p) * 125 >= 4 * n).getOrElse(40)
 
-  /** Smallest c ≥ NCells with c²·1000 ≥ 128N — i.e. c ≈ 16·√(N/2000),
-    * FAISS's √N-scaled nlist (exactly 16 at the sf0.1 fixture). √N is
-    * the balance point of the two costs a FLAT coarse quantizer pays:
-    * assignment is O(N·c·d) and corpus-wide probing is O(N·(N/c)·d),
-    * so c ∝ N would make assignment itself quadratic (measured: the
-    * first cut of this knob used N/125 and the 100× point showed the
-    * quantizer dominating) while c ∝ √N caps the whole self-join at
-    * O(N^1.5·d) — the flat-IVF floor; the truly-linear neighbor is the
-    * LSH path (assignment O(N·log N·d), constant bucket occupancy). */
+  /** Smallest c ≥ NCells with 125·c ≥ N — CONSTANT cell occupancy at
+    * the sf0.1 fixture's density (125 rows/cell; exactly 16 cells at
+    * the fixture), the same rule the LSH knob applies to buckets.
+    *
+    * History of this knob (the flat-IVF floor, r06→r07): a FLAT coarse
+    * quantizer pays assignment O(N·c·d) plus corpus-wide probing
+    * O(N·(N/c)·d), so constant occupancy (c ∝ N) made ASSIGNMENT
+    * quadratic (measured), and r06 settled on FAISS's √N-nlist balance
+    * — which keeps both terms at O(N^1.5·d), measured 60.7× at 100×.
+    * r07 replaces the flat quantizer with the TWO-LEVEL routing of
+    * [[graft.functions.TextHashKernels.ivfCellH]] (argmin over
+    * s = ⌈√c⌉ supers, then over that super's m = ⌈c/s⌉ midpoint-seeded
+    * children): assignment drops to O(N·√c·d), which is cheap enough
+    * to return to constant occupancy — probing is linear again and
+    * assignment's √c·d per row stays below the 125·d probe cost until
+    * ~1000× the fixture (past that, add a third level: c^(1/3)). */
   private[graft] def adaptiveCells(n: Long): Int =
-    (NCells to 4096).find(c => c.toLong * c * 1000L >= 128L * n)
-      .getOrElse(4096)
+    (NCells to 65536).find(c => 125L * c >= n).getOrElse(65536)
 
-  /** The same two knobs as inline DuckDB SQL over the embeddings view —
+  /** Two-level split of a cell count: s = smallest with s² ≥ c, then
+    * m children per super (s·m ≥ c cells exist; ids run 1..s·m). */
+  private[graft] def superSplit(c: Int): (Int, Int) = {
+    val s = (1 to 256).find(s => s * s >= c).getOrElse(256)
+    (s, (c + s - 1) / s)
+  }
+
+  /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
   private def duckPlanesExpr: String =
     "GREATEST(6, (SELECT min(p) FROM (SELECT unnest(range(6, 41)) AS p) " +
       "tpl WHERE (CAST(1 AS BIGINT) << p) * 125 >= " +
       "4 * (SELECT count(*) FROM embeddings)))"
   private def duckCellsExpr: String =
-    "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 4097)) " +
-      "AS c) tc WHERE c * c * 1000 >= " +
-      "128 * (SELECT count(*) FROM embeddings)))"
+    "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 65537)) " +
+      "AS c) tc WHERE 125 * c >= (SELECT count(*) FROM embeddings)))"
+
+  /** DuckDB CTE computing (c, s, m) — the exact integer twins of
+    * [[adaptiveCells]] + [[superSplit]]. */
+  private def duckKnobsCte: String =
+    s"""knobs AS (
+       |  SELECT c, s, ((c + s - 1) // s) AS m FROM (
+       |    SELECT c, (SELECT min(ss) FROM
+       |        (SELECT unnest(range(1, 257)) AS ss) ts
+       |      WHERE ss * ss >= c) AS s
+       |    FROM (SELECT ($duckCellsExpr) AS c) tc0) tk)""".stripMargin
+
+  /** Per-row list of squared L2 distances to the s SUPER-centroids
+    * (LCG rows 9000+ii) — DuckDB twin of the kernel's superDistArr. */
+  private def duckSuperDists(emb: String): String = {
+    val d = DuckSql
+    val dist = d.foldDbl(
+      d.transform(d.seqIncl("1", "64"), "dd",
+        s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(9000 + ii)", "dd - 1")}) * " +
+          s"(${d.elemAtDbl(emb, "dd")} - ${planeCoef(d, "(9000 + ii)", "dd - 1")})"),
+      "acc", "v", "acc + v")
+    d.transform(d.seqIncl("0", "(s - 1)"), "ii", dist)
+  }
+
+  /** Per-row list of squared L2 distances to super `si`'s m child
+    * centroids (midpoint of the super point and LCG rows 20000+si·m+jj)
+    * — DuckDB twin of the kernel's childDistArr. */
+  private def duckChildDists(emb: String, si: String): String = {
+    val d = DuckSql
+    val cS = planeCoef(d, s"(9000 + $si)", "dd - 1")
+    val cD = planeCoef(d, s"(20000 + ($si) * m + jj)", "dd - 1")
+    val dist = d.foldDbl(
+      d.transform(d.seqIncl("1", "64"), "dd",
+        s"(${d.elemAtDbl(emb, "dd")} - 0.5 * ($cS + $cD)) * " +
+          s"(${d.elemAtDbl(emb, "dd")} - 0.5 * ($cS + $cD))"),
+      "acc", "v", "acc + v")
+    d.transform(d.seqIncl("0", "(m - 1)"), "jj", dist)
+  }
+
+  /** DuckDB CTE chain ending in `eb(vec_id, embedding, n2, cell)` —
+    * the oracle twin of graft_ivf_cell_h over the adaptive knobs. */
+  private def duckTwoLevelEbCte: String = {
+    val d = DuckSql
+    s"""$duckKnobsCte,
+       |e0 AS (SELECT vec_id, embedding,
+       |    ${d.dotDbl("embedding", "embedding")} AS n2, s, m
+       |  FROM embeddings, knobs),
+       |e1 AS (SELECT *, ${duckSuperDists("embedding")} AS sd FROM e0),
+       |e2 AS (SELECT *, (CAST(list_position(sd, list_min(sd)) AS INT) - 1)
+       |    AS si FROM e1),
+       |e3 AS (SELECT *, ${duckChildDists("embedding", "si")} AS cd FROM e2),
+       |eb AS (SELECT vec_id, embedding, n2,
+       |    CAST(si * m + list_position(cd, list_min(cd)) AS INT) AS cell
+       |  FROM e3)""".stripMargin
+  }
 
   /** Embeddings with squared norm + LSH bucket for a caller-chosen plane
     * count — the parameterized entry point the AnnLshSpec scale test and
@@ -547,11 +613,11 @@ object SimilarityQueries {
       (s, d) => {
         GraftFunctions.register(s)
         graft.functions.TextHashFunctions.register(s)
-        val nc = adaptiveCells(corpusN(s, d))
+        val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell"))
+            s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell"))
         val q = e.filter(col("vec_id") % 10 === 0)
           .selectExpr("vec_id AS arrival_id", "embedding AS qe", "n2 AS qn2", "cell")
         val c = e.filter(col("vec_id") % 10 =!= 0)
@@ -565,11 +631,7 @@ object SimilarityQueries {
           .filter(col("rn") <= 3)
           .orderBy("arrival_id", "rn")
       }, {
-        val d = DuckSql
-        s"""WITH eb AS (SELECT vec_id, embedding,
-           |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${ivfCell(d, "embedding", duckCellsExpr)} AS INT) AS cell
-           |  FROM embeddings)
+        s"""WITH $duckTwoLevelEbCte
            |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
            |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
            |    ${duckCos("q", "c")} AS cosine,
@@ -580,22 +642,26 @@ object SimilarityQueries {
            |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
       }),
 
-    // IVF-flat ANN: coarse-quantize into NCells Voronoi cells, then search
+    // IVF-flat ANN: coarse-quantize into Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
     // hyperplane LSH: at 100 TB the corpus is write-time partitioned by
     // cell, so a query touches one partition (plus neighbor cells for
-    // recall, not modeled here).
+    // recall, not modeled here). r07: assignment routes through the
+    // TWO-LEVEL quantizer (s supers → m children, O(√c·d)/row), which
+    // is what affords a cell count ∝ corpus (constant occupancy) — the
+    // r06 flat argmin forced c ∝ √N and an O(N^1.5) floor, measured
+    // 60.7× at 100×.
     "q_ann_ivf" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
         graft.functions.TextHashFunctions.register(s)
-        // native argmin expression (bit-identical to the SQL fold) +
-        // persist so the self-join doesn't assign cells twice
-        val nc = adaptiveCells(corpusN(s, d))
+        // native two-level argmin kernel (bit-identical to the SQL CTE
+        // chain) + persist so the self-join doesn't assign cells twice
+        val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell"))
+            s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell"))
         val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "cell")
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -610,11 +676,7 @@ object SimilarityQueries {
           .filter(col("rn") <= 3)
           .orderBy("query_id", "rn")
       }, {
-        val d = DuckSql
-        s"""WITH eb AS (SELECT vec_id, embedding,
-           |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    CAST(${ivfCell(d, "embedding", duckCellsExpr)} AS INT) AS cell
-           |  FROM embeddings)
+        s"""WITH $duckTwoLevelEbCte
            |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
            |    ${duckCos("q", "c")} AS cosine,
@@ -625,25 +687,27 @@ object SimilarityQueries {
       }),
 
     // IVF with nprobe=2 — the canonical recall knob: each query probes
-    // its nearest AND second-nearest cell. Only the QUERY side fans out
-    // (x2 rows through the banded join); the corpus keeps one row per
-    // vector in its home cell — at 100 TB the index never duplicates,
-    // recall/cost scales with nprobe, and a (query, neighbor) pair can't
-    // appear twice because cell2 <> cell1 by construction (the mask sets
-    // the chosen cell's distance to +inf before the second argmin).
+    // its nearest cell AND the best child of its SECOND-nearest super
+    // (under two-level routing the recall that parent-flips lose sits
+    // exactly across the super boundary, so that is where the second
+    // probe goes). Only the QUERY side fans out (x2 rows through the
+    // banded join); the corpus keeps one row per vector in its home
+    // cell — at 100 TB the index never duplicates, recall/cost scales
+    // with nprobe, and a (query, neighbor) pair can't appear twice
+    // because cell2 lives in a different super's id block than cell1.
     "q_ann_ivf_probe2" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
         graft.functions.TextHashFunctions.register(s)
-        // native argmin/argmin2 expressions (graft_ivf_cell2 masks the
-        // nearest cell and rescans — bit-identical to the oracle's
-        // +inf-mask CTE chain, one codegen'd call instead of three HOFs)
-        val nc = adaptiveCells(corpusN(s, d))
+        // native two-level kernels (graft_ivf_cell_h2 masks the nearest
+        // super and rescans — bit-identical to the oracle's +inf-mask
+        // CTE chain, one codegen'd call instead of a HOF pile)
+        val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
-            s"CAST(graft_ivf_cell(embedding, $nc) AS INT) AS cell1",
-            s"CAST(graft_ivf_cell2(embedding, $nc) AS INT) AS cell2"))
+            s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell1",
+            s"CAST(graft_ivf_cell_h2(embedding, $sc, $mc) AS INT) AS cell2"))
         val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
             "n2 AS qn2", "cell1 AS cell")
           .unionAll(e.selectExpr("vec_id AS query_id", "embedding AS qe",
@@ -661,15 +725,24 @@ object SimilarityQueries {
           .orderBy("query_id", "rn")
       }, {
         val d = DuckSql
-        s"""WITH v0 AS (SELECT vec_id, embedding,
-           |    ${d.dotDbl("embedding", "embedding")} AS n2,
-           |    ${ivfDists(d, "embedding", duckCellsExpr)} AS dists
-           |  FROM embeddings),
-           |v1 AS (SELECT *, CAST(${argminPos(d, "dists")} AS INT) AS cell1 FROM v0),
-           |v2 AS (SELECT *, list_transform(generate_series(1, ($duckCellsExpr)),
-           |    ii -> CASE WHEN ii = cell1 THEN CAST('infinity' AS DOUBLE)
-           |          ELSE dists[ii] END) AS dists2 FROM v1),
-           |v3 AS (SELECT *, CAST(${argminPos(d, "dists2")} AS INT) AS cell2 FROM v2),
+        s"""WITH $duckKnobsCte,
+           |e0 AS (SELECT vec_id, embedding,
+           |    ${d.dotDbl("embedding", "embedding")} AS n2, s, m
+           |  FROM embeddings, knobs),
+           |e1 AS (SELECT *, ${duckSuperDists("embedding")} AS sd FROM e0),
+           |e2 AS (SELECT *, (CAST(list_position(sd, list_min(sd)) AS INT) - 1)
+           |    AS si FROM e1),
+           |e2b AS (SELECT *, list_transform(generate_series(1, s),
+           |    ii -> CASE WHEN ii = si + 1 THEN CAST('infinity' AS DOUBLE)
+           |          ELSE sd[ii] END) AS sd2 FROM e2),
+           |e2c AS (SELECT *, (CAST(list_position(sd2, list_min(sd2)) AS INT) - 1)
+           |    AS si2 FROM e2b),
+           |e3 AS (SELECT *, ${duckChildDists("embedding", "si")} AS cd,
+           |    ${duckChildDists("embedding", "si2")} AS cd2 FROM e2c),
+           |v3 AS (SELECT vec_id, embedding, n2,
+           |    CAST(si * m + list_position(cd, list_min(cd)) AS INT) AS cell1,
+           |    CAST(si2 * m + list_position(cd2, list_min(cd2)) AS INT) AS cell2
+           |  FROM e3),
            |probes AS (
            |  SELECT vec_id, embedding, n2, cell1 AS cell FROM v3
            |  UNION ALL

@@ -12,17 +12,21 @@ import org.scalacheck.Prop.forAll
   *     was produced under those values. A drift here silently changes
   *     declared outputs at fixture scale.
   *  2. SCALING LAWS — planes hold bucket occupancy ≤ 31.25
-  *     (2^p·125 ≥ 4N, minimal such p), cells follow the √N nlist rule
-  *     (minimal c with c²·1000 ≥ 128N): tight minimality is what makes
-  *     the Scala-side and SQL-side integer searches agree at every N.
+  *     (2^p·125 ≥ 4N, minimal such p), cells hold occupancy ≤ 125
+  *     (minimal c with 125c ≥ N — constant occupancy, affordable since
+  *     r07's two-level quantizer made assignment O(√c·d)/row): tight
+  *     minimality is what makes the Scala-side and SQL-side integer
+  *     searches agree at every N. superSplit must cover the cell count
+  *     (s·m ≥ c) with the minimal square-ish s.
   */
 object AdaptiveKnobSpec extends Properties("AdaptiveKnobs") {
 
-  import ops.SimilarityQueries.{adaptiveCells, adaptivePlanes}
+  import ops.SimilarityQueries.{adaptiveCells, adaptivePlanes, superSplit}
 
   property("fixture sizes pin the legacy constants") =
     org.scalacheck.Prop(Seq(20L, 200L, 2000L).forall(n =>
-      adaptivePlanes(n) == 6 && adaptiveCells(n) == 16))
+      adaptivePlanes(n) == 6 && adaptiveCells(n) == 16 &&
+        superSplit(adaptiveCells(n)) == (4, 4)))
 
   private val sizes = Gen.chooseNum(1L, 100000000L)
 
@@ -33,11 +37,18 @@ object AdaptiveKnobSpec extends Properties("AdaptiveKnobs") {
         (p == 6 || (1L << (p - 1)) * 125 < 4 * n)
     }
 
-  property("cells: minimal c with c^2*1000 >= 128N, never below 16") =
+  property("cells: minimal c with 125c >= N, never below 16, capped at 65536") =
     forAll(sizes) { n =>
       val c = adaptiveCells(n)
-      c >= 16 && c.toLong * c * 1000 >= 128 * n &&
-        (c == 16 || (c - 1L) * (c - 1) * 1000 < 128 * n)
+      c >= 16 && (c == 65536 || 125L * c >= n) &&
+        (c == 16 || c == 65536 || 125L * (c - 1) < n)
+    }
+
+  property("superSplit: minimal s with s^2 >= c; children cover c") =
+    forAll(Gen.chooseNum(1, 65536)) { c =>
+      val (s, m) = superSplit(c)
+      s * s >= c && (s == 1 || (s - 1) * (s - 1) < c) &&
+        s * m >= c && (m == 1 || s.toLong * (m - 1) < c)
     }
 
   property("both knobs are monotone in corpus size") =

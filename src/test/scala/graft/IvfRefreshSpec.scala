@@ -23,7 +23,10 @@ import graft.functions.GraftFunctions
 class IvfRefreshSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val NCells = 16 // must match SimilarityQueries.NCells
+  // must match superSplit(adaptiveCells(fixture N)) = (4, 4) — the
+  // two-level quantizer q_ann_ivf routes through since r07
+  private val SCells = 4
+  private val MCells = 4
 
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
@@ -37,7 +40,7 @@ class IvfRefreshSpec extends AnyFunSuite {
     rmrf(dir)
     val all = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding",
-        s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell")
+        s"CAST(graft_ivf_cell_h(embedding, $SCells, $MCells) AS INT) AS cell")
 
     // initial build: the standing corpus (arrivals excluded)
     all.filter(col("vec_id") % 10 =!= 0)

@@ -16,7 +16,10 @@ import graft.functions.GraftFunctions
 class IvfWriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession._
 
-  private val NCells = 16 // must match SimilarityQueries.NCells
+  // must match superSplit(adaptiveCells(fixture N)) = (4, 4) — the
+  // two-level quantizer q_ann_ivf routes through since r07
+  private val SCells = 4
+  private val MCells = 4
 
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
@@ -30,7 +33,7 @@ class IvfWriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     rmrf(dir)
     Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding",
-        s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell")
+        s"CAST(graft_ivf_cell_h(embedding, $SCells, $MCells) AS INT) AS cell")
       .write.partitionBy("cell").parquet(dir.getPath)
 
     // cell directories exist (one per non-empty cell)
@@ -48,7 +51,7 @@ class IvfWriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scanStr.contains("PartitionFilters"), scanStr.take(400))
     // pruned read touches only the probed cells' rows
     val expectRows = Tables.embeddings(spark, sf)
-      .selectExpr(s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell")
+      .selectExpr(s"CAST(graft_ivf_cell_h(embedding, $SCells, $MCells) AS INT) AS cell")
       .filter(col("cell").isin(probeCells.toSeq: _*)).count()
     assert(probed.count() == expectRows)
 
