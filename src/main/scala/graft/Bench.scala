@@ -115,18 +115,23 @@ object Bench {
         }
         (q, suiteT, if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
       }
-    // GATE ERGONOMICS (r05 verdict item): a first breach UNDER 2.5× is
-    // the ambient-noise profile (co-tenant load spikes documented in
-    // BASELINE.md), so the isolated median becomes the query's
-    // REPORTED value — the 2× gate reads the stable signal directly
-    // instead of firing on neighborhood noise every noisy run. Both
-    // numbers stay in the artifact ("remeasured": {suite, isolated}).
-    // A breach ≥2.5× keeps the suite value front and center: that
-    // magnitude is a plan problem until the isolated number proves
-    // otherwise to a human reader.
+    // GATE ERGONOMICS (r05 verdict item, tightened r07): a first breach
+    // UNDER 2.5× is the ambient-noise profile (co-tenant load spikes
+    // documented in BASELINE.md), so the isolated median becomes the
+    // query's REPORTED value — the 2× gate reads the stable signal
+    // directly instead of firing on neighborhood noise every noisy
+    // run. Both numbers stay in the artifact ("remeasured": {suite,
+    // isolated}). Substitution requires the ISOLATED value itself to
+    // clear the 2× gate — a genuinely regressed query (isolated still
+    // over 2×) keeps its suite number in the headline and can never
+    // report its best-case time (r06 advisor item). A breach ≥2.5×
+    // likewise keeps the suite value front and center: that magnitude
+    // is a plan problem until the isolated number proves otherwise to
+    // a human reader.
     val reported = results ++ remeasured.collect {
       case (q, suiteT, isoT)
-          if isoT > 0 && base.get(q).exists(b => suiteT < 2.5 * b) =>
+          if isoT > 0 &&
+            base.get(q).exists(b => suiteT < 2.5 * b && isoT <= 2.0 * b) =>
         q -> isoT
     }
     val remeasureJson = remeasured

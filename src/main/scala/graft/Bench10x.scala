@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** 10×-corpus bench — the plan-dominated performance gate.
+  *
+  * At sf0.1 many per-query times sit on the scheduling/launch floor
+  * (~0.3-0.5 s), so round-over-round wall-time signal there is mostly
+  * fixed overhead. This main synthesizes the ScaleStress 10× corpus
+  * (decorrelated payloads, identical 32-file layout) from sf0.1 and
+  * times the scale-critical operator set against it — a scale where
+  * shuffles, joins and candidate generation dominate and a plan
+  * regression moves the number by its real factor.
+  *
+  * Contract mirrors graft.Bench: per-query 3-pass medians vs
+  * first-recorded rows in BASELINE_10x.md under the SAME 2× acceptance;
+  * queries with no recorded row get one appended (first run seeds the
+  * baseline). Artifact: BENCH_10x.json — one line with per-query
+  * seconds, breaches, and the baseline ratio. Run:
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.Bench10x [baseSfDir]"`.
+  * Keep the host otherwise idle (the ScaleStress co-load rule).
+  */
+object Bench10x {
+  private val Factor = 10
+
+  private def baselineFile(): java.io.File =
+    Seq("BASELINE_10x.md", "/root/repo/BASELINE_10x.md")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(new java.io.File("/root/repo/BASELINE_10x.md"))
+
+  private def baselines(): Map[String, Double] = {
+    val f = baselineFile()
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.startsWith("| q_")).flatMap { l =>
+        val c = l.split("\\|").map(_.trim)
+        if (c.length >= 3) scala.util.Try(c(1) -> c(2).toDouble).toOption
+        else None
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = s"${ProcScratch.base}/bench10x"
+    println(s"[bench10x] generating ${Factor}x corpus at $dir from $baseDir")
+    ScaleStress.generate(spark, baseDir, dir, Factor)
+    // warmup: footers + codegen for the first query's shapes
+    Seq("documents", "embeddings", "events", "lineitem", "orders")
+      .foreach { t =>
+        try spark.read.parquet(s"$dir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+    val errors = scala.collection.mutable.SortedSet.empty[String]
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case _: Throwable => errors += name; false }
+        finally ScratchCache.release()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val names = ScaleStress.StressQueries.filter(SparkEntry.queries.contains)
+    val passes = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      names.map(n => n -> timeOne(n)).toMap
+    }
+    val results: Seq[(String, Double)] = names.map { n =>
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
+    }
+    val base = baselines()
+    // first run (or newly added queries): append first-recorded rows so
+    // the NEXT round has an anchor — same protocol BASELINE.md followed
+    val missing = results.filter { case (q, t) => t > 0 && !base.contains(q) }
+    if (missing.nonEmpty) {
+      val f = baselineFile()
+      val header = if (f.exists()) "" else
+        s"""# BASELINE_10x — first-recorded per-query seconds on the
+           |# ScaleStress ${Factor}x corpus (synthesized from sf0.1; 32
+           |# files/table, decorrelated payloads). Gate: same 2×
+           |# acceptance as BASELINE.md, evaluated by graft.Bench10x
+           |# into BENCH_10x.json. Rows append on first measurement and
+           |# are never rewritten.
+           |
+           || query | first_s |
+           ||---|---|
+           |""".stripMargin
+      val rows = missing.map { case (q, t) => f"| $q | $t%.3f |\n" }.mkString
+      java.nio.file.Files.writeString(f.toPath, header + rows,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(s"[bench10x] recorded ${missing.size} new baseline rows")
+    }
+    val breaches = results.collect {
+      case (q, t) if t > 0 && base.get(q).exists(b => b > 0 && t > 2 * b) => q
+    }
+    val ratio = {
+      val both = results.filter { case (q, t) => t > 0 && base.contains(q) }
+      val num = both.map(_._2).sum
+      val den = both.map { case (q, _) => base(q) }.sum
+      if (den > 0) num / den else -1.0
+    }
+    val qs = results.map { case (q, t) => f""""$q":$t%.3f""" }
+      .mkString("{", ",", "}")
+    val total =
+      if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total_10x","value":$total%.1f,"unit":"sec","factor":$Factor,""" +
+        s""""queries":$qs,"errors":${errors.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""gate_2x_breaches":${breaches.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        f""""vs_baseline_ratio":${ratio}%.2f,"base_sf":"$baseDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/root/repo/BENCH_10x.json"), line)
+    println(line)
+    spark.stop()
+  }
+}

@@ -62,7 +62,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
     "q_heavy_hitters", "q_contamination",
     // iterative graph family (lineitem)
-    "q_cc_largestar", "q_pagerank",
+    "q_cc_largestar", "q_pagerank", "q_kcore", "q_shortest_path",
     // temporal + streaming (events)
     "q_event_funnel", "q_window_session",
     "q_stream_join", "q_stream_session", "q_stream_tumbling")

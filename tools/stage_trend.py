@@ -79,7 +79,7 @@ def main(old_path, new_path):
               "dependency chain):")
         for q, a, b in moved:
             print(f"  {q}: chain {a.get('chain')} -> {b.get('chain')}, "
-                  f"critical {a.get('s'):.2f}s -> {b.get('s'):.2f}s, "
+                  f"critical {a.get('s', 0):.2f}s -> {b.get('s', 0):.2f}s, "
                   f"jobs {a.get('jobs')} -> {b.get('jobs')}")
 
     improved = [(q, oq[q], nq[q]) for q in shared
