@@ -410,9 +410,13 @@ object TextQueries {
       // computed once and rounded to 6 dp. Rank ties break on the
       // bigram text, so the top-10 cutoff is deterministic. Scale
       // shape: ONE explode pass over the corpus (adjacent-pair
-      // generator is map-side), one (lang, w1, w2) count shuffle with
-      // partial aggregation, a lang×vocab-bounded prefix re-aggregation
-      // — never corpus-sized after the first shuffle.
+      // generator is map-side) into ONE map-combinable (lang, w1, w2)
+      // count shuffle; the prefix mass and the per-lang rank are
+      // WINDOWS over that single vocab-bounded count table (r07 — the
+      // r06 form derived prefix mass by re-aggregating a second copy
+      // of the count subtree and joining it back: 7 exchanges and the
+      // corpus pass run twice; the window form is 4 bounded exchanges
+      // and one corpus pass).
       "q_bigram_lm" -> QueryDef(
         (s, dir) => {
           import org.apache.spark.sql.expressions.Window
@@ -426,11 +430,11 @@ object TextQueries {
             .selectExpr("lang", "b.w1 AS w1", "b.w2 AS w2")
             .groupBy("lang", "w1", "w2")
             .agg(count(lit(1)).as("cnt"))
-          val prefix = bi.groupBy("lang", "w1").agg(sum("cnt").as("prefix_cnt"))
-          val w = Window.partitionBy("lang")
+          val wp = Window.partitionBy("lang", "w1")
+          val wr = Window.partitionBy("lang")
             .orderBy(col("cnt").desc, col("w1"), col("w2"))
-          bi.join(prefix, Seq("lang", "w1"))
-            .withColumn("rank", row_number().over(w))
+          bi.withColumn("prefix_cnt", sum("cnt").over(wp))
+            .withColumn("rank", row_number().over(wr))
             .filter(col("rank") <= 10)
             .selectExpr("lang", "CAST(rank AS INT) AS rank", "w1", "w2", "cnt",
               "round(CAST(cnt AS DOUBLE) / prefix_cnt, 6) AS cond_p")
