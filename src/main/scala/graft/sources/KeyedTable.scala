@@ -242,14 +242,15 @@ object KeyedTable {
         org.apache.spark.sql.functions.expr(s"graft_file_slot($keyCol)"))
       .persist()
     try {
-      val touched = slotted.filter(col("__slot") >= 0)
-        .select("__slot").distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by #files
+      // ONE bounded pass over the batch decides both work items: the
+      // distinct slot set is ≤ touched-files + touched-gaps, and a
+      // trigger whose batch hits no gap (or no file) skips that whole
+      // job — a steady change feed rarely pays both per trigger
+      val slots = slotted.select("__slot").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val touched = slots.filter(_ >= 0)
+      val hasGaps = slots.exists(_ < 0)
       val touchedSet = touched.toSet
-      val curSchema = spark.read
-        .parquet(s"$td/${entries.head.relPath}").schema
-      val emptyCur = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
 
       val rewritten: Seq[FileEntry] =
         if (touched.isEmpty) Seq.empty
@@ -267,17 +268,23 @@ object KeyedTable {
           }
         }
 
-      val appended: Seq[FileEntry] = {
-        val chGap = slotted.filter(col("__slot") < 0)
-        val fresh = mergeFn(emptyCur, chGap.drop("__slot"))
-          .withColumn("__slot", org.apache.spark.sql.functions
-            .expr(s"graft_file_slot($keyCol)"))
-        stageIn(spark, root, table, keyCol, "app") { dir =>
-          fresh.repartition(col("__slot"))
-            .sortWithinPartitions("__slot", keyCol)
-            .write.mode("overwrite").partitionBy("__slot").parquet(dir)
+      val appended: Seq[FileEntry] =
+        if (!hasGaps) Seq.empty
+        else {
+          val curSchema = spark.read
+            .parquet(s"$td/${entries.head.relPath}").schema
+          val emptyCur = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
+          val chGap = slotted.filter(col("__slot") < 0)
+          val fresh = mergeFn(emptyCur, chGap.drop("__slot"))
+            .withColumn("__slot", org.apache.spark.sql.functions
+              .expr(s"graft_file_slot($keyCol)"))
+          stageIn(spark, root, table, keyCol, "app") { dir =>
+            fresh.repartition(col("__slot"))
+              .sortWithinPartitions("__slot", keyCol)
+              .write.mode("overwrite").partitionBy("__slot").parquet(dir)
+          }
         }
-      }
 
       val carried = entries.zipWithIndex
         .filterNot { case (_, i) => touchedSet(i) }.map(_._1)
