@@ -264,7 +264,9 @@ object MaintenanceQueries {
         val mxKey = base.agg(org.apache.spark.sql.functions.max("o_orderkey"))
           .collect()(0).getLong(0) // bounded scalar
         val cuts = Seq(mxKey / 3, 2 * mxKey / 3)
-        val changes = cdcChanges(base)
+        // persist: the change feed is a 3-way union of base scans and
+        // feeds 3 chunk writes — build it once
+        val changes = cdcChanges(base).persist()
         (0 until 3).foreach { i =>
           val pred = i match {
             case 0 => s"o_orderkey < ${cuts(0)}"
@@ -279,6 +281,7 @@ object MaintenanceQueries {
           fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
           fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"chg_$i.parquet"))
         }
+        changes.unpersist()
         val chgSchema = s.read.parquet(watch).schema
         val q = s.readStream.schema(chgSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
