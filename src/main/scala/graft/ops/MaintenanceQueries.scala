@@ -969,7 +969,10 @@ object MaintenanceQueries {
         val (res, ran) = StageRecovery.run(s, root, s.emptyDataFrame, stages)
         require(ran == Seq("rollup"),
           s"recovery must skip committed stages, recomputed: $ran")
-        res
+        // res is the stage's parquet READ-BACK: the in-stage orderBy ran
+        // before the write, and a multi-file scan orders splits by size,
+        // not range — re-apply the final sort so row order is stable
+        res.orderBy("l_returnflag", "o_orderstatus")
       },
       """SELECT l_returnflag, o_orderstatus,
         |  CAST(count(*) AS BIGINT) AS n_rows,

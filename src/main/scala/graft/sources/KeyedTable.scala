@@ -73,7 +73,8 @@ object KeyedTable {
     val md = manifestDir(root, table)
     if (!fs.exists(md)) 0L
     else fs.listStatus(md).filter(_.isFile)
-      .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".tmp") || n.endsWith(".claim"))
       .map(_.toLong).foldLeft(0L)(math.max)
   }
 
@@ -122,7 +123,7 @@ object KeyedTable {
           .getOrElse(throw new SparkException(
             s"$path: no column chunk for key '$keyCol'"))
         val st = c.getStatistics
-        if (st == null || st.isEmpty && b.getRowCount > 0)
+        if ((st == null || st.isEmpty) && b.getRowCount > 0)
           throw new SparkException(s"$path: key '$keyCol' has no footer stats")
         if (b.getRowCount > 0) {
           mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
@@ -139,8 +140,11 @@ object KeyedTable {
       keyCol: String, tag: String)(write: String => Unit): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val conf = spark.sessionState.newHadoopConf()
-    val stage = new Path(tableDir(root, table),
-      s"_stage/${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // uid rides into the destination file names: data files from
+    // different merges can never collide (a name collision would rename
+    // over a live file still referenced by older manifests)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(tableDir(root, table), s"_stage/${tag}_$uid")
     write(stage.toString)
     val fd = filesDir(root, table)
     fs.mkdirs(fd)
@@ -154,7 +158,7 @@ object KeyedTable {
       }
     val entries = parts(stage).zipWithIndex.flatMap { case (p, i) =>
       footerRange(conf, p, keyCol).map { case (mn, mx, rows) =>
-        val name = s"${tag}_${i}_${p.getName.hashCode.toHexString}.parquet"
+        val name = s"${tag}_${uid}_$i.parquet"
         val dest = new Path(fd, name)
         if (!fs.rename(p, dest))
           throw new SparkException(s"keyed table: rename $p -> $dest failed")
@@ -165,13 +169,26 @@ object KeyedTable {
     entries
   }
 
-  /** Register `entries` as the next version (atomic rename). */
+  /** Register `entries` as the next version. The version slot is CLAIMED
+    * first by an atomic exclusive create of `<v>.claim` (create with
+    * overwrite=false is atomic on local FS and HDFS alike — unlike
+    * rename-to-existing, whose failure semantics differ per FS), then the
+    * manifest body lands by tmp-write + rename. A concurrent writer that
+    * computed the same next version fails the claim and throws — the
+    * optimistic-concurrency loser fails CLEANLY after staging (its
+    * orphaned data files are unreferenced and [[expire]] GCs them).
+    * Claim files persist beside their manifests and are GC'd together. */
   private def commitManifest(spark: SparkSession, root: String, table: String,
       entries: Seq[FileEntry]): Long = {
     val fs = fsOf(spark, root)
     val v = latestVersion(spark, root, table) + 1
     val md = manifestDir(root, table)
     fs.mkdirs(md)
+    val claim = new Path(md, s"$v.claim")
+    try fs.create(claim, false).close()
+    catch { case _: java.io.IOException =>
+      throw new SparkException(s"keyed table $table/v=$v: lost the version race")
+    }
     val tmp = new Path(md, s"$v.tmp")
     val fin = new Path(md, s"$v")
     val out = fs.create(tmp, true)
@@ -181,7 +198,7 @@ object KeyedTable {
     out.close()
     if (!fs.rename(tmp, fin)) {
       fs.delete(tmp, false)
-      throw new SparkException(s"keyed table $table/v=$v: lost the version race")
+      throw new SparkException(s"keyed table $table/v=$v: manifest rename failed")
     }
     v
   }
@@ -220,6 +237,20 @@ object KeyedTable {
     * gap-keyed inserts. Output partitions BY SLOT so every replacement
     * span nests inside its predecessor and every append span nests
     * inside one gap — ranges stay non-overlapping for the next probe.
+    *
+    * Concurrency: OPTIMISTIC. Each call reads the latest manifest, does
+    * its work against that snapshot, and commits the next version via an
+    * atomic exclusive claim — of two racing merges on one table, exactly
+    * one commits; the loser throws (`lost the version race`) AFTER
+    * staging, leaving orphaned unreferenced data files that [[expire]]
+    * GCs (ConcurrentMergeSpec proves both halves). The probe function
+    * name and broadcast are unique per call, so concurrent merges on the
+    * SAME session cannot corrupt each other's plans either.
+    *
+    * Empty table: a table registered from a zero-row frame has an empty
+    * manifest; an insert-only merge then passes `mergeFn` a zero-row
+    * `cur` whose schema is the CHANGE frame's schema (there is no table
+    * schema yet to read), and the merge output defines the table schema.
     */
   def mergeDelta(outerSpark: SparkSession, root: String, table: String,
       changes: DataFrame, keyCol: String)(
@@ -227,19 +258,23 @@ object KeyedTable {
     // analyze/read through the CHANGES' session: under foreachBatch the
     // micro-batch frame is bound to a session CLONE whose function
     // registry snapshot predates this call — registering on the outer
-    // session would leave graft_file_slot unresolvable here
+    // session would leave the probe unresolvable here
     val spark = changes.sparkSession
     val entries = manifest(spark, root, table)
     val td = tableDir(root, table).toString
     val ranges = spark.sparkContext.broadcast(
       (entries.map(_.minKey).toArray, entries.map(_.maxKey).toArray))
+    // unique per call: two merges sharing a session must not rebind each
+    // other's probe to the wrong broadcast mid-plan
+    val slotFn =
+      s"graft_file_slot_${java.util.UUID.randomUUID().toString.take(8)}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_file_slot",
+      slotFn,
       exprs => graft.functions.IntervalSlotBroadcast(ranges, exprs(0)),
       "scala_udf")
     val slotted = changes
       .withColumn("__slot",
-        org.apache.spark.sql.functions.expr(s"graft_file_slot($keyCol)"))
+        org.apache.spark.sql.functions.expr(s"$slotFn($keyCol)"))
       .persist()
     try {
       // ONE bounded pass over the batch decides both work items: the
@@ -260,7 +295,7 @@ object KeyedTable {
           val chTouched = slotted.filter(col("__slot") >= 0).drop("__slot")
           val merged = mergeFn(curTouched, chTouched)
             .withColumn("__slot", org.apache.spark.sql.functions
-              .expr(s"graft_file_slot($keyCol)"))
+              .expr(s"$slotFn($keyCol)"))
           stageIn(spark, root, table, keyCol, "rw") { dir =>
             merged.repartition(touched.length, col("__slot"))
               .sortWithinPartitions("__slot", keyCol)
@@ -271,14 +306,17 @@ object KeyedTable {
       val appended: Seq[FileEntry] =
         if (!hasGaps) Seq.empty
         else {
-          val curSchema = spark.read
-            .parquet(s"$td/${entries.head.relPath}").schema
+          // no data files yet → the change frame's schema stands in for
+          // the table schema (insert-only merge into an empty table)
+          val curSchema =
+            if (entries.isEmpty) changes.schema
+            else spark.read.parquet(s"$td/${entries.head.relPath}").schema
           val emptyCur = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
           val chGap = slotted.filter(col("__slot") < 0)
           val fresh = mergeFn(emptyCur, chGap.drop("__slot"))
             .withColumn("__slot", org.apache.spark.sql.functions
-              .expr(s"graft_file_slot($keyCol)"))
+              .expr(s"$slotFn($keyCol)"))
           stageIn(spark, root, table, keyCol, "app") { dir =>
             fresh.repartition(col("__slot"))
               .sortWithinPartitions("__slot", keyCol)
@@ -293,6 +331,8 @@ object KeyedTable {
       MergeStats(v, entries.size, carried.size, rewritten.size, appended.size)
     } finally {
       slotted.unpersist()
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(slotFn))
       ranges.destroy()
     }
   }
@@ -309,10 +349,14 @@ object KeyedTable {
     val md = manifestDir(root, table)
     if (!fs.exists(md)) return (Seq.empty, 0)
     val versions = fs.listStatus(md).filter(_.isFile)
-      .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".tmp") || n.endsWith(".claim"))
       .map(_.toLong).sorted.toSeq
     val drop = versions.dropRight(keepLast)
-    drop.foreach(v => fs.delete(new Path(md, s"$v"), false))
+    drop.foreach { v =>
+      fs.delete(new Path(md, s"$v"), false)
+      fs.delete(new Path(md, s"$v.claim"), false)
+    }
     val live = versions.drop(drop.size)
       .flatMap(v => manifest(spark, root, table, v)).map(_.relPath).toSet
     val fd = filesDir(root, table)
