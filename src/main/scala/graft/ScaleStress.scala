@@ -55,6 +55,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_exact", "q_dedup_keep_best", "q_dedup_ngram",
     "q_dedup_minhash", "q_dedup_minhash_weighted", "q_dedup_prefix",
     "q_dedup_simhash", "q_dedup_substring", "q_dedup_cluster",
+    "q_dedup_semantic",
     // similarity / ANN family (embeddings)
     "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivfpq", "q_kmeans",

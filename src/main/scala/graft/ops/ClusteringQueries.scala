@@ -102,6 +102,46 @@ object ClusteringQueries {
     * surfaces agree on what "duplicate" means on this fixture. */
   private val SemDupThreshold = 0.4
 
+  /** Target per-cluster occupancy for semantic dedup: the sf0.1
+    * fixture's density (2000 vectors / 8 clusters = 250). */
+  private val SemOcc = 250L
+
+  /** CORPUS-ADAPTIVE cluster count for semantic dedup: K = ⌈N/250⌉,
+    * floored at the legacy 8 — exactly 8 at every fixture SF (N ≤
+    * 2000), growing linearly with the corpus after. K ∝ N holds
+    * per-cluster occupancy constant, so the within-cluster pair join
+    * produces O(N·occ) candidates — LINEAR in the corpus — instead of
+    * the O(N²/K) a fixed K degrades to (the fixed-cardinality
+    * candidate-key defect class the n-gram/LSH/IVF knobs eliminated in
+    * r06). The DuckDB oracle computes the SAME integer formula inline
+    * from count(*), so every fixture row stays bit-identical. */
+  private[graft] def adaptiveSemK(n: Long): Int =
+    math.max(8L, (n + SemOcc - 1) / SemOcc).toInt
+
+  private val duckSemKExpr =
+    s"(SELECT GREATEST(8, (count(*) + ${SemOcc - 1}) // $SemOcc) FROM v)"
+
+  /** One assignment at arbitrary K: the centroid codebook travels as a
+    * broadcast into a codegen'd argmin ([[graft.functions.CentroidArgminBroadcast]])
+    * — O(K·d) per row in a tight long loop, no K-literal expression
+    * blow-up. Pure map: zero shuffles, same tie-break as [[assign]]. */
+  private def assignByArgmin(v: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val s = v.sparkSession
+    val bc = s.sparkContext.broadcast(
+      (cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+    val fn = s"graft_centroid_argmin_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => graft.functions.CentroidArgminBroadcast(bc, exprs(0)),
+      "scala_udf")
+    val out = v.selectExpr("vec_id", "v", s"$fn(v) AS cluster")
+    // resolution happened above; the expression holds the broadcast, so
+    // the name can go immediately (no cross-call registry races)
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    out
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023,
     // arXiv:2303.09540): k-means-cluster the embedding space, then call
@@ -109,29 +149,43 @@ object ClusteringQueries {
     // the same cluster, and remove the higher id of each such pair.
     // This is THE at-100-TB semantic-dedup shape: the clustering bounds
     // the candidate set (the quadratic pair step runs per cluster, never
-    // corpus×corpus — K grows with the corpus to keep clusters bounded),
-    // assignment is the same zero-shuffle centroid-literal map as
-    // q_kmeans, and the pair step is one hash-partitioned equi-join on
-    // cluster id. Output is the REMOVAL DECISION, not the pair list:
-    // each removed vec_id with its cluster, its kept representative
-    // (lowest-id duplicate neighbor — deterministic), and how many
-    // lower-id duplicates it had. All output columns are integers, so
-    // the only float arithmetic (the cosine itself) sits behind a
-    // threshold compare computed identically in both engines.
+    // corpus×corpus) because K = ⌈N/250⌉ GROWS WITH THE CORPUS
+    // ([[adaptiveSemK]] — 8 at every fixture SF, K ∝ N after): constant
+    // per-cluster occupancy makes candidate-pair volume linear in N.
+    // Assignment is a zero-shuffle broadcast-codebook argmin map
+    // (O(K·d)/row, codegen'd — [[assignByArgmin]]), and the pair step is
+    // one hash-partitioned equi-join on cluster id whose input is
+    // SHUFFLED EXACTLY ONCE: the joined frame is repartitioned on
+    // cluster BEFORE caching, so the cached relation's HashPartitioning
+    // satisfies both self-join sides and the join plans zero exchanges.
+    // (r07 postmortem: with the sides built independently, whether the
+    // two alias-identical exchanges dedup into one ReusedExchange is an
+    // AQE stage-cache timing artifact — r06 measured 1 materialization,
+    // r07 measured 2 with byte-identical code, the BENCH_DETAIL trend
+    // row's 2× shuffle jump. Partition-then-cache removes the
+    // nondeterminism instead of hoping for reuse.) Output is
+    // the REMOVAL DECISION, not the pair list: each removed vec_id with
+    // its cluster, its kept representative (lowest-id duplicate
+    // neighbor — deterministic), and how many lower-id duplicates it
+    // had. All output columns are integers, so the only float
+    // arithmetic (the cosine itself) sits behind a threshold compare
+    // computed identically in both engines.
     "q_dedup_semantic" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val v = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
+        val k = adaptiveSemK(v.count())
         var cents: Seq[(Int, Seq[Long])] =
-          v.filter(col("vec_id") < K).orderBy("vec_id").collect()
+          v.filter(col("vec_id") < k).orderBy("vec_id").collect()
             .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
-        for (_ <- 1 to Iters) cents = update(assign(v, cents))
-        val clusters = assign(v, cents).select("vec_id", "cluster")
-        val e = Tables.embeddings(s, d)
+        for (_ <- 1 to Iters) cents = update(assignByArgmin(v, cents))
+        val clusters = assignByArgmin(v, cents).select("vec_id", "cluster")
+        val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2")
           .join(clusters, "vec_id")
+          .repartition(col("cluster")))
         val a = e.selectExpr("cluster", "vec_id AS vec_id_a",
           "embedding AS ea", "n2 AS na2")
         val b = e.selectExpr("cluster", "vec_id AS vec_id_b",
@@ -153,7 +207,8 @@ object ClusteringQueries {
         val cos = s"(${DuckSql.dotDbl("a.embedding", "b.embedding")}" +
           " / sqrt(a.n2 * b.n2))"
         s"""WITH v AS (SELECT vec_id, ${quantCol(DuckSql)} AS v FROM embeddings),
-           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v WHERE vec_id < $K),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
+           |  WHERE vec_id < $duckSemKExpr),
            |$cteChain,
            |${assignCte("afinal", s"c$Iters")},
            |m AS (

@@ -57,4 +57,19 @@ object AdaptiveKnobSpec extends Properties("AdaptiveKnobs") {
       adaptivePlanes(lo) <= adaptivePlanes(hi) &&
         adaptiveCells(lo) <= adaptiveCells(hi)
     }
+
+  // semantic-dedup K (ClusteringQueries.adaptiveSemK): same contract
+  // shape — pinned at the fixtures, constant occupancy after
+  import ops.ClusteringQueries.adaptiveSemK
+
+  property("semK: 8 at every fixture size") =
+    org.scalacheck.Prop(Seq(20L, 200L, 2000L).forall(adaptiveSemK(_) == 8))
+
+  property("semK: minimal k with 250k >= N, never below 8, monotone") =
+    forAll(sizes, sizes) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val k = adaptiveSemK(hi)
+      k >= 8 && 250L * k >= hi && (k == 8 || 250L * (k - 1) < hi) &&
+        adaptiveSemK(lo) <= k
+    }
 }
