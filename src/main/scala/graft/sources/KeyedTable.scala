@@ -45,8 +45,10 @@ import org.apache.spark.sql.types.LongType
   * At 100 TB: the manifest is O(#files) driver metadata; the slot probe
   * is a broadcast binary search per change key (never a row × file
   * join); the rewrite reads and writes only the touched files at full
-  * cluster parallelism. Accumulated small append files hand off to the
-  * usual compaction pass ([[Compaction]]).
+  * cluster parallelism. Accumulated small append files are coalesced by
+  * the MANIFEST-AWARE [[KeyedTable.compact]] (the generic [[Compaction]]
+  * pass must never touch a keyed table — it would rewrite files behind
+  * the manifests and orphan every version).
   */
 object KeyedTable {
 
@@ -169,26 +171,41 @@ object KeyedTable {
     entries
   }
 
-  /** Register `entries` as the next version. The version slot is CLAIMED
-    * first by an atomic exclusive create of `<v>.claim` (create with
-    * overwrite=false is atomic on local FS and HDFS alike — unlike
-    * rename-to-existing, whose failure semantics differ per FS), then the
-    * manifest body lands by tmp-write + rename. A concurrent writer that
-    * computed the same next version fails the claim and throws — the
-    * optimistic-concurrency loser fails CLEANLY after staging (its
-    * orphaned data files are unreferenced and [[expire]] GCs them).
+  /** Register `entries` as version `v` — which must be EXACTLY the
+    * writer's snapshot version + 1, never recomputed at commit time: a
+    * writer that re-read `latestVersion` here would happily commit on
+    * top of a version it never saw and silently drop that version's
+    * changes (the lost-update hole the claim alone does not close).
+    * The slot is CLAIMED by an atomic exclusive create of `<v>.claim`
+    * (create with overwrite=false is atomic on local FS and HDFS alike —
+    * unlike rename-to-existing, whose failure semantics differ per FS),
+    * then the manifest body lands by tmp-write + rename. Of N writers
+    * sharing a snapshot, exactly one wins the claim; every loser throws
+    * CLEANLY after staging (its orphaned data files are unreferenced and
+    * [[expire]] GCs them — ConcurrentMergeSpec proves both halves).
     * Claim files persist beside their manifests and are GC'd together. */
   private def commitManifest(spark: SparkSession, root: String, table: String,
-      entries: Seq[FileEntry]): Long = {
+      entries: Seq[FileEntry], v: Long): Long = {
     val fs = fsOf(spark, root)
-    val v = latestVersion(spark, root, table) + 1
     val md = manifestDir(root, table)
     fs.mkdirs(md)
+    // the claim primitive must be ATOMIC exclusive-create. On HDFS,
+    // create(overwrite=false) is (one namenode op); on the local FS it
+    // is CHECK-THEN-CREATE (RawLocalFileSystem), so two racers can both
+    // pass it and then both write the same <v>.tmp — use the kernel's
+    // O_CREAT|O_EXCL via File.createNewFile there instead
     val claim = new Path(md, s"$v.claim")
-    try fs.create(claim, false).close()
-    catch { case _: java.io.IOException =>
+    val claimed =
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme))
+        new java.io.File(claim.toUri.getPath match {
+          case null => claim.toString.stripPrefix("file:")
+          case p => p
+        }).createNewFile()
+      else
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    if (!claimed)
       throw new SparkException(s"keyed table $table/v=$v: lost the version race")
-    }
     val tmp = new Path(md, s"$v.tmp")
     val fin = new Path(md, s"$v")
     val out = fs.create(tmp, true)
@@ -211,12 +228,13 @@ object KeyedTable {
       keyCol: String, nFiles: Int): Long = {
     require(df.schema(keyCol).dataType == LongType,
       s"keyed table key '$keyCol' must be BIGINT")
+    val baseV = latestVersion(spark, root, table)
     val entries = stageIn(spark, root, table, keyCol, "base") { dir =>
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(dir)
     }
-    commitManifest(spark, root, table, entries)
+    commitManifest(spark, root, table, entries, baseV + 1)
   }
 
   /** FILE-PRUNED MERGE: apply a key-local change batch, rewriting only
@@ -260,7 +278,8 @@ object KeyedTable {
     // registry snapshot predates this call — registering on the outer
     // session would leave the probe unresolvable here
     val spark = changes.sparkSession
-    val entries = manifest(spark, root, table)
+    val baseV = latestVersion(spark, root, table)
+    val entries = manifest(spark, root, table, baseV)
     val td = tableDir(root, table).toString
     val ranges = spark.sparkContext.broadcast(
       (entries.map(_.minKey).toArray, entries.map(_.maxKey).toArray))
@@ -327,7 +346,7 @@ object KeyedTable {
       val carried = entries.zipWithIndex
         .filterNot { case (_, i) => touchedSet(i) }.map(_._1)
       val v = commitManifest(spark, root, table,
-        carried ++ rewritten ++ appended)
+        carried ++ rewritten ++ appended, baseV + 1)
       MergeStats(v, entries.size, carried.size, rewritten.size, appended.size)
     } finally {
       slotted.unpersist()
@@ -335,6 +354,67 @@ object KeyedTable {
         org.apache.spark.sql.catalyst.FunctionIdentifier(slotFn))
       ranges.destroy()
     }
+  }
+
+  /** What one compaction touched. */
+  final case class CompactStats(version: Long, filesBefore: Int,
+      filesAfter: Int, filesCompacted: Int)
+
+  /** MANIFEST-AWARE COMPACTION: coalesce runs of adjacent small files —
+    * the per-gap append debris a sustained change feed accumulates
+    * ([[mergeDelta]] writes one file per touched gap per trigger) — into
+    * range-partitioned files of ~`targetRows`, registered as a new
+    * version. This is the versioned replacement for pointing the generic
+    * [[Compaction]] pass at the table, which would rewrite files behind
+    * the manifest's back and orphan every version.
+    *
+    * Files stay immutable and shared: old versions still resolve
+    * byte-identically, and the replaced small files become unreferenced
+    * in the new version only — [[expire]] GCs them once no surviving
+    * manifest lists them. Non-overlap is preserved: entries are sorted
+    * and pairwise disjoint, a run is a consecutive slice of them, its
+    * rewrite range-partitions inside the run's own key span, and
+    * separate runs never merge — so every output file's span is disjoint
+    * from every carried file's and from every other run's.
+    *
+    * A run must have ≥ 2 files, each under `targetRows`; a table with no
+    * such run commits NOTHING (no empty version churn) and reports the
+    * current version. At 100 TB this is the same O(debris) job shape as
+    * the merge itself: only the small files are read or written, at full
+    * cluster parallelism, one job per run of the handful the feed built.
+    */
+  def compact(spark: SparkSession, root: String, table: String,
+      keyCol: String, targetRows: Long): CompactStats = {
+    require(targetRows > 0, "targetRows must be positive")
+    val baseV = latestVersion(spark, root, table)
+    val entries = manifest(spark, root, table, baseV) // sorted by minKey
+    val runs = scala.collection.mutable.ListBuffer.empty[Seq[FileEntry]]
+    val cur = scala.collection.mutable.ListBuffer.empty[FileEntry]
+    entries.foreach { e =>
+      if (e.rows < targetRows) cur += e
+      else { if (cur.size >= 2) runs += cur.toSeq; cur.clear() }
+    }
+    if (cur.size >= 2) runs += cur.toSeq
+    if (runs.isEmpty)
+      return CompactStats(baseV, entries.size, entries.size, 0)
+    val td = tableDir(root, table).toString
+    val rewritten = runs.toSeq.flatMap { run =>
+      val nOut = math.max(1,
+        ((run.map(_.rows).sum + targetRows - 1) / targetRows).toInt)
+      val df = spark.read.parquet(
+        run.map(e => s"$td/${e.relPath}").toIndexedSeq: _*)
+      stageIn(spark, root, table, keyCol, "cmp") { dir =>
+        df.repartitionByRange(nOut, col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    val replaced = runs.flatten.map(_.relPath).toSet
+    val carried = entries.filterNot(e => replaced(e.relPath))
+    val v = commitManifest(spark, root, table,
+      carried ++ rewritten, baseV + 1)
+    CompactStats(v, entries.size, carried.size + rewritten.size,
+      replaced.size)
   }
 
   /** Retention GC: drop all but the newest `keepLast` manifests, then
