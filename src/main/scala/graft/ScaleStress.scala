@@ -204,12 +204,21 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     ((System.nanoTime() - t0) / 1e9, signature(df))
   }
 
-  /** FIXED-SIZE-DELTA merge experiment: the same 500-key change batch
-    * merges into a keyed events table at 1× (32 files) and factor×
-    * (32·factor files — constant file SIZE, the production layout
-    * discipline). O(delta · fanout) predicts ratio ≈ 1; the r06
-    * full-rewrite CDC would have paid ≈ factor. Reported beside the
-    * query rows as `cdc_delta`. */
+  /** FIXED-SIZE-DELTA merge experiment, two delta SHAPES, each at 1×
+    * (32 files) and factor× (32·factor files — constant file SIZE, the
+    * production layout discipline):
+    *
+    *  - NARROW: the same 500 contiguous keys at both scales → fanout is
+    *    1 file at either scale. O(delta · fanout) predicts ratio ≈ 1
+    *    (the r06 full-rewrite CDC would have paid ≈ factor).
+    *  - WIDE: 500 keys striped evenly across the FIRST 10% OF FILES of
+    *    each table → fanout is ~3 files at 1× and ~3·factor at factor×.
+    *    O(delta · fanout) predicts time ∝ files touched — the ratio
+    *    tracks the FANOUT ratio (≈ factor), NOT the table-size ratio,
+    *    and per-rewritten-file cost stays ~constant across scales. This
+    *    is the slope the single-file narrow point cannot show.
+    *
+    * Reported beside the query rows as `cdc_delta`. */
   private def cdcDeltaExperiment(spark: SparkSession, dir1: String,
       dirN: String, factor: Int): String = {
     def upsert(cur: DataFrame, ch: DataFrame): DataFrame = {
@@ -218,8 +227,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
         .selectExpr("event_id", "user_id",
           "coalesce(new_cents, cents) AS cents")
     }
-    def run(dir: String, nFiles: Int, tag: String)
-        : (Double, sources.KeyedTable.MergeStats) = {
+    def setup(dir: String, nFiles: Int, tag: String): String = {
       val root = s"${ProcScratch.base}/scale_cdc/$tag"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -227,9 +235,12 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       val ev = Tables.events(spark, dir).selectExpr("event_id", "user_id",
         "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
       sources.KeyedTable.write(spark, root, "t", ev, "event_id", nFiles)
-      val lo = sources.KeyedTable.manifest(spark, root, "t").head.minKey
-      // replica-0 event ids are identical at both scales → same delta
-      val delta = spark.range(lo, lo + 500).toDF("event_id")
+      root
+    }
+    def mergeBest(root: String, keys: Seq[Long])
+        : (Double, sources.KeyedTable.MergeStats) = {
+      import spark.implicits._
+      val delta = keys.toDF("event_id")
         .selectExpr("event_id", "CAST(0 AS BIGINT) AS user_id",
           "CAST(1 AS BIGINT) AS cents")
       def once() = {
@@ -241,15 +252,45 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       val a = once(); val b = once() // best-of-2, min: noise only inflates
       if (a._1 <= b._1) a else b
     }
-    val (t1, s1) = run(dir1, 32, "1x")
-    val (tN, sN) = run(dirN, 32 * factor, s"${factor}x")
-    println(f"[scale] cdc_delta t1=$t1%6.2fs t$factor=$tN%6.2fs " +
+    // narrow: replica-0 event ids are identical at both scales → the
+    // SAME contiguous 500-key batch
+    def narrowKeys(root: String): Seq[Long] = {
+      val lo = sources.KeyedTable.manifest(spark, root, "t").head.minKey
+      (lo until lo + 500)
+    }
+    // wide: stripe the 500 keys evenly across the first 10% of files
+    // (re-read the manifest so earlier merges' replacements are seen)
+    def wideKeys(root: String): Seq[Long] = {
+      val m = sources.KeyedTable.manifest(spark, root, "t")
+      val span = math.max(1, (m.size + 9) / 10)
+      val perFile = math.max(1, 500 / span)
+      m.take(span).flatMap { e =>
+        val step = math.max(1L, (e.maxKey - e.minKey) / perFile)
+        (0 until perFile).map(j => math.min(e.maxKey, e.minKey + j * step))
+      }.distinct // a dup key would fan out the upsert's left join
+    }
+    val root1 = setup(dir1, 32, "1x")
+    val rootN = setup(dirN, 32 * factor, s"${factor}x")
+    val (t1, s1) = mergeBest(root1, narrowKeys(root1))
+    val (tN, sN) = mergeBest(rootN, narrowKeys(rootN))
+    val (w1, ws1) = mergeBest(root1, wideKeys(root1))
+    val (wN, wsN) = mergeBest(rootN, wideKeys(rootN))
+    val perFile1 = w1 / math.max(1, ws1.filesRewritten)
+    val perFileN = wN / math.max(1, wsN.filesRewritten)
+    println(f"[scale] cdc_delta narrow t1=$t1%6.2fs t$factor=$tN%6.2fs " +
       f"ratio=${tN / t1}%5.2f rw=${s1.filesRewritten}/${s1.filesTotal} vs " +
       f"${sN.filesRewritten}/${sN.filesTotal}")
+    println(f"[scale] cdc_delta wide   t1=$w1%6.2fs t$factor=$wN%6.2fs " +
+      f"ratio=${wN / w1}%5.2f rw=${ws1.filesRewritten}/${ws1.filesTotal} vs " +
+      f"${wsN.filesRewritten}/${wsN.filesTotal} " +
+      f"perFile=${perFile1}%.3f vs ${perFileN}%.3f")
     f"""{"delta_rows":500,"t1_s":$t1%.3f,"t${factor}_s":$tN%.3f,""" +
       f""""ratio":${tN / t1}%.2f,""" +
       s""""files_total_1x":${s1.filesTotal},"files_rewritten_1x":${s1.filesRewritten},""" +
-      s""""files_total_${factor}x":${sN.filesTotal},"files_rewritten_${factor}x":${sN.filesRewritten}}"""
+      s""""files_total_${factor}x":${sN.filesTotal},"files_rewritten_${factor}x":${sN.filesRewritten},""" +
+      f""""wide":{"t1_s":$w1%.3f,"t${factor}_s":$wN%.3f,"ratio":${wN / w1}%.2f,""" +
+      s""""files_rewritten_1x":${ws1.filesRewritten},"files_rewritten_${factor}x":${wsN.filesRewritten},""" +
+      f""""per_file_s_1x":$perFile1%.3f,"per_file_s_${factor}x":$perFileN%.3f}}"""
   }
 
   /** Typed per-query artifact row — what the MERGED summary needs from
