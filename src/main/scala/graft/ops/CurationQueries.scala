@@ -80,6 +80,46 @@ object CurationQueries {
     d.foldBig(tokHashes, "acc", "h", s"(acc * 131 + h) % ${Dialect.M}")
   }
 
+  /** q_curation_pipeline's three stages, exposed individually so the
+    * recovery path can checkpoint at the pipeline's OWN boundaries
+    * (sources.StageRecovery + CurationRecoverySpec): the declared query
+    * composes exactly these functions, so the recovered pipeline and
+    * the one-shot query cannot drift. Stage outputs are plain narrow
+    * frames (no structs), so each boundary materializes as ordinary
+    * parquet and the resume read re-enters Catalyst with pruning
+    * intact. */
+  private[graft] def curationGate(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.TextHashFunctions.register(in.sparkSession)
+    in.selectExpr("doc_id", "text", "lang", "n_chars",
+        s"graft_text_stats(${SparkSql.tokens("text")}) AS st")
+      .filter(expr("NOT (st.n_tokens < 20 OR st.n_tokens > 500" +
+        " OR (CAST(st.n_distinct AS DOUBLE) / st.n_tokens) < 0.3" +
+        " OR (CAST(st.stop_hits AS DOUBLE) / st.n_tokens) < 0.01)"))
+      .select("doc_id", "text", "lang", "n_chars")
+  }
+
+  private[graft] def curationDedup(gated: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    gated.groupBy("text").agg(min("doc_id").as("keep_id"))
+      .join(gated, col("keep_id") === gated("doc_id"))
+      // by NAME: doc_id/lang/n_chars appear once post-join (only `text`
+      // duplicates), and dataset-qualified refs would trip Spark's
+      // ambiguous-self-join detection here
+      .select("doc_id", "lang", "n_chars")
+
+  private[graft] def curationRollup(deduped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    deduped
+      .selectExpr(s"${splitCase(SparkSql)} AS split", "lang",
+        "doc_id", "n_chars")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("split", "lang")
+
   val defs: Map[String, QueryDef] = Map(
     // Deterministic split assignment + per-split accounting. Plain scan
     // (no documentsParallel round-robin): the per-row work is a 12-term
@@ -430,28 +470,9 @@ object CurationQueries {
     // standalone query, so the composition is oracle-exact by
     // construction.
     "q_curation_pipeline" -> QueryDef(
-      (s, d) => {
-        graft.functions.TextHashFunctions.register(s)
-        val gated = Tables.documentsParallel(s, d)
-          .selectExpr("doc_id", "text", "lang", "n_chars",
-            s"graft_text_stats(${SparkSql.tokens("text")}) AS st")
-          .filter(expr("NOT (st.n_tokens < 20 OR st.n_tokens > 500" +
-            " OR (CAST(st.n_distinct AS DOUBLE) / st.n_tokens) < 0.3" +
-            " OR (CAST(st.stop_hits AS DOUBLE) / st.n_tokens) < 0.01)"))
-        val deduped = gated
-          .groupBy("text")
-          .agg(min("doc_id").as("keep_id"))
-          .join(gated, col("keep_id") === gated("doc_id"))
-        deduped
-          .selectExpr(s"${splitCase(SparkSql)} AS split", "lang",
-            "doc_id", "n_chars")
-          .groupBy("split", "lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_chars").as("sum_chars"),
-            min("doc_id").as("min_doc_id"),
-            max("doc_id").as("max_doc_id"))
-          .orderBy("split", "lang")
-      }, {
+      (s, d) =>
+        curationRollup(curationDedup(curationGate(
+          Tables.documentsParallel(s, d)))), {
         val d = DuckSql
         val toks = d.tokens("text")
         val nTok = d.sizeL(toks)
