@@ -326,6 +326,63 @@ object MaintenanceQueries {
       },
       UpsertOracle),
 
+    // MANIFEST-AWARE COMPACTION under a sustained change feed: five
+    // insert-only merges land in five disjoint far gaps (one small
+    // debris file each — exactly the layout a long-running CDC feed
+    // accumulates), then KeyedTable.compact() coalesces the small-file
+    // runs into a NEW VERSION. The declared output is the per-status
+    // accounting of the COMPACTED table read — content must survive the
+    // rewrite bit-exactly (the oracle recomputes base ∪ inserts
+    // relationally) — while the layout guarantees (file count drops,
+    // version bumps, nothing compacts twice) are require()d in-query
+    // and proven at soak length by KeyedCompactionSpec. At 100 TB this
+    // is the maintenance pass that keeps the file count O(table/target)
+    // instead of O(triggers).
+    "q_keyed_compact" -> QueryDef(
+      (s, d) => {
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/kcompact/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = centsBase(s, d)
+        graft.sources.KeyedTable.write(s, root, "t", base,
+          "o_orderkey", nFiles = 16)
+        // five insert-only batches into five disjoint far gaps
+        (0 until 5).foreach { i =>
+          val ins = base.filter(
+            org.apache.spark.sql.functions.expr(s"o_orderkey % 17 = $i"))
+            .selectExpr(s"o_orderkey + ${(i + 1)} * ${InsOff}L AS o_orderkey",
+              "o_orderstatus", s"cents + $i AS cents")
+          graft.sources.KeyedTable.mergeDelta(
+            s, root, "t", ins, "o_orderkey")((cur, ch) => cur.unionByName(ch))
+        }
+        val before = graft.sources.KeyedTable.manifest(s, root, "t").size
+        val preV = graft.sources.KeyedTable.latestVersion(s, root, "t")
+        val n = base.count()
+        val st = graft.sources.KeyedTable.compact(
+          s, root, "t", "o_orderkey", targetRows = math.max(1L, n / 4))
+        require(st.filesCompacted >= 5 && st.filesAfter < before,
+          s"compaction must coalesce the debris: $st (before=$before)")
+        require(st.version == preV + 1, s"compaction must commit a version: $st")
+        graft.sources.KeyedTable.read(s, root, "t")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderstatus")
+      },
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |ins AS (
+         |  SELECT o_orderkey + ((o_orderkey % 17) + 1) * $InsOff AS o_orderkey,
+         |    o_orderstatus, cents + (o_orderkey % 17) AS cents
+         |  FROM base WHERE o_orderkey % 17 < 5),
+         |merged AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     // SNAPSHOT DIFF — the inverse of the upsert: given two table
     // versions (v1 = the base, v2 = the base with q_upsert_merge's
     // change rules applied), classify every key as added / deleted /
