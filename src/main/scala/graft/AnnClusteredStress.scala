@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN stress on a DENSITY-SKEWED corpus — closes the r07 honesty gap:
+  * every IVF/LSH scale number so far rode the fixture's near-uniform
+  * synthetic embeddings, the best case for a coarse quantizer. Real
+  * 100 TB corpora are clustered, and constant-occupancy cell sizing +
+  * midpoint-seeded children can concentrate mass in hot cells — where
+  * the within-cell candidate join quietly turns quadratic.
+  *
+  * Method: synthesize the ScaleStress corpus with `mode=clustered`
+  * (16 planted hash-anchor clusters, linear-ramp density — the densest
+  * ~31× the sparsest; ScaleStress.mutate) at 1× and factor×, then
+  * measure what the declared queries' plan shape cannot show:
+  *
+  *  - OCCUPANCY of IVF cells and LSH buckets at both scales: max,
+  *    median, and the candidate-pair mass Σ count² (the exact row count
+  *    the within-cell/bucket self-join produces). A quantizer that
+  *    absorbs density keeps Σc² growing ~linearly with N; a collapsed
+  *    one shows max/median exploding and Σc² going quadratic.
+  *  - RECALL@3 (probe1/probe2) against brute-force ground truth on a
+  *    ~100-query sample at both scales: hot cells are not a failure if
+  *    recall holds and candidate mass stays bounded — and high
+  *    occupancy WITH recall collapse means the cells stopped being
+  *    neighborhoods.
+  *
+  * Artifact: one JSON with per-scale rows. Run:
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.AnnClusteredStress
+  *  [baseSfDir] [factor] [outJson]"` (keep the host quiet).
+  */
+object AnnClusteredStress {
+
+  private final case class ScaleRow(tag: String, n: Long, json: String)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("/root/repo/SCALE_clustered_ann.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+    functions.TextHashFunctions.register(spark)
+
+    val root = s"${ProcScratch.base}/clustered_ann"
+    val dir1 = s"$root/sf1x"
+    val dirN = s"$root/sf${factor}x"
+    println(s"[ann-clustered] generating mode=clustered 1x at $dir1 and " +
+      s"${factor}x at $dirN from $baseDir")
+    ScaleStress.generate(spark, baseDir, dir1, 1, mode = "clustered")
+    ScaleStress.generate(spark, baseDir, dirN, factor, mode = "clustered")
+
+    val rows = Seq(("1x", dir1), (s"${factor}x", dirN)).map { case (tag, dir) =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      val cells = ops.SimilarityQueries.adaptiveCells(n)
+      val (sc, mc) = ops.SimilarityQueries.superSplit(cells)
+      val planes = ops.SimilarityQueries.adaptivePlanes(n)
+      val assigned = e.selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell",
+        s"graft_lsh_bucket(embedding, $planes) AS bucket").persist()
+
+      def occ(c: String): (Int, Long, Long, Double) = {
+        val counts = assigned.groupBy(c).count()
+          .select("count").collect().map(_.getLong(0)).sorted
+        val sumSq = counts.map(x => x.toDouble * x).sum
+        (counts.length, counts.last, counts(counts.length / 2), sumSq)
+      }
+      val (cellsUsed, cellMax, cellMed, cellSq) = occ("cell")
+      val (bUsed, bMax, bMed, bSq) = occ("bucket")
+
+      // recall@3 on a ~100-query sample vs brute-force ground truth
+      val qstep = math.max(1L, n / 100)
+      val q = assigned
+        .filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cell",
+          s"CAST(graft_ivf_cell_h2(embedding, $sc, $mc) AS INT) AS cell2")
+        .persist()
+      val cand = assigned.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "cell AS ccell")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      def top3(joined: DataFrame): Set[(Long, Long)] = joined
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id",
+          "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = top3(q.crossJoin(cand))
+      val probe1 = q.select(col("query_id"), col("qe"), col("qn2"),
+        col("cell").as("probe"))
+      val probe2 = probe1.unionByName(q.select(col("query_id"), col("qe"),
+        col("qn2"), col("cell2").as("probe")))
+      def recallOf(qs: DataFrame): Double = {
+        val got = top3(qs.join(cand, col("probe") === col("ccell"))
+          .dropDuplicates("query_id", "neighbor_id"))
+        (truth & got).size.toDouble / truth.size
+      }
+      val r1 = recallOf(probe1)
+      val r2 = recallOf(probe2)
+
+      // the TRAINED (data-seeded) quantizer (q_ann_ivf_trained) on the
+      // same corpus: occupancy must track density; recall must hold
+      val bal = ops.SimilarityQueries.trainedCells(spark, dir)
+      val bCounts = bal.groupBy("cell").count()
+        .select("count").collect().map(_.getLong(0)).sorted
+      val (balUsed, balMax, balMed) =
+        (bCounts.length, bCounts.last, bCounts(bCounts.length / 2))
+      val balSq = bCounts.map(x => x.toDouble * x).sum
+      val balQ = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cell AS probe")
+      val balCand = bal.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "cell AS ccell")
+      val balGot = top3(balQ.join(balCand, col("probe") === col("ccell")))
+      val balR1 = (truth & balGot).size.toDouble / truth.size
+      ScratchCache.release()
+
+      q.unpersist(); assigned.unpersist()
+      println(f"[ann-clustered] $tag%-4s n=$n cells=$cells used=$cellsUsed " +
+        f"occ max/med=$cellMax/$cellMed sumsq=${cellSq}%.3g | " +
+        f"lsh buckets used=$bUsed max/med=$bMax/$bMed sumsq=${bSq}%.3g | " +
+        f"recall@3 p1=$r1%.3f p2=$r2%.3f | trained used=$balUsed " +
+        f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall p1=$balR1%.3f")
+      ScaleRow(tag, n,
+        f"""{"n":$n,"cells":$cells,"cells_used":$cellsUsed,""" +
+          f""""cell_occ_max":$cellMax,"cell_occ_med":$cellMed,""" +
+          f""""cell_pair_mass":$cellSq%.0f,""" +
+          f""""planes":$planes,"buckets_used":$bUsed,""" +
+          f""""bucket_occ_max":$bMax,"bucket_occ_med":$bMed,""" +
+          f""""bucket_pair_mass":$bSq%.0f,""" +
+          f""""recall3_probe1":$r1%.3f,"recall3_probe2":$r2%.3f,""" +
+          f""""trained_cells_used":$balUsed,"trained_occ_max":$balMax,""" +
+          f""""trained_occ_med":$balMed,"trained_pair_mass":$balSq%.0f,""" +
+          f""""trained_recall3_probe1":$balR1%.3f}""")
+    }
+    // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
+    // factor × 1.5, same slack as ScaleStress), recall must not collapse
+    def massOf(key: String): Map[String, Double] = rows.map(r => {
+      val m = ("\"" + key + "\":([0-9.eE+]+)").r
+        .findFirstMatchIn(r.json).get.group(1).toDouble
+      r.tag -> m
+    }).toMap
+    val mass = massOf("cell_pair_mass")
+    val balMass = massOf("trained_pair_mass")
+    val massRatio = mass(s"${factor}x") / mass("1x")
+    val balRatio = balMass(s"${factor}x") / balMass("1x")
+    val out =
+      s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
+        rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
+        f""""cell_pair_mass_ratio":$massRatio%.2f,""" +
+        f""""trained_pair_mass_ratio":$balRatio%.2f,""" +
+        f""""linear_bound":${factor * 1.5}%.1f}"""
+    java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)
+    println(s"[ann-clustered] wrote $outJson (pair-mass ratio hash=" +
+      f"$massRatio%.2f trained=$balRatio%.2f vs linear bound " +
+      f"${factor * 1.5}%.1f)")
+    spark.stop()
+  }
+}

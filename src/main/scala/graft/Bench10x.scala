@@ -23,6 +23,13 @@ import org.apache.spark.sql.SparkSession
 object Bench10x {
   private val Factor = 10
 
+  /** Outside the ScaleStress ratio set but still 10×-gated here: the
+    * KeyedTable batch merge and the kill+resume pipeline. They get no
+    * ScaleStress ratio row because their driver table (orders) rides
+    * unscaled there by design — a 1.0 "ratio" would be noise — but
+    * their 10×-corpus wall time is a real plan-dominated signal. */
+  private val Extras = Seq("q_delta_merge", "q_pipeline_recovery")
+
   private def baselineFile(): java.io.File =
     Seq("BASELINE_10x.md", "/root/repo/BASELINE_10x.md")
       .map(new java.io.File(_)).find(_.exists())
@@ -71,7 +78,8 @@ object Bench10x {
         finally ScratchCache.release()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val names = ScaleStress.StressQueries.filter(SparkEntry.queries.contains)
+    val names =
+      (ScaleStress.StressQueries ++ Extras).filter(SparkEntry.queries.contains)
     val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
       names.map(n => n -> timeOne(n)).toMap

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Two-level TRAINED-codebook cell assignment (the data-seeded IVF of
+  * ops.SimilarityQueries.trainedCells): given a 1e-6-quantized vector
+  * (array<bigint>) and a broadcast codebook of (superIds, superVecs,
+  * childIdsBySuper, childVecsBySuper), return the vec_id of the nearest
+  * CHILD seed within the nearest SUPER seed. All distances are exact
+  * integer squared-L2; both argmins tie to the smallest seed id (seed
+  * arrays are fed sorted ascending; strict `<` keeps the first
+  * minimum) — the same total order the DuckDB oracle's
+  * `ROW_NUMBER() OVER (ORDER BY dist2, sid)` CTE chain evaluates, so
+  * cell ids are bit-identical across engines.
+  *
+  * Cost: O((√c + children-of-super)·d) per row in tight long loops with
+  * a running-best early exit, inside whole-stage codegen; the codebook
+  * (≤65536 seeds × 64 longs) moves once per executor as a broadcast —
+  * the same device as [[IntervalSlotBroadcast]] and
+  * [[CentroidArgminBroadcast]]. Reference analog: broadcast edges
+  * feeding per-task lookup state
+  * (`tez-runtime-library/src/main/java/org/apache/tez/runtime/library/conf/UnorderedKVEdgeConfig.java`).
+  */
+case class TwoLevelArgminBroadcast(
+    codebook: Broadcast[(Array[Long], Array[Array[Long]],
+      Array[Array[Long]], Array[Array[Array[Long]]])],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_trained_cell"
+
+  @transient private lazy val superIds = codebook.value._1
+  @transient private lazy val superVecs = codebook.value._2
+  @transient private lazy val childIds = codebook.value._3
+  @transient private lazy val childVecs = codebook.value._4
+
+  private def argminIdx(x: Array[Long], vecs: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var i = 0
+    while (i < vecs.length) {
+      val c = vecs(i)
+      var d = 0L
+      var j = 0
+      while (j < x.length && d < bestD) {
+        val t = x(j) - c(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Executor-side probe; also the codegen entry point. */
+  def cellOf(v: ArrayData): Long = {
+    val x = v.toLongArray()
+    val si = argminIdx(x, superVecs)
+    val kids = childVecs(si)
+    // a probed super always has children: every super seed is its own
+    // nearest child (ss is a multiple of sc), and exact-integer ties
+    // route rows to the smallest duplicate id on both engines
+    childIds(si)(argminIdx(x, kids))
+  }
+
+  override def nullSafeEval(v: Any): Any = cellOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTrainedCell", this,
+      classOf[TwoLevelArgminBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.cellOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelArgminBroadcast =
+    copy(child = newChild)
+}

@@ -132,6 +132,119 @@ object SimilarityQueries {
     (s, (c + s - 1) / s)
   }
 
+  /** Seed strides for the TRAINED (data-seeded) quantizer: child seeds
+    * are every `sc`-th vec_id (≈ c of them), super seeds every `ss`-th
+    * (≈ ⌈√c⌉ of them, a SUBSET of the child seeds — ss is a multiple of
+    * sc, so every super seed is its own nearest child and no probed
+    * super is childless). At the fixtures: sc = 125 (16 child seeds),
+    * ss = 500 (4 supers). */
+  private[graft] def trainedStrides(n: Long): (Long, Long) = {
+    val c = adaptiveCells(n)
+    val (s, _) = superSplit(c)
+    val sc = math.max(1L, n / c)
+    val ss = sc * math.max(1L, c.toLong / s)
+    (sc, ss)
+  }
+
+  /** Embeddings with their TRAINED two-level IVF cell — the
+    * density-adaptive coarse quantizer. Motivation is measured
+    * (SCALE_r08_clustered_ann.json): on a 16-cluster density-skewed
+    * corpus the hash-seeded quantizer's hottest cell ran 15× its median
+    * with recall halved at 10×, and a mass-balanced grid along fixed
+    * projections fixed occupancy but destroyed recall (thin slabs are
+    * not neighborhoods). The classical fix is FAISS's: train the
+    * quantizer ON THE DATA. Seeds are strided corpus vectors — a dense
+    * region holds proportionally many vec_ids, hence proportionally
+    * many seeds, hence proportionally many (smaller) Voronoi cells — so
+    * occupancy tracks 1/density exactly where the hash seeds piled up.
+    * Routing stays two-level (argmin over ≈√c super seeds, then over
+    * that super's child seeds, O(√c·d)/row amortized) and all distances
+    * are exact integer squared-L2 on 1e-6-quantized vectors with
+    * ties-to-smaller-id — bit-identical in the DuckDB twin
+    * ([[graft.functions.TwoLevelArgminBroadcast]] is the codegen'd
+    * kernel; the codebook rides one broadcast).
+    *
+    * Returns (vec_id, embedding, n2, cell) scratch-cached; cell ids are
+    * child-seed vec_ids. */
+  private[graft] def trainedCells(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
+    val n = v.count()
+    val (sc, ss) = trainedStrides(n)
+    val childSeeds = v.filter(expr(s"vec_id % $sc = 0"))
+      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val superSeeds = childSeeds.filter(_._1 % ss == 0)
+    // driver-side: each child seed routes to its super (same integer
+    // dist + smallest-id tie-break the kernel and the oracle use)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val bySuper: Map[Long, Array[(Long, Array[Long])]] =
+      childSeeds.groupBy { case (_, cv) =>
+        superSeeds.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
+      }
+    val empty = Array.empty[(Long, Array[Long])]
+    val superIds = superSeeds.map(_._1)
+    // child arrays sorted ascending: the kernel's first-minimum scan
+    // must tie to the smallest id, like the oracle's ORDER BY dist, cid
+    val kids = superIds.map(sid => bySuper.getOrElse(sid, empty).sortBy(_._1))
+    val bc = s.sparkContext.broadcast((
+      superIds, superSeeds.map(_._2),
+      kids.map(_.map(_._1)), kids.map(_.map(_._2))))
+    val fn = s"graft_trained_cell_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
+      "scala_udf")
+    val out = graft.ScratchCache.scratch(
+      v.selectExpr("vec_id", "embedding", "n2", s"$fn(qv) AS cell")
+        .repartition(col("cell")))
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    out
+  }
+
+  /** DuckDB twin of [[trainedCells]] — ends in
+    * `eb(vec_id, embedding, n2, cell)`. */
+  private def duckTrainedEbCte: String = {
+    val d = DuckSql
+    val q = d.quantVec("embedding", 1000000L)
+    s"""tn AS (SELECT count(*) AS n FROM embeddings),
+       |tk AS (
+       |  SELECT GREATEST(1, n // c) AS sc,
+       |    GREATEST(1, n // c) * GREATEST(1, c // s) AS ss
+       |  FROM (SELECT ($duckCellsExpr) AS c, n,
+       |      (SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z) tz
+       |        WHERE z * z >= ($duckCellsExpr)) AS s
+       |    FROM tn) tkk),
+       |tv AS (SELECT vec_id, embedding,
+       |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
+       |  FROM embeddings),
+       |tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
+       |  WHERE vec_id % sc = 0),
+       |tss AS (SELECT vec_id AS sid, qv AS sv FROM tv, tk
+       |  WHERE vec_id % ss = 0),
+       |tca AS (SELECT cid, cv, sid AS csuper FROM (
+       |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
+       |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
+       |    FROM tcs c CROSS JOIN tss s) WHERE rn = 1),
+       |tra AS (SELECT vec_id, embedding, n2, qv, sid AS rsuper FROM (
+       |    SELECT t.vec_id, t.embedding, t.n2, t.qv, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${d.dist2Big("t.qv", "s.sv")}, s.sid) AS rn
+       |    FROM tv t CROSS JOIN tss s) WHERE rn = 1),
+       |eb AS (SELECT vec_id, embedding, n2, cid AS cell FROM (
+       |    SELECT r.vec_id, r.embedding, r.n2, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
+       |    FROM tra r JOIN tca a ON a.csuper = r.rsuper) WHERE rn = 1)""".stripMargin
+  }
+
   /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
   private def duckPlanesExpr: String =
@@ -677,6 +790,49 @@ object SimilarityQueries {
           .orderBy("query_id", "rn")
       }, {
         s"""WITH $duckTwoLevelEbCte
+           |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+           |    ${duckCos("q", "c")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+           |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }),
+
+    // TRAINED (data-seeded) IVF — the density-adaptive answer to the
+    // clustered stress finding (SCALE_r08_clustered_ann.json:
+    // hash-seeded cells ran max/median 15× with recall halved on a
+    // 16-cluster density-skewed corpus at 10×; a mass-balanced
+    // projection grid fixed occupancy but collapsed recall to 0.02 —
+    // thin slabs are not neighborhoods). Cells are Voronoi around
+    // STRIDED CORPUS VECTORS ([[trainedCells]] — FAISS's train-on-a-
+    // sample recipe made deterministic): dense regions hold
+    // proportionally many seeds, so occupancy tracks 1/density and the
+    // within-cell pair mass stays ~linear in N on any profile, while
+    // cells remain true neighborhoods (recall holds — measured in the
+    // same artifact). Search shape is identical to q_ann_ivf (one
+    // hash-partitioned self-join on cell + per-query top-3); at 100 TB
+    // the corpus is write-time partitioned by cell exactly as the
+    // q_ann_ivf family documents, and the index build adds two bounded
+    // collects (the ≤65536-seed codebook) + one broadcast.
+    "q_ann_ivf_trained" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d)
+        val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "cell")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      }, {
+        s"""WITH $duckTrainedEbCte
            |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
            |    ${duckCos("q", "c")} AS cosine,

@@ -63,5 +63,19 @@ class AnnRecallSpec extends AnyFunSuite {
     // toward 1.0 as nprobe grows).
     assert(r1 >= 0.30, f"probe1 recall collapsed: $r1%.3f (measured 0.337)")
     assert(r2 >= 0.48, f"probe2 recall collapsed: $r2%.3f (measured 0.528)")
+
+    // the TRAINED (data-seeded) quantizer, measured 0.235 here: on the
+    // UNIFORM fixture strided data seeds buy nothing over hash seeds
+    // (both are arbitrary points in a structure-free cloud) and its
+    // Voronoi geometry costs a little recall vs the midpoint children.
+    // Its design target is CLUSTERED corpora, where it wins on both
+    // axes (SCALE_r08_clustered_ann.json: recall 0.437/0.263 vs hash
+    // 0.367/0.153 at 1×/10×, occupancy max/med 458/118 vs 1414/93).
+    // The floor below pins the uniform-fixture value against routing
+    // regressions, not against the hash variant.
+    val pt = pairs("q_ann_ivf_trained")
+    val rt = (truth & pt).size.toDouble / truth.size
+    info(f"recall@3 ivf_trained=$rt%.3f")
+    assert(rt >= 0.20, f"trained recall collapsed: $rt%.3f (measured 0.235)")
   }
 }
