@@ -129,6 +129,26 @@ object AnnClusteredStress {
       val balR1 = (truth & balGot).size.toDouble / truth.size
       ScratchCache.release()
 
+      // the DENSITY-ADAPTIVE LSH (q_ann_lsh_adaptive) on the same
+      // corpus: hot buckets refined by member-seeded sub-cells, so the
+      // (bucket, cell) occupancy must stay ≈ the cap and pair mass
+      // ≈ linear where the plain buckets above go quadratic
+      val ref = ops.SimilarityQueries.lshRefined(spark, dir)
+      val rCounts = ref.groupBy("bucket", "cell").count()
+        .select("count").collect().map(_.getLong(0)).sorted
+      val (refUsed, refMax, refMed) =
+        (rCounts.length, rCounts.last, rCounts(rCounts.length / 2))
+      val refSq = rCounts.map(x => x.toDouble * x).sum
+      val refQ = ref.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "bucket AS pbucket", "cell AS pcell")
+      val refCand = ref.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "bucket AS cbucket", "cell AS ccell")
+      val refGot = top3(refQ.join(refCand,
+        col("pbucket") === col("cbucket") && col("pcell") === col("ccell")))
+      val refR1 = (truth & refGot).size.toDouble / truth.size
+      ScratchCache.release()
+
       q.unpersist(); assigned.unpersist()
       println(f"[ann-clustered] $tag%-4s n=$n cells=$cells used=$cellsUsed " +
         f"occ max/med=$cellMax/$cellMed sumsq=${cellSq}%.3g | " +
@@ -145,7 +165,10 @@ object AnnClusteredStress {
           f""""recall3_probe1":$r1%.3f,"recall3_probe2":$r2%.3f,""" +
           f""""trained_cells_used":$balUsed,"trained_occ_max":$balMax,""" +
           f""""trained_occ_med":$balMed,"trained_pair_mass":$balSq%.0f,""" +
-          f""""trained_recall3_probe1":$balR1%.3f}""")
+          f""""trained_recall3_probe1":$balR1%.3f,""" +
+          f""""adaptive_lsh_cells_used":$refUsed,"adaptive_lsh_occ_max":$refMax,""" +
+          f""""adaptive_lsh_occ_med":$refMed,"adaptive_lsh_pair_mass":$refSq%.0f,""" +
+          f""""adaptive_lsh_recall3_probe1":$refR1%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -156,18 +179,21 @@ object AnnClusteredStress {
     }).toMap
     val mass = massOf("cell_pair_mass")
     val balMass = massOf("trained_pair_mass")
+    val refMass = massOf("adaptive_lsh_pair_mass")
     val massRatio = mass(s"${factor}x") / mass("1x")
     val balRatio = balMass(s"${factor}x") / balMass("1x")
+    val refRatio = refMass(s"${factor}x") / refMass("1x")
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
         rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
         f""""cell_pair_mass_ratio":$massRatio%.2f,""" +
         f""""trained_pair_mass_ratio":$balRatio%.2f,""" +
+        f""""adaptive_lsh_pair_mass_ratio":$refRatio%.2f,""" +
         f""""linear_bound":${factor * 1.5}%.1f}"""
     java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)
     println(s"[ann-clustered] wrote $outJson (pair-mass ratio hash=" +
-      f"$massRatio%.2f trained=$balRatio%.2f vs linear bound " +
-      f"${factor * 1.5}%.1f)")
+      f"$massRatio%.2f trained=$balRatio%.2f adaptiveLsh=$refRatio%.2f " +
+      f"vs linear bound ${factor * 1.5}%.1f)")
     spark.stop()
   }
 }

@@ -57,7 +57,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_simhash", "q_dedup_substring", "q_dedup_cluster",
     "q_dedup_semantic",
     // similarity / ANN family (embeddings)
-    "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_probe2",
+    "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_lsh_adaptive",
+    "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivf_trained", "q_ann_ivfpq", "q_kmeans",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",

@@ -323,6 +323,144 @@ object SimilarityQueries {
         s"graft_lsh_bucket(embedding, $nPlanes) AS bucket")
   }
 
+  // ---- DENSITY-ADAPTIVE LSH (r08) --------------------------------------
+  // The clustered-corpus stress (SCALE_r08_clustered_ann_30x.json)
+  // measured the LSH KNOWN LIMIT: hyperplane buckets inherit the data's
+  // density skew (hot bucket 2365 rows vs median 7 at 30×; candidate
+  // pair mass 196× for 30× data — quadratic in the hot mass), and
+  // salting only re-partitions the join, never shrinks the volume. The
+  // fix is the same device that fixed the IVF quantizer on clustered
+  // data: train sub-cells ON THE BUCKET'S OWN MEMBERS. Any bucket whose
+  // occupancy exceeds `LshCellRows` is refined by a per-bucket Voronoi
+  // quantizer whose seeds are every LshCellRows-th member (by vec_id
+  // rank within the bucket — vec_id is uncorrelated with position in
+  // embedding space, so seeds sample the bucket's density uniformly):
+  // k = ⌈bn/cap⌉ seeds → expected sub-cell occupancy ≈ cap regardless
+  // of how hot the bucket is, so candidate mass is ≈ N·cap — linear.
+  // Routing is two-level within the bucket (⌈√k⌉ super seeds, then that
+  // super's children, O(√k·d)/row) through the broadcast-codebook kernel
+  // [[graft.functions.BucketedArgminBroadcast]]; cold buckets keep one
+  // cell (-1). The cap is deliberately tiny so every fixture SF
+  // exercises the split path under the DuckDB oracle; a production
+  // corpus sets it to whatever pair count one reducer can chew (e.g.
+  // 10k rows → 1e8 pairs), exactly like SaltBucketRows above.
+  private[graft] val LshCellRows = 8
+
+  /** Embeddings with (bucket, cell): the density-adaptive LSH frame.
+    * Returns (vec_id, embedding, n2, bucket, cell) scratch-cached and
+    * pre-partitioned on the refined key. Driver-side state is bounded
+    * by the SEED count (≈ hot-mass/cap — the trained-codebook pattern
+    * of [[trainedCells]]; past ~1000× fixture scale the codebook wants
+    * the same third routing level noted on [[adaptiveCells]]). */
+  private[graft] def lshRefined(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.functions.TextHashFunctions.register(s)
+    val np = adaptivePlanes(corpusN(s, d))
+    val e = ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"graft_lsh_bucket(embedding, $np) AS bucket",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
+    val hot = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > LshCellRows)
+    val w = Window.partitionBy("bucket").orderBy("vec_id")
+    // seed rows: every cap-th member of each hot bucket, in vec_id rank
+    // order — one window over the hot mass only, then a bounded collect
+    val seedRows = e.join(broadcast(hot), Seq("bucket"))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % LshCellRows === 0)
+      .selectExpr("bucket", "vec_id", "qv")
+      .orderBy("bucket", "vec_id").collect()
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val books: Map[Long, (Array[Long], Array[Array[Long]],
+        Array[Array[Long]], Array[Array[Array[Long]]])] =
+      seedRows.groupBy(_.getLong(0)).map { case (bucket, rows) =>
+        // children sorted ascending by vec_id (the collect's ORDER BY);
+        // supers = every ⌈√k⌉-th child seed, ids ascending — the kernel's
+        // first-minimum scan then ties to the smallest id like the
+        // oracle's ORDER BY dist2, sid
+        val children = rows.map(r =>
+          r.getLong(1) -> r.getSeq[Long](2).toArray)
+        val k = children.length
+        val sb = (1 to 256).find(z => z * z >= k).getOrElse(256)
+        val supers = children.zipWithIndex.collect {
+          case (c, j) if j % sb == 0 => c
+        }
+        val bySuper = children.groupBy { case (_, cv) =>
+          supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
+        }
+        val empty = Array.empty[(Long, Array[Long])]
+        val kids = supers.map(sp =>
+          bySuper.getOrElse(sp._1, empty).sortBy(_._1))
+        bucket -> ((supers.map(_._1), supers.map(_._2),
+          kids.map(_.map(_._1)), kids.map(_.map(_._2))))
+      }
+    val bc = s.sparkContext.broadcast(books)
+    val fn = s"graft_lsh_cell_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => graft.functions.BucketedArgminBroadcast(bc, exprs(0), exprs(1)),
+      "scala_udf")
+    val out = ScratchCache.scratch(
+      e.selectExpr("vec_id", "embedding", "n2", "bucket",
+          s"$fn(bucket, qv) AS cell")
+        .repartition(col("bucket"), col("cell")))
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    out
+  }
+
+  /** DuckDB twin of [[lshRefined]] — ends in
+    * `eb(vec_id, embedding, n2, bucket, cell)`. */
+  private def duckLshRefinedEbCte: String = {
+    val d = DuckSql
+    val cap = LshCellRows
+    s"""le AS (SELECT vec_id, embedding,
+       |    ${d.dotDbl("embedding", "embedding")} AS n2,
+       |    ${d.quantVec("embedding", 1000000L)} AS qv,
+       |    CAST(${lshBucket(d, "embedding", duckPlanesExpr)} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |lhb AS (SELECT bucket FROM le GROUP BY bucket
+       |  HAVING count(*) > $cap),
+       |lmem AS (SELECT le.vec_id, le.qv, le.bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY le.bucket
+       |      ORDER BY le.vec_id) AS rn
+       |  FROM le JOIN lhb USING (bucket)),
+       |lcs0 AS (SELECT bucket, vec_id AS cid, qv AS cv,
+       |    ((rn - 1) // $cap) AS j
+       |  FROM lmem WHERE (rn - 1) % $cap = 0),
+       |lck0 AS (SELECT bucket, count(*) AS k FROM lcs0 GROUP BY bucket),
+       |lck AS (SELECT bucket, k,
+       |    (SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z) tz
+       |      WHERE z * z >= k) AS sb
+       |  FROM lck0),
+       |lcs AS (SELECT lcs0.*, lck.sb FROM lcs0 JOIN lck USING (bucket)),
+       |lss AS (SELECT bucket, cid AS sid, cv AS sv FROM lcs
+       |  WHERE j % sb = 0),
+       |lca AS (SELECT bucket, cid, cv, sid AS csuper FROM (
+       |    SELECT c.bucket, c.cid, c.cv, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.bucket, c.cid
+       |        ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rr
+       |    FROM lcs c JOIN lss s USING (bucket)) WHERE rr = 1),
+       |lra AS (SELECT vec_id, bucket, qv, sid AS rsuper FROM (
+       |    SELECT m.vec_id, m.bucket, m.qv, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${d.dist2Big("m.qv", "s.sv")}, s.sid) AS rr
+       |    FROM lmem m JOIN lss s USING (bucket)) WHERE rr = 1),
+       |lrc AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT r.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rr
+       |    FROM lra r JOIN lca a
+       |      ON a.bucket = r.bucket AND a.csuper = r.rsuper) WHERE rr = 1),
+       |eb AS (SELECT le.vec_id, le.embedding, le.n2, le.bucket,
+       |    COALESCE(lrc.cell, -1) AS cell
+       |  FROM le LEFT JOIN lrc USING (vec_id))""".stripMargin
+  }
+
   private val NCells = 16
 
   /** Product-quantization geometry: 64 dims = 4 subspaces × 16 dims,
@@ -714,6 +852,44 @@ object SimilarityQueries {
           .filter(col("rn") <= 3)
           .orderBy("query_id", "rn")
       }, lshOracle),
+
+    // Density-adaptive LSH ANN — the clustered-corpus LSH path. Plain
+    // hyperplane buckets inherit the corpus's density skew (measured:
+    // hot bucket 2365 vs median 7 on the 30× clustered stress, pair
+    // mass 196× for 30× data) and salting can only re-partition that
+    // volume. Here every bucket past the occupancy cap is refined by a
+    // per-bucket Voronoi quantizer trained on its OWN members (strided
+    // seeds — the trained-IVF device applied inside the bucket), so
+    // sub-cell occupancy ≈ cap wherever density piles up and candidate
+    // mass stays ≈ N·cap — linear at any skew. The join key is
+    // (bucket, cell); cold buckets keep one cell. Recall trade is
+    // measured beside occupancy in AnnClusteredStress.
+    "q_ann_lsh_adaptive" -> QueryDef(
+      (s, d) => {
+        val e = lshRefined(s, d)
+        val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "bucket", "cell")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "bucket", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("bucket", "cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "bucket", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckLshRefinedEbCte
+         |SELECT query_id, neighbor_id, bucket, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.bucket, q.cell, ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 
     // Incremental ANN: a batch of ARRIVING vectors (vec_id % 10 = 0, the
     // next ingest micro-batch) probes the EXISTING corpus's IVF cells
