@@ -114,7 +114,7 @@ object AnnClusteredStress {
 
       // the TRAINED (data-seeded) quantizer (q_ann_ivf_trained) on the
       // same corpus: occupancy must track density; recall must hold
-      val bal = ops.SimilarityQueries.trainedCells(spark, dir)
+      val bal = ops.SimilarityQueries.trainedCells(spark, dir, probe2 = true)
       val bCounts = bal.groupBy("cell").count()
         .select("count").collect().map(_.getLong(0)).sorted
       val (balUsed, balMax, balMed) =
@@ -122,18 +122,30 @@ object AnnClusteredStress {
       val balSq = bCounts.map(x => x.toDouble * x).sum
       val balQ = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
-          "cell AS probe")
+          "cell AS probe").persist()
+      val balQ2 = balQ.unionByName(
+        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+            "cell2 AS probe"))
       val balCand = bal.selectExpr("vec_id AS neighbor_id",
         "embedding AS ce", "n2 AS cn2", "cell AS ccell")
       val balGot = top3(balQ.join(balCand, col("probe") === col("ccell")))
       val balR1 = (truth & balGot).size.toDouble / truth.size
-      ScratchCache.release()
+      val balGot2 = top3(balQ2.join(balCand, col("probe") === col("ccell"))
+        .dropDuplicates("query_id", "neighbor_id"))
+      val balR2 = (truth & balGot2).size.toDouble / truth.size
+      balQ.unpersist()
 
       // the DENSITY-ADAPTIVE LSH (q_ann_lsh_adaptive) on the same
       // corpus: hot buckets refined by member-seeded sub-cells, so the
       // (bucket, cell) occupancy must stay ≈ the cap and pair mass
-      // ≈ linear where the plain buckets above go quadratic
-      val ref = ops.SimilarityQueries.lshRefined(spark, dir)
+      // ≈ linear where the plain buckets above go quadratic. Measured
+      // at the PRODUCTION-shaped cap (125 — the IVF occupancy target;
+      // the declared query's fixture-tiny default 8 exists to put the
+      // split path under the DuckDB oracle at every SF, not to be a
+      // sensible recall point).
+      val refCap = 125
+      val ref = ops.SimilarityQueries.lshRefined(spark, dir, refCap)
       val rCounts = ref.groupBy("bucket", "cell").count()
         .select("count").collect().map(_.getLong(0)).sorted
       val (refUsed, refMax, refMed) =
@@ -147,6 +159,45 @@ object AnnClusteredStress {
       val refGot = top3(refQ.join(refCand,
         col("pbucket") === col("cbucket") && col("pcell") === col("ccell")))
       val refR1 = (truth & refGot).size.toDouble / truth.size
+
+      // NEAR-DUP RETENTION — the blocking-key metric for the
+      // q_dedup_embedding_lsh family: a pair survives iff it shares the
+      // key. On this fixture cosine ≥ 0.4 (the declared threshold) is
+      // ≈ same-cluster membership, so the TRUTH SET ITSELF grows
+      // quadratically with cluster mass — no linear-candidate method
+      // can hold retention constant, and the honest reading of these
+      // rows is the RATIO of retention to candidate mass across the
+      // three blockers at both scales (the trained quantizer wins it,
+      // consistent with the recall rows — a third independent
+      // measurement of the same conclusion).
+      // Truth from the sampled queries only (bounded: |sample|·N pairs).
+      def ndPairs(joined: DataFrame): Set[(Long, Long)] = joined
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id",
+          "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+        .filter(col("cosine") >= 0.4)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qnd = assigned.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "bucket AS pbucket")
+      val candB = assigned.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "bucket AS cbucket")
+      val ndTruth = ndPairs(
+        qnd.drop("pbucket").crossJoin(candB.drop("cbucket")))
+      val ndLsh = ndPairs(qnd.join(candB, col("pbucket") === col("cbucket")))
+      val refQnd = ref.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "bucket AS pbucket", "cell AS pcell")
+      val ndRef = ndPairs(refQnd.join(refCand,
+        col("pbucket") === col("cbucket") && col("pcell") === col("ccell")))
+      val balQnd = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cell AS probe")
+      val ndBal = ndPairs(balQnd.join(balCand, col("probe") === col("ccell")))
+      def ret(s: Set[(Long, Long)]): Double =
+        if (ndTruth.isEmpty) 1.0 else (ndTruth & s).size.toDouble / ndTruth.size
+      val (retLsh, retRef, retBal) = (ret(ndLsh), ret(ndRef), ret(ndBal))
       ScratchCache.release()
 
       q.unpersist(); assigned.unpersist()
@@ -154,7 +205,11 @@ object AnnClusteredStress {
         f"occ max/med=$cellMax/$cellMed sumsq=${cellSq}%.3g | " +
         f"lsh buckets used=$bUsed max/med=$bMax/$bMed sumsq=${bSq}%.3g | " +
         f"recall@3 p1=$r1%.3f p2=$r2%.3f | trained used=$balUsed " +
-        f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall p1=$balR1%.3f")
+        f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall " +
+        f"p1=$balR1%.3f p2=$balR2%.3f | adaLSH(cap=$refCap) used=$refUsed " +
+        f"max/med=$refMax/$refMed sumsq=${refSq}%.3g recall p1=$refR1%.3f | " +
+        f"nd(n=${ndTruth.size}) lsh=$retLsh%.3f ada=$retRef%.3f " +
+        f"trained=$retBal%.3f")
       ScaleRow(tag, n,
         f"""{"n":$n,"cells":$cells,"cells_used":$cellsUsed,""" +
           f""""cell_occ_max":$cellMax,"cell_occ_med":$cellMed,""" +
@@ -166,9 +221,15 @@ object AnnClusteredStress {
           f""""trained_cells_used":$balUsed,"trained_occ_max":$balMax,""" +
           f""""trained_occ_med":$balMed,"trained_pair_mass":$balSq%.0f,""" +
           f""""trained_recall3_probe1":$balR1%.3f,""" +
+          f""""trained_recall3_probe2":$balR2%.3f,""" +
+          f""""adaptive_lsh_cap":$refCap,""" +
           f""""adaptive_lsh_cells_used":$refUsed,"adaptive_lsh_occ_max":$refMax,""" +
           f""""adaptive_lsh_occ_med":$refMed,"adaptive_lsh_pair_mass":$refSq%.0f,""" +
-          f""""adaptive_lsh_recall3_probe1":$refR1%.3f}""")
+          f""""adaptive_lsh_recall3_probe1":$refR1%.3f,""" +
+          f""""neardup_truth_pairs":${ndTruth.size},""" +
+          f""""neardup_retention_lsh":$retLsh%.3f,""" +
+          f""""neardup_retention_adaptive":$retRef%.3f,""" +
+          f""""neardup_retention_trained":$retBal%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse

@@ -28,7 +28,8 @@ object Bench10x {
     * ScaleStress ratio row because their driver table (orders) rides
     * unscaled there by design — a 1.0 "ratio" would be noise — but
     * their 10×-corpus wall time is a real plan-dominated signal. */
-  private val Extras = Seq("q_delta_merge", "q_pipeline_recovery")
+  private val Extras =
+    Seq("q_delta_merge", "q_pipeline_recovery", "q_keyed_compact")
 
   private def baselineFile(): java.io.File =
     Seq("BASELINE_10x.md", "/root/repo/BASELINE_10x.md")

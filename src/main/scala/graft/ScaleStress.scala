@@ -59,7 +59,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     // similarity / ANN family (embeddings)
     "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_lsh_adaptive",
     "q_ann_ivf", "q_ann_ivf_probe2",
-    "q_ann_ivf_trained", "q_ann_ivfpq", "q_kmeans",
+    "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
+    "q_ann_ivfpq", "q_kmeans",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
     "q_heavy_hitters", "q_contamination",

@@ -79,3 +79,69 @@ case class TwoLevelArgminBroadcast(
   override protected def withNewChildInternal(newChild: Expression): TwoLevelArgminBroadcast =
     copy(child = newChild)
 }
+
+/** nprobe=2 companion of [[TwoLevelArgminBroadcast]]: the best child of
+  * the SECOND-nearest super seed — under two-level routing, the recall
+  * that parent-flips lose sits exactly across the super boundary, so
+  * that is where the second probe goes (the trained-codebook twin of
+  * `graft_ivf_cell_h2`). Tie semantics match the oracle's
+  * `ROW_NUMBER() ... WHERE rn = 2`: exclude the nearest super (first
+  * minimum over ascending seed ids), then take the first minimum of
+  * the rest. Returns a cell id from a DIFFERENT super's child block
+  * than the home cell, so probe fan-out can never duplicate a
+  * (query, neighbor) pair. */
+case class TwoLevelArgmin2Broadcast(
+    codebook: Broadcast[(Array[Long], Array[Array[Long]],
+      Array[Array[Long]], Array[Array[Array[Long]]])],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_trained_cell2"
+
+  @transient private lazy val superVecs = codebook.value._2
+  @transient private lazy val childIds = codebook.value._3
+  @transient private lazy val childVecs = codebook.value._4
+
+  private def argminIdxExcl(x: Array[Long], vecs: Array[Array[Long]],
+      excl: Int): Int = {
+    var best = -1
+    var bestD = Long.MaxValue
+    var i = 0
+    while (i < vecs.length) {
+      if (i != excl) {
+        val c = vecs(i)
+        var d = 0L
+        var j = 0
+        while (j < x.length && d < bestD) {
+          val t = x(j) - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Executor-side probe; also the codegen entry point. On a degenerate
+    * single-super codebook the second probe falls back to the home cell
+    * (the oracle's LEFT JOIN + COALESCE twin). */
+  def cellOf(v: ArrayData): Long = {
+    val x = v.toLongArray()
+    val si = argminIdxExcl(x, superVecs, -1)
+    val si2 = if (superVecs.length < 2) si else argminIdxExcl(x, superVecs, si)
+    childIds(si2)(argminIdxExcl(x, childVecs(si2), -1))
+  }
+
+  override def nullSafeEval(v: Any): Any = cellOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTrainedCell2", this,
+      classOf[TwoLevelArgmin2Broadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.cellOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelArgmin2Broadcast =
+    copy(child = newChild)
+}

@@ -165,8 +165,11 @@ object SimilarityQueries {
     * kernel; the codebook rides one broadcast).
     *
     * Returns (vec_id, embedding, n2, cell) scratch-cached; cell ids are
-    * child-seed vec_ids. */
-  private[graft] def trainedCells(s: SparkSession, d: String): DataFrame = {
+    * child-seed vec_ids. With `probe2` a second column `cell2` carries
+    * the best child of the SECOND-nearest super — the trained-codebook
+    * nprobe knob (kernel [[graft.functions.TwoLevelArgmin2Broadcast]]). */
+  private[graft] def trainedCells(s: SparkSession, d: String,
+      probe2: Boolean = false): DataFrame = {
     GraftFunctions.register(s)
     val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
       .selectExpr("vec_id", "embedding",
@@ -197,13 +200,27 @@ object SimilarityQueries {
     val bc = s.sparkContext.broadcast((
       superIds, superSeeds.map(_._2),
       kids.map(_.map(_._1)), kids.map(_.map(_._2))))
-    val fn = s"graft_trained_cell_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fn = s"graft_trained_cell_$tag"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
       exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
       "scala_udf")
-    val out = graft.ScratchCache.scratch(
-      v.selectExpr("vec_id", "embedding", "n2", s"$fn(qv) AS cell")
-        .repartition(col("cell")))
+    val cols = Seq("vec_id", "embedding", "n2", s"$fn(qv) AS cell")
+    val out = if (!probe2) {
+      graft.ScratchCache.scratch(
+        v.selectExpr(cols: _*).repartition(col("cell")))
+    } else {
+      val fn2 = s"graft_trained_cell2_$tag"
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fn2,
+        exprs => graft.functions.TwoLevelArgmin2Broadcast(bc, exprs(0)),
+        "scala_udf")
+      val o = graft.ScratchCache.scratch(
+        v.selectExpr(cols :+ s"$fn2(qv) AS cell2": _*)
+          .repartition(col("cell")))
+      s.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn2))
+      o
+    }
     s.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
     out
@@ -233,16 +250,35 @@ object SimilarityQueries {
        |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
        |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
        |    FROM tcs c CROSS JOIN tss s) WHERE rn = 1),
-       |tra AS (SELECT vec_id, embedding, n2, qv, sid AS rsuper FROM (
-       |    SELECT t.vec_id, t.embedding, t.n2, t.qv, s.sid,
+       |tras AS (SELECT t.vec_id, t.embedding, t.n2, t.qv, s.sid,
        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
        |        ORDER BY ${d.dist2Big("t.qv", "s.sv")}, s.sid) AS rn
-       |    FROM tv t CROSS JOIN tss s) WHERE rn = 1),
+       |    FROM tv t CROSS JOIN tss s),
+       |tra AS (SELECT vec_id, embedding, n2, qv, sid AS rsuper
+       |  FROM tras WHERE rn = 1),
        |eb AS (SELECT vec_id, embedding, n2, cid AS cell FROM (
        |    SELECT r.vec_id, r.embedding, r.n2, a.cid,
        |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
        |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
        |    FROM tra r JOIN tca a ON a.csuper = r.rsuper) WHERE rn = 1)""".stripMargin
+  }
+
+  /** [[duckTrainedEbCte]] extended with the nprobe=2 routing — ends in
+    * `eb2(vec_id, embedding, n2, cell, cell2)`; `cell2` is the best
+    * child of the second-nearest super (falls back to the home cell on
+    * a degenerate single-super codebook, like the kernel). */
+  private def duckTrainedEb2Cte: String = {
+    val d = DuckSql
+    s"""$duckTrainedEbCte,
+       |tra2 AS (SELECT vec_id, qv, sid AS rsuper2 FROM tras WHERE rn = 2),
+       |ebx AS (SELECT vec_id, cid AS cell2 FROM (
+       |    SELECT r.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
+       |    FROM tra2 r JOIN tca a ON a.csuper = r.rsuper2) WHERE rn = 1),
+       |eb2 AS (SELECT eb.vec_id, eb.embedding, eb.n2, eb.cell,
+       |    COALESCE(ebx.cell2, eb.cell) AS cell2
+       |  FROM eb LEFT JOIN ebx USING (vec_id))""".stripMargin
   }
 
   /** The same knobs as inline DuckDB SQL over the embeddings view —
@@ -351,8 +387,14 @@ object SimilarityQueries {
     * pre-partitioned on the refined key. Driver-side state is bounded
     * by the SEED count (≈ hot-mass/cap — the trained-codebook pattern
     * of [[trainedCells]]; past ~1000× fixture scale the codebook wants
-    * the same third routing level noted on [[adaptiveCells]]). */
-  private[graft] def lshRefined(s: SparkSession, d: String): DataFrame = {
+    * the same third routing level noted on [[adaptiveCells]]). `cap`
+    * is the recall/cost knob: candidate count per probe ≈ cap, so
+    * recall rises with it while candidate mass stays N·cap — the
+    * declared query pins the fixture-tiny default under the oracle,
+    * and AnnClusteredStress measures the production-shaped point
+    * (cap = 125, the IVF occupancy target) on the clustered corpus. */
+  private[graft] def lshRefined(s: SparkSession, d: String,
+      cap: Int = LshCellRows): DataFrame = {
     GraftFunctions.register(s)
     graft.functions.TextHashFunctions.register(s)
     val np = adaptivePlanes(corpusN(s, d))
@@ -362,13 +404,13 @@ object SimilarityQueries {
         s"graft_lsh_bucket(embedding, $np) AS bucket",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
     val hot = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > LshCellRows)
+      .filter(col("bn") > cap)
     val w = Window.partitionBy("bucket").orderBy("vec_id")
     // seed rows: every cap-th member of each hot bucket, in vec_id rank
     // order — one window over the hot mass only, then a bounded collect
     val seedRows = e.join(broadcast(hot), Seq("bucket"))
       .withColumn("rn", row_number().over(w))
-      .filter((col("rn") - 1) % LshCellRows === 0)
+      .filter((col("rn") - 1) % cap === 0)
       .selectExpr("bucket", "vec_id", "qv")
       .orderBy("bucket", "vec_id").collect()
     def d2(a: Array[Long], b: Array[Long]): Long = {
@@ -1017,6 +1059,47 @@ object SimilarityQueries {
            |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       }),
+
+    // Trained IVF with nprobe=2 — the recall knob on the CLUSTERED-corpus
+    // path: each query probes its home trained cell AND the best child of
+    // its second-nearest super seed (the boundary where parent-routing
+    // loses neighbors). Only the query side fans out ×2; the corpus keeps
+    // one row per vector in its home cell, so the index never duplicates
+    // and a (query, neighbor) pair can't repeat (cell2 lives in a
+    // different super's child block). Same shape as q_ann_ivf_probe2,
+    // with the data-seeded codebook instead of the hash one.
+    "q_ann_ivf_trained_probe2" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, probe2 = true)
+        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+          .unionAll(e.selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell2 AS cell"))
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedEb2Cte,
+         |tprobes AS (
+         |  SELECT vec_id, embedding, n2, cell FROM eb2
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2)
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM tprobes q JOIN eb2 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 
     // IVF with nprobe=2 — the canonical recall knob: each query probes
     // its nearest cell AND the best child of its SECOND-nearest super

@@ -91,14 +91,14 @@ class AdaptiveLshSpec extends AnyFunSuite {
     info(f"adaptive-LSH recall@3 = $recall%.3f (truth ${truth.size})")
     // Fixture context: the fixture-tiny cap (8) splits EVERY bucket of
     // the near-uniform corpus into ~8-row cells, so top-3 recall is
-    // floor-bounded by cell size — measured 0.039, deterministic. This
-    // is the worst case by construction: on a uniform corpus the
-    // refinement has nothing to fix (a production cap of ~10⁴ leaves
-    // such buckets untouched and recall equals plain LSH), while on the
-    // CLUSTERED corpus the stress artifact measures — where sub-cells
-    // carve genuinely dense neighborhoods — adaptive recall sits near
-    // plain LSH's collapsed value at a ~200× smaller candidate mass
-    // (SCALE_r08_clustered_ann_30x.json). The floor pins the
+    // floor-bounded by cell size — measured 0.039, deterministic. The
+    // cap is the recall/cost knob (candidates/probe ≈ cap at candidate
+    // mass N·cap): this declared query pins the tiny default so every
+    // fixture SF exercises the split path under the DuckDB oracle,
+    // while AnnClusteredStress measures the production-shaped point
+    // (cap = 125, the IVF occupancy target) on the clustered corpus —
+    // see SCALE_r08_clustered_ann*.json for the occupancy/recall rows
+    // next to the hash and trained quantizers. The floor pins the
     // deterministic fixture value against routing regressions.
     assert(recall >= 0.03, f"recall collapsed: $recall%.3f")
   }

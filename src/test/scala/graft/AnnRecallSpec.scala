@@ -77,5 +77,13 @@ class AnnRecallSpec extends AnyFunSuite {
     val rt = (truth & pt).size.toDouble / truth.size
     info(f"recall@3 ivf_trained=$rt%.3f")
     assert(rt >= 0.20, f"trained recall collapsed: $rt%.3f (measured 0.235)")
+
+    // the trained quantizer's nprobe knob (r08): probing the
+    // second-nearest super's best child must not lose recall — the
+    // same monotonicity contract as the hash variant above
+    val pt2 = pairs("q_ann_ivf_trained_probe2")
+    val rt2 = (truth & pt2).size.toDouble / truth.size
+    info(f"recall@3 ivf_trained_probe2=$rt2%.3f")
+    assert(rt2 >= rt, "probing more trained cells must not lose recall")
   }
 }
