@@ -222,6 +222,10 @@ object AnnClusteredStress {
           f""""trained_occ_med":$balMed,"trained_pair_mass":$balSq%.0f,""" +
           f""""trained_recall3_probe1":$balR1%.3f,""" +
           f""""trained_recall3_probe2":$balR2%.3f,""" +
+          f""""cell_mass_per_row":${cellSq / n}%.1f,""" +
+          f""""bucket_mass_per_row":${bSq / n}%.1f,""" +
+          f""""trained_mass_per_row":${balSq / n}%.1f,""" +
+          f""""adaptive_lsh_mass_per_row":${refSq / n}%.1f,""" +
           f""""adaptive_lsh_cap":$refCap,""" +
           f""""adaptive_lsh_cells_used":$refUsed,"adaptive_lsh_occ_max":$refMax,""" +
           f""""adaptive_lsh_occ_med":$refMed,"adaptive_lsh_pair_mass":$refSq%.0f,""" +
@@ -250,6 +254,10 @@ object AnnClusteredStress {
         f""""cell_pair_mass_ratio":$massRatio%.2f,""" +
         f""""trained_pair_mass_ratio":$balRatio%.2f,""" +
         f""""adaptive_lsh_pair_mass_ratio":$refRatio%.2f,""" +
+        """"adaptive_lsh_note":"read mass_per_row, not the ratio: the """ +
+        """cap engages only on buckets past it, so the 1x denominator """ +
+        """is largely unsplit mass; per-row candidates are bounded by """ +
+        """the cap at any corpus size",""" +
         f""""linear_bound":${factor * 1.5}%.1f}"""
     java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)
     println(s"[ann-clustered] wrote $outJson (pair-mass ratio hash=" +

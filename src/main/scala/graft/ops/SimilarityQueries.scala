@@ -779,7 +779,12 @@ object SimilarityQueries {
     // keeps its exact bucket, so a qualifying pair matches EXACTLY ONE
     // probe row — disjoint candidates, no dedup shuffle (the SimHash
     // trick). Corpus never broadcasts; the join is a (NPlanes+1)-fold
-    // replicated equi-join on bucket — linear, not quadratic.
+    // replicated equi-join on bucket — linear in the BUCKET OCCUPANCY,
+    // which on a density-skewed corpus is itself unbounded (measured:
+    // hot bucket 2365 vs median 7 on the 30× clustered stress). When
+    // that bites, [[lshRefined]]'s member-seeded sub-cells are the
+    // occupancy safety-valve (q_ann_lsh_adaptive), at a measured
+    // recall trade — see SCALE_r08_clustered_ann*.json.
     "q_dedup_embedding_lsh" -> QueryDef(
       (s, d) => {
         val np = adaptivePlanes(corpusN(s, d))
