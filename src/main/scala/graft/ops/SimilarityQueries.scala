@@ -167,17 +167,23 @@ object SimilarityQueries {
     * Returns (vec_id, embedding, n2, cell) scratch-cached; cell ids are
     * child-seed vec_ids. With `probe2` a second column `cell2` carries
     * the best child of the SECOND-nearest super — the trained-codebook
-    * nprobe knob (kernel [[graft.functions.TwoLevelArgmin2Broadcast]]). */
+    * nprobe knob (kernel [[graft.functions.TwoLevelArgmin2Broadcast]]).
+    * `seedWhere` restricts TRAINING (knob sizing + seed selection) to a
+    * sub-corpus while every row still routes through the codebook — the
+    * incremental-ingest shape: arrivals must not shift a served
+    * codebook (q_ann_incremental_trained trains on the existing corpus
+    * only). */
   private[graft] def trainedCells(s: SparkSession, d: String,
-      probe2: Boolean = false): DataFrame = {
+      probe2: Boolean = false, seedWhere: String = "TRUE"): DataFrame = {
     GraftFunctions.register(s)
     val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
-    val n = v.count()
+    val seedSrc = v.filter(expr(seedWhere))
+    val n = seedSrc.count()
     val (sc, ss) = trainedStrides(n)
-    val childSeeds = v.filter(expr(s"vec_id % $sc = 0"))
+    val childSeeds = seedSrc.filter(expr(s"vec_id % $sc = 0"))
       .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     val superSeeds = childSeeds.filter(_._1 % ss == 0)
@@ -227,25 +233,32 @@ object SimilarityQueries {
   }
 
   /** DuckDB twin of [[trainedCells]] — ends in
-    * `eb(vec_id, embedding, n2, cell)`. */
-  private def duckTrainedEbCte: String = {
+    * `eb(vec_id, embedding, n2, cell)`. `w` is the seedWhere twin:
+    * it gates the knob-sizing count and the seed CTEs, never the
+    * routed rows. */
+  private def duckTrainedEbCte: String = duckTrainedEbCteW("TRUE")
+  private def duckTrainedEbCteW(w: String): String = {
     val d = DuckSql
     val q = d.quantVec("embedding", 1000000L)
-    s"""tn AS (SELECT count(*) AS n FROM embeddings),
+    val cellsW =
+      "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 65537)) " +
+        "AS c) tc WHERE 125 * c >= " +
+        s"(SELECT count(*) FROM embeddings WHERE $w)))"
+    s"""tn AS (SELECT count(*) AS n FROM embeddings WHERE $w),
        |tk AS (
        |  SELECT GREATEST(1, n // c) AS sc,
        |    GREATEST(1, n // c) * GREATEST(1, c // s) AS ss
-       |  FROM (SELECT ($duckCellsExpr) AS c, n,
+       |  FROM (SELECT ($cellsW) AS c, n,
        |      (SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z) tz
-       |        WHERE z * z >= ($duckCellsExpr)) AS s
+       |        WHERE z * z >= ($cellsW)) AS s
        |    FROM tn) tkk),
        |tv AS (SELECT vec_id, embedding,
        |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
        |  FROM embeddings),
        |tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
-       |  WHERE vec_id % sc = 0),
+       |  WHERE vec_id % sc = 0 AND ($w)),
        |tss AS (SELECT vec_id AS sid, qv AS sv FROM tv, tk
-       |  WHERE vec_id % ss = 0),
+       |  WHERE vec_id % ss = 0 AND ($w)),
        |tca AS (SELECT cid, cv, sid AS csuper FROM (
        |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
        |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
@@ -977,6 +990,43 @@ object SimilarityQueries {
            |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
            |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
       }),
+
+    // Incremental ANN on the TRAINED codebook — the ingest story for
+    // the clustered-corpus path. The codebook is trained on the
+    // EXISTING corpus only (seedWhere excludes arrivals: a served
+    // index's cells must not shift when a batch lands — FAISS adds to
+    // a trained index, it doesn't retrain per batch); arrivals route
+    // through the same broadcast codebook and probe only their home
+    // cell's existing rows. Per-batch cost ∝ batch size; the corpus is
+    // write-time partitioned by cell at 100 TB exactly as q_ann_ivf's
+    // serving note describes (IvfWriteSpec proves the pruning).
+    "q_ann_incremental_trained" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, seedWhere = "vec_id % 10 <> 0")
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .selectExpr("vec_id AS arrival_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+            "n2 AS cn2", "cell")
+        val w = Window.partitionBy("arrival_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .selectExpr("arrival_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("arrival_id", "rn")
+      },
+      s"""WITH ${duckTrainedEbCteW("vec_id % 10 <> 0")}
+         |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM eb q JOIN eb c ON q.cell = c.cell
+         |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+         |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin),
 
     // IVF-flat ANN: coarse-quantize into Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
