@@ -195,9 +195,31 @@ object AnnClusteredStress {
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cell AS probe")
       val ndBal = ndPairs(balQnd.join(balCand, col("probe") === col("ccell")))
+
+      // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
+      // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
+      // now measured under the SAME density skew as the quantizers —
+      // does K ∝ N with data-seeded Lloyd hold per-cluster occupancy,
+      // and what fraction of true near-dup pairs stays inside a block?
+      val sem = ops.ClusteringQueries.semClusters(spark, dir)
+      val semAll = assigned.join(sem, "vec_id").persist()
+      val semCounts = semAll.groupBy("cluster").count()
+        .select("count").collect().map(_.getLong(0)).sorted
+      val (semUsed, semMax, semMed) =
+        (semCounts.length, semCounts.last, semCounts(semCounts.length / 2))
+      val semSq = semCounts.map(x => x.toDouble * x).sum
+      val semQnd = semAll.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cluster AS pcl")
+      val semCand = semAll.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "cluster AS ccl")
+      val ndSem = ndPairs(semQnd.join(semCand, col("pcl") === col("ccl")))
+      semAll.unpersist()
+
       def ret(s: Set[(Long, Long)]): Double =
         if (ndTruth.isEmpty) 1.0 else (ndTruth & s).size.toDouble / ndTruth.size
-      val (retLsh, retRef, retBal) = (ret(ndLsh), ret(ndRef), ret(ndBal))
+      val (retLsh, retRef, retBal, retSem) =
+        (ret(ndLsh), ret(ndRef), ret(ndBal), ret(ndSem))
       ScratchCache.release()
 
       q.unpersist(); assigned.unpersist()
@@ -208,8 +230,9 @@ object AnnClusteredStress {
         f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall " +
         f"p1=$balR1%.3f p2=$balR2%.3f | adaLSH(cap=$refCap) used=$refUsed " +
         f"max/med=$refMax/$refMed sumsq=${refSq}%.3g recall p1=$refR1%.3f | " +
+        f"sem k=$semUsed max/med=$semMax/$semMed sumsq=${semSq}%.3g | " +
         f"nd(n=${ndTruth.size}) lsh=$retLsh%.3f ada=$retRef%.3f " +
-        f"trained=$retBal%.3f")
+        f"trained=$retBal%.3f sem=$retSem%.3f")
       ScaleRow(tag, n,
         f"""{"n":$n,"cells":$cells,"cells_used":$cellsUsed,""" +
           f""""cell_occ_max":$cellMax,"cell_occ_med":$cellMed,""" +
@@ -230,10 +253,14 @@ object AnnClusteredStress {
           f""""adaptive_lsh_cells_used":$refUsed,"adaptive_lsh_occ_max":$refMax,""" +
           f""""adaptive_lsh_occ_med":$refMed,"adaptive_lsh_pair_mass":$refSq%.0f,""" +
           f""""adaptive_lsh_recall3_probe1":$refR1%.3f,""" +
+          f""""sem_clusters_used":$semUsed,"sem_occ_max":$semMax,""" +
+          f""""sem_occ_med":$semMed,"sem_pair_mass":$semSq%.0f,""" +
+          f""""sem_mass_per_row":${semSq / n}%.1f,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
-          f""""neardup_retention_trained":$retBal%.3f}""")
+          f""""neardup_retention_trained":$retBal%.3f,""" +
+          f""""neardup_retention_sem":$retSem%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -245,15 +272,18 @@ object AnnClusteredStress {
     val mass = massOf("cell_pair_mass")
     val balMass = massOf("trained_pair_mass")
     val refMass = massOf("adaptive_lsh_pair_mass")
+    val semMass = massOf("sem_pair_mass")
     val massRatio = mass(s"${factor}x") / mass("1x")
     val balRatio = balMass(s"${factor}x") / balMass("1x")
     val refRatio = refMass(s"${factor}x") / refMass("1x")
+    val semRatio = semMass(s"${factor}x") / semMass("1x")
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
         rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
         f""""cell_pair_mass_ratio":$massRatio%.2f,""" +
         f""""trained_pair_mass_ratio":$balRatio%.2f,""" +
         f""""adaptive_lsh_pair_mass_ratio":$refRatio%.2f,""" +
+        f""""sem_pair_mass_ratio":$semRatio%.2f,""" +
         """"adaptive_lsh_note":"read mass_per_row, not the ratio: the """ +
         """cap engages only on buckets past it, so the 1x denominator """ +
         """is largely unsplit mass; per-row candidates are bounded by """ +

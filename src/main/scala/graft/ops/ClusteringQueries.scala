@@ -142,6 +142,25 @@ object ClusteringQueries {
     out
   }
 
+  /** The SemDeDup blocking: k-means cluster ids at K = [[adaptiveSemK]]
+    * (first-K data seeds — vec_ids are uncorrelated with embedding
+    * position, so the init is a density-proportional sample — then
+    * `Iters` Lloyd rounds through the broadcast-codebook argmin).
+    * Extracted so AnnClusteredStress can measure this blocker's
+    * occupancy / pair mass / retention on the density-skewed corpus
+    * beside the ANN quantizers. Returns (vec_id, cluster). */
+  private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val v = ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
+    val k = adaptiveSemK(v.count())
+    var cents: Seq[(Int, Seq[Long])] =
+      v.filter(col("vec_id") < k).orderBy("vec_id").collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
+    for (_ <- 1 to Iters) cents = update(assignByArgmin(v, cents))
+    assignByArgmin(v, cents).select("vec_id", "cluster")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023,
     // arXiv:2303.09540): k-means-cluster the embedding space, then call
@@ -172,15 +191,7 @@ object ClusteringQueries {
     // computed identically in both engines.
     "q_dedup_semantic" -> QueryDef(
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val v = ScratchCache.scratch(Tables.embeddings(s, d)
-          .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
-        val k = adaptiveSemK(v.count())
-        var cents: Seq[(Int, Seq[Long])] =
-          v.filter(col("vec_id") < k).orderBy("vec_id").collect()
-            .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
-        for (_ <- 1 to Iters) cents = update(assignByArgmin(v, cents))
-        val clusters = assignByArgmin(v, cents).select("vec_id", "cluster")
+        val clusters = semClusters(s, d)
         val e = ScratchCache.scratch(Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2")
