@@ -172,7 +172,21 @@ object SimilarityQueries {
     * sub-corpus while every row still routes through the codebook — the
     * incremental-ingest shape: arrivals must not shift a served
     * codebook (q_ann_incremental_trained trains on the existing corpus
-    * only). */
+    * only).
+    *
+    * Seed-selection rule, per mode: the DEFAULT (unfiltered) path
+    * strides raw vec_ids (`% sc`, supers `% ss`). Under a FILTER that
+    * rule is unsound — a predicate correlated with id arithmetic can
+    * empty a modulus stride (measured: the ScaleStress corpus's
+    * key-offset ids make every multiple of ss = 1500 divisible by 10,
+    * so the `% 10 <> 0` arrival filter excluded ALL super candidates
+    * and the build crashed). Filtered training therefore selects
+    * children by an LCG-MIXED stride (`lcg(vec_id) % sc` — the same
+    * 1103515245/12345 constants as the hyperplane LCG, id-structure
+    * independent, overflow-safe, integer-exact in both engines) and
+    * supers by driver-side RANK over the collected children (`j % sb`,
+    * sb = ⌈√k⌉ — lshRefined's rule; j = 0 is always selected, so a
+    * non-empty child set guarantees a non-empty super set). */
   private[graft] def trainedCells(s: SparkSession, d: String,
       probe2: Boolean = false, seedWhere: String = "TRUE"): DataFrame = {
     GraftFunctions.register(s)
@@ -180,13 +194,22 @@ object SimilarityQueries {
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
-    val seedSrc = v.filter(expr(seedWhere))
+    val defaultMode = seedWhere == "TRUE"
+    val seedSrc = if (defaultMode) v else v.filter(expr(seedWhere))
     val n = seedSrc.count()
     val (sc, ss) = trainedStrides(n)
-    val childSeeds = seedSrc.filter(expr(s"vec_id % $sc = 0"))
+    val childPred =
+      if (defaultMode) s"vec_id % $sc = 0"
+      else s"(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648) % $sc = 0"
+    val childSeeds = seedSrc.filter(expr(childPred))
       .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    val superSeeds = childSeeds.filter(_._1 % ss == 0)
+    val superSeeds =
+      if (defaultMode) childSeeds.filter(_._1 % ss == 0)
+      else {
+        val sb = (1 to 256).find(z => z * z >= childSeeds.length).getOrElse(256)
+        childSeeds.zipWithIndex.collect { case (c, j) if j % sb == 0 => c }
+      }
     // driver-side: each child seed routes to its super (same integer
     // dist + smallest-id tie-break the kernel and the oracle use)
     def d2(a: Array[Long], b: Array[Long]): Long = {
@@ -233,9 +256,11 @@ object SimilarityQueries {
   }
 
   /** DuckDB twin of [[trainedCells]] — ends in
-    * `eb(vec_id, embedding, n2, cell)`. `w` is the seedWhere twin:
-    * it gates the knob-sizing count and the seed CTEs, never the
-    * routed rows. */
+    * `eb(vec_id, embedding, n2, cell)`. `w` is the seedWhere twin: it
+    * gates the knob-sizing count and the seed CTEs, never the routed
+    * rows, and switches the seed-selection rule exactly as the builder
+    * does (raw-modulus strides unfiltered; LCG-strided children +
+    * rank-strided supers under a filter — see [[trainedCells]]). */
   private def duckTrainedEbCte: String = duckTrainedEbCteW("TRUE")
   private def duckTrainedEbCteW(w: String): String = {
     val d = DuckSql
@@ -244,6 +269,23 @@ object SimilarityQueries {
       "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 65537)) " +
         "AS c) tc WHERE 125 * c >= " +
         s"(SELECT count(*) FROM embeddings WHERE $w)))"
+    val seedCtes = if (w == "TRUE")
+      s"""tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
+         |  WHERE vec_id % sc = 0),
+         |tss AS (SELECT vec_id AS sid, qv AS sv FROM tv, tk
+         |  WHERE vec_id % ss = 0),""".stripMargin
+    else
+      s"""tcs0 AS (SELECT vec_id AS cid, qv AS cv,
+         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+         |  FROM tv, tk
+         |  WHERE (((vec_id % 2147483648) * 1103515245 + 12345)
+         |      % 2147483648) % sc = 0 AND ($w)),
+         |tcs AS (SELECT cid, cv FROM tcs0),
+         |tsb AS (SELECT (SELECT min(z) FROM
+         |    (SELECT unnest(range(1, 257)) AS z) tz
+         |    WHERE z * z >= (SELECT count(*) FROM tcs0)) AS sb),
+         |tss AS (SELECT cid AS sid, cv AS sv FROM tcs0, tsb
+         |  WHERE j % sb = 0),""".stripMargin
     s"""tn AS (SELECT count(*) AS n FROM embeddings WHERE $w),
        |tk AS (
        |  SELECT GREATEST(1, n // c) AS sc,
@@ -255,10 +297,7 @@ object SimilarityQueries {
        |tv AS (SELECT vec_id, embedding,
        |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
        |  FROM embeddings),
-       |tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
-       |  WHERE vec_id % sc = 0 AND ($w)),
-       |tss AS (SELECT vec_id AS sid, qv AS sv FROM tv, tk
-       |  WHERE vec_id % ss = 0 AND ($w)),
+       |$seedCtes
        |tca AS (SELECT cid, cv, sid AS csuper FROM (
        |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
        |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
