@@ -87,9 +87,16 @@ case class TwoLevelArgminBroadcast(
   * `graft_ivf_cell_h2`). Tie semantics match the oracle's
   * `ROW_NUMBER() ... WHERE rn = 2`: exclude the nearest super (first
   * minimum over ascending seed ids), then take the first minimum of
-  * the rest. Returns a cell id from a DIFFERENT super's child block
-  * than the home cell, so probe fan-out can never duplicate a
-  * (query, neighbor) pair. */
+  * the rest. Normally returns a cell id from a DIFFERENT super's child
+  * block than the home cell; in the two degenerate cases it returns
+  * the HOME cell instead — a single-super codebook, and a
+  * second-nearest super with an EMPTY child block (two super seeds
+  * with identical quantized vectors tie every child to the smaller id,
+  * leaving the larger-id super childless — in-distribution on a dedup
+  * corpus). Both fallbacks mirror the oracle twin's
+  * `LEFT JOIN … COALESCE(cell2, cell)`; callers that fan probes out
+  * must therefore drop `cell2 = cell` rows to keep pairs disjoint
+  * (the declared probe2 query filters that branch). */
 case class TwoLevelArgmin2Broadcast(
     codebook: Broadcast[(Array[Long], Array[Array[Long]],
       Array[Array[Long]], Array[Array[Array[Long]]])],
@@ -124,14 +131,20 @@ case class TwoLevelArgmin2Broadcast(
     best
   }
 
-  /** Executor-side probe; also the codegen entry point. On a degenerate
-    * single-super codebook the second probe falls back to the home cell
-    * (the oracle's LEFT JOIN + COALESCE twin). */
+  /** Executor-side probe; also the codegen entry point. Falls back to
+    * the home cell on a single-super codebook AND on an empty
+    * second-super child block (duplicate super vectors) — both are the
+    * oracle's LEFT JOIN + COALESCE twin. */
   def cellOf(v: ArrayData): Long = {
     val x = v.toLongArray()
     val si = argminIdxExcl(x, superVecs, -1)
-    val si2 = if (superVecs.length < 2) si else argminIdxExcl(x, superVecs, si)
-    childIds(si2)(argminIdxExcl(x, childVecs(si2), -1))
+    val home = childIds(si)(argminIdxExcl(x, childVecs(si), -1))
+    if (superVecs.length < 2) home
+    else {
+      val si2 = argminIdxExcl(x, superVecs, si)
+      if (childVecs(si2).isEmpty) home
+      else childIds(si2)(argminIdxExcl(x, childVecs(si2), -1))
+    }
   }
 
   override def nullSafeEval(v: Any): Any = cellOf(v.asInstanceOf[ArrayData])

@@ -204,6 +204,15 @@ object SimilarityQueries {
     val childSeeds = seedSrc.filter(expr(childPred))
       .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    // fail fast, not deep in an executor kernel over empty arrays: an
+    // LCG stride CAN select zero rows from a tiny filtered sub-corpus
+    // (n < sc), and the silent alternative — an empty broadcast
+    // codebook — would crash probe routing with an opaque AIOOBE while
+    // the DuckDB twin silently returned an empty frame
+    require(childSeeds.nonEmpty,
+      s"trainedCells: seed selection produced no child seeds " +
+        s"(n=$n, sc=$sc, seedWhere=$seedWhere) — the training " +
+        s"sub-corpus is too small for the stride; widen seedWhere")
     val superSeeds =
       if (defaultMode) childSeeds.filter(_._1 % ss == 0)
       else {
@@ -265,10 +274,13 @@ object SimilarityQueries {
   private def duckTrainedEbCteW(w: String): String = {
     val d = DuckSql
     val q = d.quantVec("embedding", 1000000L)
+    // COALESCE mirrors the builder's getOrElse(65536): past 8.192M
+    // rows the range subquery is empty → NULL, and NULL here would
+    // cascade (GREATEST(16, NULL) = NULL) while Spark clamps
     val cellsW =
-      "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 65537)) " +
-        "AS c) tc WHERE 125 * c >= " +
-        s"(SELECT count(*) FROM embeddings WHERE $w)))"
+      "GREATEST(16, COALESCE((SELECT min(c) FROM " +
+        "(SELECT unnest(range(16, 65537)) AS c) tc WHERE 125 * c >= " +
+        s"(SELECT count(*) FROM embeddings WHERE $w)), 65536))"
     val seedCtes = if (w == "TRUE")
       s"""tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
          |  WHERE vec_id % sc = 0),
@@ -281,9 +293,9 @@ object SimilarityQueries {
          |  WHERE (((vec_id % 2147483648) * 1103515245 + 12345)
          |      % 2147483648) % sc = 0 AND ($w)),
          |tcs AS (SELECT cid, cv FROM tcs0),
-         |tsb AS (SELECT (SELECT min(z) FROM
+         |tsb AS (SELECT COALESCE((SELECT min(z) FROM
          |    (SELECT unnest(range(1, 257)) AS z) tz
-         |    WHERE z * z >= (SELECT count(*) FROM tcs0)) AS sb),
+         |    WHERE z * z >= (SELECT count(*) FROM tcs0)), 256) AS sb),
          |tss AS (SELECT cid AS sid, cv AS sv FROM tcs0, tsb
          |  WHERE j % sb = 0),""".stripMargin
     s"""tn AS (SELECT count(*) AS n FROM embeddings WHERE $w),
@@ -336,12 +348,15 @@ object SimilarityQueries {
   /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
   private def duckPlanesExpr: String =
-    "GREATEST(6, (SELECT min(p) FROM (SELECT unnest(range(6, 41)) AS p) " +
+    "GREATEST(6, COALESCE((SELECT min(p) FROM " +
+      "(SELECT unnest(range(6, 41)) AS p) " +
       "tpl WHERE (CAST(1 AS BIGINT) << p) * 125 >= " +
-      "4 * (SELECT count(*) FROM embeddings)))"
+      "4 * (SELECT count(*) FROM embeddings)), 40))"
   private def duckCellsExpr: String =
-    "GREATEST(16, (SELECT min(c) FROM (SELECT unnest(range(16, 65537)) " +
-      "AS c) tc WHERE 125 * c >= (SELECT count(*) FROM embeddings)))"
+    "GREATEST(16, COALESCE((SELECT min(c) FROM " +
+      "(SELECT unnest(range(16, 65537)) " +
+      "AS c) tc WHERE 125 * c >= " +
+      "(SELECT count(*) FROM embeddings)), 65536))"
 
   /** DuckDB CTE computing (c, s, m) — the exact integer twins of
     * [[adaptiveCells]] + [[superSplit]]. */
@@ -528,8 +543,8 @@ object SimilarityQueries {
        |  FROM lmem WHERE (rn - 1) % $cap = 0),
        |lck0 AS (SELECT bucket, count(*) AS k FROM lcs0 GROUP BY bucket),
        |lck AS (SELECT bucket, k,
-       |    (SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z) tz
-       |      WHERE z * z >= k) AS sb
+       |    COALESCE((SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z)
+       |      tz WHERE z * z >= k), 256) AS sb
        |  FROM lck0),
        |lcs AS (SELECT lcs0.*, lck.sb FROM lcs0 JOIN lck USING (bucket)),
        |lss AS (SELECT bucket, cid AS sid, cv AS sv FROM lcs
@@ -1165,10 +1180,16 @@ object SimilarityQueries {
     "q_ann_ivf_trained_probe2" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true)
+        // cell2 = cell happens only on the kernel's degenerate fallbacks
+        // (single-super codebook / duplicate-super empty block — never
+        // at fixture knobs); dropping that branch row keeps the probe
+        // fan-out pair-disjoint instead of duplicating every
+        // (query, neighbor) pair through the rn<=3 window
         val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
             "n2 AS qn2", "cell")
-          .unionAll(e.selectExpr("vec_id AS query_id", "embedding AS qe",
-            "n2 AS qn2", "cell2 AS cell"))
+          .unionAll(e.filter(col("cell2") =!= col("cell"))
+            .selectExpr("vec_id AS query_id", "embedding AS qe",
+              "n2 AS qn2", "cell2 AS cell"))
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
           "n2 AS cn2", "cell")
         val w = Window.partitionBy("query_id")
@@ -1185,7 +1206,8 @@ object SimilarityQueries {
          |tprobes AS (
          |  SELECT vec_id, embedding, n2, cell FROM eb2
          |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2)
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2
+         |  WHERE cell2 <> cell)
          |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
          |    ${duckCos("q", "c")} AS cosine,

@@ -74,26 +74,78 @@ object ArgminKernelProps extends Properties("ArgminKernels") {
       got == want
     }
 
-  property("probe2: second-nearest super, smallest-id ties, disjoint from home") =
+  /** Reference probe2 WITH the kernel's fallback law: home cell on a
+    * single-super codebook and on an empty second-super child block
+    * (duplicate super vectors) — the oracle's COALESCE(cell2, cell). */
+  private def refProbe2(x: Array[Long], sIds: Array[Long],
+      sVecs: Array[Array[Long]], cIds: Array[Array[Long]],
+      cVecs: Array[Array[Array[Long]]]): Long = {
+    val si = sIds.indices.minBy(i => (d2(x, sVecs(i)), sIds(i)))
+    val home = refArgmin(x, cIds(si), cVecs(si))
+    if (sIds.length < 2) home
+    else {
+      val si2 = sIds.indices.filter(_ != si)
+        .minBy(i => (d2(x, sVecs(i)), sIds(i)))
+      if (cIds(si2).isEmpty) home
+      else refArgmin(x, cIds(si2), cVecs(si2))
+    }
+  }
+
+  property("probe2: second-nearest super, smallest-id ties, home fallback") =
     forAll(seedsGen, vec) { (seeds, x) =>
+      val (sIds, sVecs, cIds, cVecs) = build(seeds)
+      val bc = SparkTestSession.spark.sparkContext
+        .broadcast((sIds, sVecs, cIds, cVecs))
+      val k2 = TwoLevelArgmin2Broadcast(bc, null)
+      val got2 = k2.cellOf(ArrayData.toArrayData(x))
+      val want = refProbe2(x, sIds, sVecs, cIds, cVecs)
+      // when no fallback fired, probe blocks must be disjoint from home
+      val si = sIds.indices.minBy(i => (d2(x, sVecs(i)), sIds(i)))
+      val disjoint = sIds.length < 2 || {
+        val si2 = sIds.indices.filter(_ != si)
+          .minBy(i => (d2(x, sVecs(i)), sIds(i)))
+        cIds(si2).isEmpty ||
+          cIds(si).toSet.intersect(cIds(si2).toSet).isEmpty
+      }
+      bc.destroy()
+      got2 == want && disjoint
+    }
+
+  /** Seeds where the rank-sb child (the SECOND super) carries the exact
+    * vector of the rank-0 child (the first super): tie-breaking routes
+    * every child to the smaller super id, so the second super's block is
+    * EMPTY — the duplicate-embedding shape a dedup corpus serves up.
+    * The random generator makes vector collisions astronomically rare;
+    * this one forces them (the r08 advisor's crash case: the kernel
+    * indexed childIds(si2)(-1) here before the fallback landed). */
+  private val dupSuperGen: Gen[List[(Long, Array[Long])]] =
+    seedsGen.suchThat(_.size >= 2).map { seeds =>
+      val sorted = seeds.sortBy(_._1)
+      val sb = (1 to 256).find(z => z * z >= sorted.length).getOrElse(256)
+      if (sb >= sorted.length) sorted // single super; still a fallback case
+      else sorted.zipWithIndex.map { case ((id, v), j) =>
+        if (j == sb) (id, sorted.head._2.clone()) else (id, v)
+      }
+    }
+
+  property("probe2 duplicate-super empty block falls back to home, no crash") =
+    forAll(dupSuperGen, vec) { (seeds, x) =>
       val (sIds, sVecs, cIds, cVecs) = build(seeds)
       val bc = SparkTestSession.spark.sparkContext
         .broadcast((sIds, sVecs, cIds, cVecs))
       val k1 = TwoLevelArgminBroadcast(bc, null)
       val k2 = TwoLevelArgmin2Broadcast(bc, null)
       val xd = ArrayData.toArrayData(x)
-      val si = sIds.indices.minBy(i => (d2(x, sVecs(i)), sIds(i)))
       val got2 = k2.cellOf(xd)
-      val ok = if (sIds.length < 2) {
-        got2 == k1.cellOf(xd) // degenerate codebook falls back to home
-      } else {
-        val si2 = sIds.indices.filter(_ != si)
-          .minBy(i => (d2(x, sVecs(i)), sIds(i)))
-        got2 == refArgmin(x, cIds(si2), cVecs(si2)) &&
-          cIds(si).toSet.intersect(cIds(si2).toSet).isEmpty
-      }
+      val want = refProbe2(x, sIds, sVecs, cIds, cVecs)
+      // in the constructed two-super duplicate-vector case the second
+      // block is empty, so probe2 IS the home cell
+      val homeWhenDup =
+        if (sIds.length == 2 && sVecs(0).sameElements(sVecs(1)))
+          got2 == k1.cellOf(xd)
+        else true
       bc.destroy()
-      ok
+      got2 == want && homeWhenDup
     }
 
   private val bucketedGen: Gen[Map[Long, List[(Long, Array[Long])]]] = for {
