@@ -86,6 +86,42 @@ object ClusteringQueries {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** DuckDB: one TWO-LEVEL assignment CTE chain under centroid CTE
+    * `cents` -> named `out` — the oracle twin of [[assignTwoLevel]],
+    * the same rank-strided-supers + nearest-super-blocks + two-ROW_NUMBER
+    * routing chain [[graft.ops.SimilarityQueries]]'s trained-codebook
+    * oracle proved out (tca/tras/tra/eb there). MATERIALIZED throughout:
+    * DuckDB inlines plain CTEs per reference, and the per-round chain
+    * references its predecessors several times (the q_cc_largestar
+    * blowup class). */
+  private def semAssignCte(out: String, cents: String): String = {
+    val d2cs = DuckSql.dist2Big("k.c", "s.sv")
+    val d2rs = DuckSql.dist2Big("x.v", "s.sv")
+    val d2rc = DuckSql.dist2Big("r.v", "a.c")
+    s"""sb_$out AS (SELECT COALESCE((SELECT min(z)
+       |    FROM (SELECT unnest(range(1, 257)) AS z) tz
+       |    WHERE z * z >= (SELECT count(*) FROM $cents)), 256) AS sb),
+       |ss_$out AS MATERIALIZED (SELECT cid AS sid, c AS sv FROM (
+       |    SELECT cid, c, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS j
+       |    FROM $cents) tj, sb_$out WHERE j % sb = 0),
+       |ca_$out AS MATERIALIZED (SELECT cid, c, sid AS csuper FROM (
+       |    SELECT k.cid, k.c, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY k.cid
+       |        ORDER BY $d2cs, s.sid) AS rn
+       |    FROM $cents k CROSS JOIN ss_$out s) WHERE rn = 1),
+       |ra_$out AS MATERIALIZED (SELECT vec_id, v, sid AS rsuper FROM (
+       |    SELECT x.vec_id, x.v, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $d2rs, s.sid) AS rn
+       |    FROM v x CROSS JOIN ss_$out s) WHERE rn = 1),
+       |$out AS MATERIALIZED (SELECT vec_id, v, cluster FROM (
+       |    SELECT r.vec_id, r.v, a.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY $d2rc, a.cid) AS rn
+       |    FROM ra_$out r JOIN ca_$out a ON a.csuper = r.rsuper)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB: one centroid-update CTE over assignment `a` -> named `out`. */
   private def updateCte(out: String, a: String): String =
     s"""$out AS (
@@ -121,20 +157,53 @@ object ClusteringQueries {
   private val duckSemKExpr =
     s"(SELECT GREATEST(8, (count(*) + ${SemOcc - 1}) // $SemOcc) FROM v)"
 
-  /** One assignment at arbitrary K: the centroid codebook travels as a
-    * broadcast into a codegen'd argmin ([[graft.functions.CentroidArgminBroadcast]])
-    * — O(K·d) per row in a tight long loop, no K-literal expression
-    * blow-up. Pure map: zero shuffles, same tie-break as [[assign]]. */
-  private def assignByArgmin(v: DataFrame,
+  /** Two-level codebook over the CURRENT centroids — the exact
+    * construction [[graft.ops.SimilarityQueries.trainedCells]] and
+    * ArgminKernelProps.build share: centroids sorted by cid, supers =
+    * every ⌈√K⌉-th centroid in cid rank order, children grouped to their
+    * nearest super (exact integer d2, smallest-sid tie). */
+  private def twoLevelBook(cents: Seq[(Int, Seq[Long])])
+      : (Array[Long], Array[Array[Long]],
+        Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val children = cents.sortBy(_._1)
+      .map { case (cid, v) => cid.toLong -> v.toArray }.toArray
+    val sb = (1 to 256).find(z => z * z >= children.length).getOrElse(256)
+    val supers = children.zipWithIndex.collect {
+      case (c, j) if j % sb == 0 => c
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val bySuper = children.groupBy { case (_, cv) =>
+      supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
+    }
+    val empty = Array.empty[(Long, Array[Long])]
+    val kids = supers.map(sp => bySuper.getOrElse(sp._1, empty).sortBy(_._1))
+    (supers.map(_._1), supers.map(_._2),
+      kids.map(_.map(_._1)), kids.map(_.map(_._2)))
+  }
+
+  /** One assignment at arbitrary K through TWO-LEVEL routing: the
+    * centroid codebook travels as a broadcast into the codegen'd
+    * [[graft.functions.TwoLevelArgminBroadcast]] kernel — argmin over
+    * the ⌈√K⌉ super centroids, then over that super's child block, so
+    * the per-row cost is O(√K·d), not O(K·d). With K = ⌈N/250⌉ that is
+    * the difference between O(N^1.5·d) and O(N²·d) TOTAL assignment
+    * compute per Lloyd round — the same superlinear class the flat IVF
+    * quantizer hit in r06 and was fixed with the same routing. Pure
+    * map: zero shuffles, both argmin levels tie to the smallest
+    * centroid id exactly like [[assign]]'s flat scan. */
+  private def assignTwoLevel(v: DataFrame,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val s = v.sparkSession
-    val bc = s.sparkContext.broadcast(
-      (cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
-    val fn = s"graft_centroid_argmin_${java.util.UUID.randomUUID().toString.take(8)}"
+    val bc = s.sparkContext.broadcast(twoLevelBook(cents))
+    val fn = s"graft_sem_cell_${java.util.UUID.randomUUID().toString.take(8)}"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
-      exprs => graft.functions.CentroidArgminBroadcast(bc, exprs(0)),
+      exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
       "scala_udf")
-    val out = v.selectExpr("vec_id", "v", s"$fn(v) AS cluster")
+    val out = v.selectExpr("vec_id", "v", s"CAST($fn(v) AS INT) AS cluster")
     // resolution happened above; the expression holds the broadcast, so
     // the name can go immediately (no cross-call registry races)
     s.sessionState.functionRegistry.dropFunction(
@@ -145,10 +214,21 @@ object ClusteringQueries {
   /** The SemDeDup blocking: k-means cluster ids at K = [[adaptiveSemK]]
     * (first-K data seeds — vec_ids are uncorrelated with embedding
     * position, so the init is a density-proportional sample — then
-    * `Iters` Lloyd rounds through the broadcast-codebook argmin).
-    * Extracted so AnnClusteredStress can measure this blocker's
-    * occupancy / pair mass / retention on the density-skewed corpus
-    * beside the ANN quantizers. Returns (vec_id, cluster). */
+    * `Iters` Lloyd rounds through the broadcast-codebook TWO-LEVEL
+    * argmin: O(√K·d)/row, [[assignTwoLevel]]). Extracted so
+    * AnnClusteredStress can measure this blocker's occupancy / pair
+    * mass / retention / per-row assignment cost on the density-skewed
+    * corpus beside the ANN quantizers. Returns (vec_id, cluster).
+    *
+    * Driver-state bound (stated, like adaptiveCells'): each Lloyd round
+    * collects the K updated centroids (K×64 longs — 410 KB at the
+    * measured 100× point, K = 800). K ∝ N means the collect grows with
+    * the corpus: past ~10⁶ clusters (~2.5×10⁸ rows) the update wants
+    * the distributed-codebook treatment (keep centroid blocks as a
+    * DataFrame keyed by super, the q_ann_ivf_trained_dist device)
+    * and/or FAISS-style bounded-sample training. Routing cost is
+    * already covered: √K·d per row stays below the 250·d within-block
+    * pair cost until far past that point. */
   private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val v = ScratchCache.scratch(Tables.embeddings(s, d)
@@ -157,8 +237,8 @@ object ClusteringQueries {
     var cents: Seq[(Int, Seq[Long])] =
       v.filter(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
-    for (_ <- 1 to Iters) cents = update(assignByArgmin(v, cents))
-    assignByArgmin(v, cents).select("vec_id", "cluster")
+    for (_ <- 1 to Iters) cents = update(assignTwoLevel(v, cents))
+    assignTwoLevel(v, cents).select("vec_id", "cluster")
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -171,8 +251,10 @@ object ClusteringQueries {
     // corpus×corpus) because K = ⌈N/250⌉ GROWS WITH THE CORPUS
     // ([[adaptiveSemK]] — 8 at every fixture SF, K ∝ N after): constant
     // per-cluster occupancy makes candidate-pair volume linear in N.
-    // Assignment is a zero-shuffle broadcast-codebook argmin map
-    // (O(K·d)/row, codegen'd — [[assignByArgmin]]), and the pair step is
+    // Assignment is a zero-shuffle broadcast-codebook TWO-LEVEL argmin
+    // map (O(√K·d)/row, codegen'd — [[assignTwoLevel]]; with K ∝ N a
+    // flat scan would make the round's total assignment O(N²·d), the
+    // r08 verdict's superlinear finding), and the pair step is
     // one hash-partitioned equi-join on cluster id whose input is
     // SHUFFLED EXACTLY ONCE: the joined frame is repartitioned on
     // cluster BEFORE caching, so the cached relation's HashPartitioning
@@ -213,7 +295,7 @@ object ClusteringQueries {
           .orderBy("vec_id")
       }, {
         val cteChain = (1 to Iters).flatMap(i =>
-          Seq(assignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
+          Seq(semAssignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
           .mkString(",\n")
         val cos = s"(${DuckSql.dotDbl("a.embedding", "b.embedding")}" +
           " / sqrt(a.n2 * b.n2))"
@@ -221,7 +303,7 @@ object ClusteringQueries {
            |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
            |  WHERE vec_id < $duckSemKExpr),
            |$cteChain,
-           |${assignCte("afinal", s"c$Iters")},
+           |${semAssignCte("afinal", s"c$Iters")},
            |m AS (
            |  SELECT e.vec_id, e.embedding,
            |    ${DuckSql.dotDbl("e.embedding", "e.embedding")} AS n2, f.cluster
