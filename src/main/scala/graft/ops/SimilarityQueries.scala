@@ -345,6 +345,111 @@ object SimilarityQueries {
        |  FROM eb LEFT JOIN ebx USING (vec_id))""".stripMargin
   }
 
+  /** DISTRIBUTED-codebook variant of [[trainedCells]] — identical cell
+    * assignment (same seeds, same two-level argmin, same tie law; the
+    * DuckDB twin is REUSED verbatim), different state placement, built
+    * for the codebook-growth ceiling [[trainedCells]] documents: child
+    * seeds number ≈ c = N/125, so collecting-and-broadcasting them is
+    * a ~40 GB driver object at 10¹⁰ rows. Here the driver only ever
+    * holds the ⌈√c⌉ SUPER seeds (the [[graft.functions.SuperArgminBroadcast]]
+    * broadcast — O(√c·d) state); the c child seeds stay a DataFrame:
+    *
+    *  1. children select their super MAP-SIDE through the super kernel
+    *     (one scan, no shuffle of the corpus);
+    *  2. one shuffle groups children into per-super BLOCKS
+    *     (`sort_array(collect_list(struct(cid, cv)))` — ascending cid,
+    *     the kernel tie order), ≈√c rows of ≈√c seeds each;
+    *  3. every corpus row routes to its super map-side, then a
+    *     SHUFFLE_HASH join on the super id meets rows with their one
+    *     block — each task hashes only its partition's blocks, so no
+    *     single JVM ever materializes the codebook — and
+    *     [[graft.functions.ChildBlockArgmin]] scans the joined block
+    *     in place for the home cell.
+    *
+    * Cost: 2 shuffles (block build ~c seed rows, row routing ~N rows)
+    * + one √c-sized broadcast, vs [[trainedCells]]' 1 shuffle + one
+    * c-sized driver collect/broadcast — the documented trade, taken
+    * only when c no longer fits the driver (the declared query exists
+    * to keep the scale path under the fixture oracle; the stress
+    * harness proves assignment equality on the clustered corpus). */
+  private[graft] def trainedCellsDist(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
+    val n = v.count()
+    val (sc, ss) = trainedStrides(n)
+    val superSeeds = v.filter(expr(s"vec_id % $ss = 0"))
+      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    require(superSeeds.nonEmpty,
+      s"trainedCellsDist: no super seeds (n=$n, ss=$ss)")
+    val bcS = s.sparkContext.broadcast(
+      (superSeeds.map(_._1), superSeeds.map(_._2)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fnS = s"graft_super_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnS,
+      exprs => graft.functions.SuperArgminBroadcast(bcS, exprs(0)),
+      "scala_udf")
+    val fnB = s"graft_block_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
+      exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+    // coalesce(-1) marks the routing key non-nullable (qv is never
+    // null): without it the join's null-key elimination plants an
+    // isnotnull(kernel(qv)) filter that EVALUATES the O(√c·d) routing
+    // a second time per row (observed in the r09 plan audit)
+    val blocks = v.filter(expr(s"vec_id % $sc = 0"))
+      .selectExpr("vec_id AS cid", "qv AS cv",
+        s"coalesce($fnS(qv), -1L) AS csuper")
+      .groupBy("csuper")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("block"))
+    val routed = v.selectExpr("vec_id", "embedding", "n2", "qv",
+      s"coalesce($fnS(qv), -1L) AS rsuper")
+    val out = graft.ScratchCache.scratch(
+      routed.join(blocks.hint("SHUFFLE_HASH"),
+          col("rsuper") === col("csuper"))
+        .selectExpr("vec_id", "embedding", "n2", s"$fnB(qv, block) AS cell")
+        .repartition(col("cell")))
+    Seq(fnS, fnB).foreach(f => s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    out
+  }
+
+  /** The within-cell top-3 search shared by the trained-IVF family:
+    * one hash-partitioned self-join on cell + per-query top-3 window
+    * (cosine desc, neighbor_id asc). */
+  private def trainedAnnSearch(e: DataFrame): DataFrame = {
+    val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+      "n2 AS qn2", "cell")
+    val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+      "n2 AS cn2", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", "cell",
+        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Oracle of [[trainedAnnSearch]] over [[duckTrainedEbCte]] — shared
+    * by q_ann_ivf_trained and q_ann_ivf_trained_dist (the two builds
+    * assign IDENTICAL cells, so one SQL gates both). */
+  private def duckTrainedAnnSql: String =
+    s"""WITH $duckTrainedEbCte
+       |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
   /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
   private def duckPlanesExpr: String =
@@ -1143,31 +1248,21 @@ object SimilarityQueries {
     // q_ann_ivf family documents, and the index build adds two bounded
     // collects (the ≤65536-seed codebook) + one broadcast.
     "q_ann_ivf_trained" -> QueryDef(
-      (s, d) => {
-        val e = trainedCells(s, d)
-        val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
-          "n2 AS qn2", "cell")
-        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-          "n2 AS cn2", "cell")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        q.join(c, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .selectExpr("query_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("query_id", "rn")
-      }, {
-        s"""WITH $duckTrainedEbCte
-           |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-           |    ${duckCos("q", "c")} AS cosine,
-           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-           |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-           |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-      }),
+      (s, d) => trainedAnnSearch(trainedCells(s, d)),
+      duckTrainedAnnSql),
+
+    // The DISTRIBUTED-codebook build of the same index — identical cell
+    // assignment under the IDENTICAL oracle (the equality is the
+    // point), with the codebook kept out of the driver: only the ⌈√c⌉
+    // super seeds are collected/broadcast, child seeds flow as a
+    // DataFrame into per-super blocks met through a SHUFFLE_HASH join
+    // ([[trainedCellsDist]]). This is the build path once c = N/125
+    // outgrows a single JVM (~40 GB of seeds at 10¹⁰ rows) — the r08
+    // codebook-growth ceiling, closed by construction instead of a
+    // Scaladoc promise. Search shape after the build is q_ann_ivf_trained's.
+    "q_ann_ivf_trained_dist" -> QueryDef(
+      (s, d) => trainedAnnSearch(trainedCellsDist(s, d)),
+      duckTrainedAnnSql),
 
     // Trained IVF with nprobe=2 — the recall knob on the CLUSTERED-corpus
     // path: each query probes its home trained cell AND the best child of

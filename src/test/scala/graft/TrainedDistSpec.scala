@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DISTRIBUTED trained-codebook build (trainedCellsDist) vs the
+  * one-broadcast build (trainedCells): same seeds, same two-level
+  * integer argmin, same tie law — so the ASSIGNMENTS must be
+  * bit-identical row for row. What differs is state placement, and
+  * that is what the second test pins: the distributed build's child
+  * blocks must meet the corpus through a SHUFFLE join (each task
+  * hashes only its partition's blocks), never a broadcast of the full
+  * codebook — the shape that holds when c = N/125 outgrows one JVM
+  * (the r08 codebook-growth ceiling). The shared DuckDB oracle gates
+  * values; this spec gates the equality CLAIM and the plan shape.
+  */
+class TrainedDistSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkTestSession._
+
+  test("distributed build assigns the identical cell to every row") {
+    val one = ops.SimilarityQueries.trainedCells(spark, sf)
+      .selectExpr("vec_id", "cell AS cell_one")
+    val dist = ops.SimilarityQueries.trainedCellsDist(spark, sf)
+      .selectExpr("vec_id", "cell AS cell_dist")
+    val joined = one.join(dist, "vec_id").cache()
+    try {
+      val n = joined.count()
+      assert(n > 0)
+      val diff = joined.filter("cell_one <> cell_dist").count()
+      assert(diff === 0L, s"$diff of $n rows disagree between builds")
+    } finally {
+      joined.unpersist()
+      ScratchCache.release()
+    }
+  }
+
+  test("child blocks meet the corpus through a shuffle join, not a broadcast") {
+    val dist = ops.SimilarityQueries.trainedCellsDist(spark, sf)
+    try {
+      dist.collect()
+      // the frame is scratch-cached: the join lives in the cached
+      // relation's plan, behind the InMemoryTableScan
+      val outer = dist.queryExecution.executedPlan
+      val cached = collect(outer) {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      val nodes = (outer +: cached).flatMap(p => collect(p) {
+        case n => n.nodeName
+      })
+      assert(nodes.exists(_.contains("ShuffledHashJoin")),
+        s"expected ShuffledHashJoin in ${nodes.distinct.sorted}")
+      assert(!nodes.exists(_.contains("BroadcastHashJoin")),
+        s"codebook must not broadcast: ${nodes.distinct.sorted}")
+    } finally ScratchCache.release()
+  }
+}
