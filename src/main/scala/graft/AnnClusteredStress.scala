@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object AnnClusteredStress {
 
+  /** Minimum acceptable multi-probe near-dup retention at ANY measured
+    * scale — the r09 floor, pinned from the measured 100× clustered
+    * point (the r08 measurements had no floor: single-probe trained
+    * cells bottomed out at 0.057 and nothing gated it). The truth set
+    * grows quadratically in cluster mass while any bounded blocker
+    * spends ~constant candidates per row, so the floor is deliberately
+    * a FLOOR, not a target — breaching it means the blocking key lost
+    * its value as a dedup device, not that a ratio drifted. */
+  private val RetentionFloor = 0.10
+
   private final case class ScaleRow(tag: String, n: Long, json: String)
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +124,8 @@ object AnnClusteredStress {
 
       // the TRAINED (data-seeded) quantizer (q_ann_ivf_trained) on the
       // same corpus: occupancy must track density; recall must hold
-      val bal = ops.SimilarityQueries.trainedCells(spark, dir, probe2 = true)
+      val bal = ops.SimilarityQueries.trainedCells(spark, dir,
+        probe2 = true, probe3 = true)
       val bCounts = bal.groupBy("cell").count()
         .select("count").collect().map(_.getLong(0)).sorted
       val (balUsed, balMax, balMed) =
@@ -196,15 +207,87 @@ object AnnClusteredStress {
           "cell AS probe")
       val ndBal = ndPairs(balQnd.join(balCand, col("probe") === col("ccell")))
 
+      // MULTI-PROBE near-dup blocking (q_dedup_embedding_probe2): a pair
+      // survives when EITHER endpoint's probe set {cell, cell2} contains
+      // the other's HOME cell — the r08 finding was that every bounded
+      // single-probe blocker retains ≤5.7% of true pairs at 100×
+      // clustered, and the cross-super boundary (exactly where cell2
+      // points) is where those pairs were lost. Candidate mass is the
+      // declared query's real join size: Σ occ(cell) + Σ_{cell2≠cell}
+      // occ(cell2) — bounded by 2× the single-probe mass.
+      val balQnd2 = balQnd.unionByName(
+        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+          .filter(col("cell2") =!= col("cell"))
+          .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+            "cell2 AS probe"))
+      val candAlt = bal.filter(col("cell2") =!= col("cell"))
+        .selectExpr("vec_id AS neighbor_id", "embedding AS ce", "n2 AS cn2",
+          "cell2 AS ccell")
+      val mpCols = Seq("query_id", "neighbor_id", "qe", "qn2", "ce", "cn2")
+      val ndBalMp = ndPairs(
+        balQnd2.join(balCand, col("probe") === col("ccell"))
+          .select(mpCols.map(col): _*)
+          .unionByName(balQnd.join(candAlt, col("probe") === col("ccell"))
+            .select(mpCols.map(col): _*)))
+      val cnt = bal.groupBy("cell").agg(count(lit(1)).as("bn"))
+      def probeMass(c: String): Long = bal.filter(col(c) =!= col("cell"))
+        .selectExpr(s"$c AS cell")
+        .join(broadcast(cnt), "cell")
+        .agg(coalesce(sum("bn"), lit(0L))).head.getLong(0)
+      val mpMass = balSq + probeMass("cell2")
+
+      // THREE-probe (q_dedup_embedding_probe3): + the home super's
+      // second-best child (cell3) — the INTRA-super seam
+      val balQnd3 = balQnd2.unionByName(
+        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+          .filter(col("cell3") =!= col("cell"))
+          .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+            "cell3 AS probe"))
+      val candAlt3 = candAlt.unionByName(
+        bal.filter(col("cell3") =!= col("cell"))
+          .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+            "n2 AS cn2", "cell3 AS ccell"))
+      val ndBalMp3 = ndPairs(
+        balQnd3.join(balCand, col("probe") === col("ccell"))
+          .select(mpCols.map(col): _*)
+          .unionByName(balQnd.join(candAlt3, col("probe") === col("ccell"))
+            .select(mpCols.map(col): _*)))
+      val mp3Mass = mpMass + probeMass("cell3")
+
+      // the DISTRIBUTED codebook build (q_ann_ivf_trained_dist): same
+      // cells by construction — diff must be ZERO at every scale (this
+      // is the "recall within a stated delta" point: delta = 0) while
+      // the driver only ever collects the ⌈√c⌉ super seeds instead of
+      // all ≈c child seeds
+      val dist = ops.SimilarityQueries.trainedCellsDist(spark, dir)
+      val distDiff = bal.selectExpr("vec_id", "cell AS cell_one")
+        .join(dist.selectExpr("vec_id", "cell AS cell_dist"), "vec_id")
+        .filter(col("cell_one") =!= col("cell_dist")).count()
+      val (scStride, ssStride) = ops.SimilarityQueries.trainedStrides(n)
+      val oneBroadcastSeeds =
+        assigned.filter(pmod(col("vec_id"), lit(scStride)) === 0).count()
+      val distDriverSeeds =
+        assigned.filter(pmod(col("vec_id"), lit(ssStride)) === 0).count()
+
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
       // now measured under the SAME density skew as the quantizers —
       // does K ∝ N with data-seeded Lloyd hold per-cluster occupancy,
       // and what fraction of true near-dup pairs stays inside a block?
+      // r09: the assignment is TWO-LEVEL routed (O(√K·d)/row through
+      // TwoLevelArgminBroadcast — K ∝ N made the old flat argmin's
+      // total assignment O(N²·d), the r08 verdict's superlinear
+      // finding), so the build time and the per-row routing width are
+      // measured HERE, at every scale, next to the flat width the old
+      // kernel would have paid
+      val semK = ops.ClusteringQueries.adaptiveSemK(n)
+      val semSb = (1 to 256).find(z => z * z >= semK).getOrElse(256)
+      val semT0 = System.nanoTime()
       val sem = ops.ClusteringQueries.semClusters(spark, dir)
       val semAll = assigned.join(sem, "vec_id").persist()
       val semCounts = semAll.groupBy("cluster").count()
         .select("count").collect().map(_.getLong(0)).sorted
+      val semBuildS = (System.nanoTime() - semT0) / 1e9
       val (semUsed, semMax, semMed) =
         (semCounts.length, semCounts.last, semCounts(semCounts.length / 2))
       val semSq = semCounts.map(x => x.toDouble * x).sum
@@ -220,6 +303,8 @@ object AnnClusteredStress {
         if (ndTruth.isEmpty) 1.0 else (ndTruth & s).size.toDouble / ndTruth.size
       val (retLsh, retRef, retBal, retSem) =
         (ret(ndLsh), ret(ndRef), ret(ndBal), ret(ndSem))
+      val retMp = ret(ndBalMp)
+      val retMp3 = ret(ndBalMp3)
       ScratchCache.release()
 
       q.unpersist(); assigned.unpersist()
@@ -230,9 +315,13 @@ object AnnClusteredStress {
         f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall " +
         f"p1=$balR1%.3f p2=$balR2%.3f | adaLSH(cap=$refCap) used=$refUsed " +
         f"max/med=$refMax/$refMed sumsq=${refSq}%.3g recall p1=$refR1%.3f | " +
-        f"sem k=$semUsed max/med=$semMax/$semMed sumsq=${semSq}%.3g | " +
+        f"sem k=$semUsed max/med=$semMax/$semMed sumsq=${semSq}%.3g " +
+        f"build=${semBuildS}%.1fs | " +
         f"nd(n=${ndTruth.size}) lsh=$retLsh%.3f ada=$retRef%.3f " +
-        f"trained=$retBal%.3f sem=$retSem%.3f")
+        f"trained=$retBal%.3f sem=$retSem%.3f MULTI2=$retMp%.3f " +
+        f"(${mpMass / balSq}%.2fx) MULTI3=$retMp3%.3f " +
+        f"(${mp3Mass / balSq}%.2fx) | distDiff=$distDiff " +
+        f"seeds one=$oneBroadcastSeeds dist=$distDriverSeeds")
       ScaleRow(tag, n,
         f"""{"n":$n,"cells":$cells,"cells_used":$cellsUsed,""" +
           f""""cell_occ_max":$cellMax,"cell_occ_med":$cellMed,""" +
@@ -256,11 +345,25 @@ object AnnClusteredStress {
           f""""sem_clusters_used":$semUsed,"sem_occ_max":$semMax,""" +
           f""""sem_occ_med":$semMed,"sem_pair_mass":$semSq%.0f,""" +
           f""""sem_mass_per_row":${semSq / n}%.1f,""" +
+          f""""sem_k":$semK,"sem_route_width":${semSb + (semK + semSb - 1) / semSb},""" +
+          f""""sem_flat_width":$semK,"sem_build_s":$semBuildS%.2f,""" +
+          f""""sem_build_us_per_row":${semBuildS * 1e6 / n}%.1f,""" +
+          f""""multi_probe_pair_mass":$mpMass%.0f,""" +
+          f""""multi_probe_mass_per_row":${mpMass.toDouble / n}%.1f,""" +
+          f""""multi_probe_mass_vs_single":${mpMass / balSq}%.2f,""" +
+          f""""multi_probe3_pair_mass":$mp3Mass%.0f,""" +
+          f""""multi_probe3_mass_per_row":${mp3Mass.toDouble / n}%.1f,""" +
+          f""""multi_probe3_mass_vs_single":${mp3Mass / balSq}%.2f,""" +
+          f""""trained_dist_cell_diff":$distDiff,""" +
+          f""""trained_codebook_seeds":$oneBroadcastSeeds,""" +
+          f""""trained_dist_driver_seeds":$distDriverSeeds,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
           f""""neardup_retention_trained":$retBal%.3f,""" +
-          f""""neardup_retention_sem":$retSem%.3f}""")
+          f""""neardup_retention_sem":$retSem%.3f,""" +
+          f""""neardup_retention_multi_probe":$retMp%.3f,""" +
+          f""""neardup_retention_multi_probe3":$retMp3%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -273,10 +376,24 @@ object AnnClusteredStress {
     val balMass = massOf("trained_pair_mass")
     val refMass = massOf("adaptive_lsh_pair_mass")
     val semMass = massOf("sem_pair_mass")
+    val mpMassR = massOf("multi_probe3_pair_mass")
     val massRatio = mass(s"${factor}x") / mass("1x")
     val balRatio = balMass(s"${factor}x") / balMass("1x")
     val refRatio = refMass(s"${factor}x") / refMass("1x")
     val semRatio = semMass(s"${factor}x") / semMass("1x")
+    val mpRatio = mpMassR(s"${factor}x") / mpMassR("1x")
+    // GATES (r09 — retention and dist-equality used to be
+    // informational): the RECOMMENDED near-dup blocker (multi-probe
+    // trained cells) must retain at least RetentionFloor of the true
+    // cosine≥0.4 pairs at EVERY measured scale, and the distributed
+    // codebook build must assign identically at every scale. A breach
+    // populates the list and the run's consumer sees it without
+    // reading per-scale rows.
+    val retMpByTag = massOf("neardup_retention_multi_probe3")
+    val retBreach = retMpByTag.collect {
+      case (tag, r) if r < RetentionFloor => tag }.toSeq.sorted
+    val distBreach = massOf("trained_dist_cell_diff").collect {
+      case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
         rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
@@ -284,10 +401,16 @@ object AnnClusteredStress {
         f""""trained_pair_mass_ratio":$balRatio%.2f,""" +
         f""""adaptive_lsh_pair_mass_ratio":$refRatio%.2f,""" +
         f""""sem_pair_mass_ratio":$semRatio%.2f,""" +
+        f""""multi_probe3_pair_mass_ratio":$mpRatio%.2f,""" +
         """"adaptive_lsh_note":"read mass_per_row, not the ratio: the """ +
         """cap engages only on buckets past it, so the 1x denominator """ +
         """is largely unsplit mass; per-row candidates are bounded by """ +
         """the cap at any corpus size",""" +
+        f""""multi_probe_retention_floor":$RetentionFloor%.2f,""" +
+        s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""dist_build_diff_nonzero":${distBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
         f""""linear_bound":${factor * 1.5}%.1f}"""
     java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)
     println(s"[ann-clustered] wrote $outJson (pair-mass ratio hash=" +

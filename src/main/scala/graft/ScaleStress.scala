@@ -57,9 +57,12 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_simhash", "q_dedup_substring", "q_dedup_cluster",
     "q_dedup_semantic",
     // similarity / ANN family (embeddings)
-    "q_dedup_embedding_lsh", "q_ann_lsh", "q_ann_lsh_adaptive",
+    "q_dedup_embedding_lsh", "q_dedup_embedding_probe2",
+    "q_dedup_embedding_probe3",
+    "q_ann_lsh", "q_ann_lsh_adaptive",
     "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
+    "q_ann_ivf_trained_dist",
     "q_ann_incremental", "q_ann_incremental_trained",
     "q_ann_ivfpq", "q_kmeans",
     // training-data prep, curation + text (documents)
@@ -482,11 +485,18 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
       val planDiff = mergedRows.collect {
         case (q, r) if !r.planEqual => q }.toSeq.sorted
       val skews = mergedRows.values.flatMap(_.skew)
+      // the 20x task-skew alarm line (Scaladoc above) is now a GATE,
+      // not a narrative convention: r08's 38.2x flag on a probe2 row
+      // rode in silently because only ratio breaches populated a
+      // breach list — a straggler class must fail loudly
+      val skewOver = mergedRows.collect {
+        case (q, r) if r.skew.exists(_ > 20.0) => q }.toSeq.sorted
       s"""{"queries_run":${mergedRows.size},""" +
         s""""errors":${allErrors.map { case (q, m) =>
           s"""{"query":"$q","error":"$m"}""" }.mkString("[", ",", "]")},""" +
         s""""ratio_gt_${factor}x1.5":${over.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""plan_shape_changed":${planDiff.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""skew_gt_20":${skewOver.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""max_skew":${if (skews.isEmpty) "null" else f"${skews.max}%.1f"}}"""
     }
     val qJson = mergedRows.toSeq.sortBy(_._1)

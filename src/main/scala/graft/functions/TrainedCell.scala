@@ -158,3 +158,68 @@ case class TwoLevelArgmin2Broadcast(
   override protected def withNewChildInternal(newChild: Expression): TwoLevelArgmin2Broadcast =
     copy(child = newChild)
 }
+
+/** Third probe of the trained-codebook family: the SECOND-best child
+  * WITHIN the home super — the intra-super boundary, complementing
+  * [[TwoLevelArgmin2Broadcast]]'s cross-super boundary (a near-dup
+  * pair lost by single-probe blocking sits across one of exactly those
+  * two seams). Tie semantics are the home ranking's `rn = 2`: first
+  * minimum excluded, first minimum of the rest, ascending-id arrays +
+  * strict `<`. Falls back to the HOME cell when the home super has a
+  * single child — the oracle's LEFT JOIN + COALESCE twin — so probe
+  * fan-out must drop `cell3 = cell` rows exactly like cell2's. */
+case class TwoLevelArgminH2Broadcast(
+    codebook: Broadcast[(Array[Long], Array[Array[Long]],
+      Array[Array[Long]], Array[Array[Array[Long]]])],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_trained_cell_h2"
+
+  @transient private lazy val superVecs = codebook.value._2
+  @transient private lazy val childIds = codebook.value._3
+  @transient private lazy val childVecs = codebook.value._4
+
+  private def argminIdxExcl(x: Array[Long], vecs: Array[Array[Long]],
+      excl: Int): Int = {
+    var best = -1
+    var bestD = Long.MaxValue
+    var i = 0
+    while (i < vecs.length) {
+      if (i != excl) {
+        val c = vecs(i)
+        var d = 0L
+        var j = 0
+        while (j < x.length && d < bestD) {
+          val t = x(j) - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Executor-side probe; also the codegen entry point. */
+  def cellOf(v: ArrayData): Long = {
+    val x = v.toLongArray()
+    val si = argminIdxExcl(x, superVecs, -1)
+    val kids = childVecs(si)
+    val ci = argminIdxExcl(x, kids, -1)
+    if (kids.length < 2) childIds(si)(ci) // single child: home fallback
+    else childIds(si)(argminIdxExcl(x, kids, ci))
+  }
+
+  override def nullSafeEval(v: Any): Any = cellOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTrainedCellH2", this,
+      classOf[TwoLevelArgminH2Broadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.cellOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelArgminH2Broadcast =
+    copy(child = newChild)
+}

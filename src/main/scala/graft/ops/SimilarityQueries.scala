@@ -167,7 +167,11 @@ object SimilarityQueries {
     * Returns (vec_id, embedding, n2, cell) scratch-cached; cell ids are
     * child-seed vec_ids. With `probe2` a second column `cell2` carries
     * the best child of the SECOND-nearest super — the trained-codebook
-    * nprobe knob (kernel [[graft.functions.TwoLevelArgmin2Broadcast]]).
+    * nprobe knob (kernel [[graft.functions.TwoLevelArgmin2Broadcast]]);
+    * with `probe3` a `cell3` column carries the home super's
+    * SECOND-best child ([[graft.functions.TwoLevelArgminH2Broadcast]])
+    * — the intra-super boundary, the other seam single-probe blocking
+    * loses near-dup pairs across.
     * `seedWhere` restricts TRAINING (knob sizing + seed selection) to a
     * sub-corpus while every row still routes through the codebook — the
     * incremental-ingest shape: arrivals must not shift a served
@@ -188,7 +192,8 @@ object SimilarityQueries {
     * sb = ⌈√k⌉ — lshRefined's rule; j = 0 is always selected, so a
     * non-empty child set guarantees a non-empty super set). */
   private[graft] def trainedCells(s: SparkSession, d: String,
-      probe2: Boolean = false, seedWhere: String = "TRUE"): DataFrame = {
+      probe2: Boolean = false, seedWhere: String = "TRUE",
+      probe3: Boolean = false): DataFrame = {
     GraftFunctions.register(s)
     val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
       .selectExpr("vec_id", "embedding",
@@ -243,24 +248,28 @@ object SimilarityQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
       exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
       "scala_udf")
-    val cols = Seq("vec_id", "embedding", "n2", s"$fn(qv) AS cell")
-    val out = if (!probe2) {
-      graft.ScratchCache.scratch(
-        v.selectExpr(cols: _*).repartition(col("cell")))
-    } else {
+    var cols = Seq("vec_id", "embedding", "n2", s"$fn(qv) AS cell")
+    var fns = Seq(fn)
+    if (probe2) {
       val fn2 = s"graft_trained_cell2_$tag"
       s.sessionState.functionRegistry.createOrReplaceTempFunction(fn2,
         exprs => graft.functions.TwoLevelArgmin2Broadcast(bc, exprs(0)),
         "scala_udf")
-      val o = graft.ScratchCache.scratch(
-        v.selectExpr(cols :+ s"$fn2(qv) AS cell2": _*)
-          .repartition(col("cell")))
-      s.sessionState.functionRegistry.dropFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(fn2))
-      o
+      cols :+= s"$fn2(qv) AS cell2"
+      fns :+= fn2
     }
-    s.sessionState.functionRegistry.dropFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    if (probe3) {
+      val fn3 = s"graft_trained_cell_h2_$tag"
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fn3,
+        exprs => graft.functions.TwoLevelArgminH2Broadcast(bc, exprs(0)),
+        "scala_udf")
+      cols :+= s"$fn3(qv) AS cell3"
+      fns :+= fn3
+    }
+    val out = graft.ScratchCache.scratch(
+      v.selectExpr(cols: _*).repartition(col("cell")))
+    fns.foreach(f => s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out
   }
 
@@ -343,6 +352,24 @@ object SimilarityQueries {
        |eb2 AS (SELECT eb.vec_id, eb.embedding, eb.n2, eb.cell,
        |    COALESCE(ebx.cell2, eb.cell) AS cell2
        |  FROM eb LEFT JOIN ebx USING (vec_id))""".stripMargin
+  }
+
+  /** [[duckTrainedEb2Cte]] extended with the home super's SECOND-best
+    * child — ends in `eb3(vec_id, embedding, n2, cell, cell2, cell3)`;
+    * `cell3` is `rn = 2` of the home-children ranking (the same
+    * windowed join `eb` takes `rn = 1` from), COALESCEd to the home
+    * cell when the home super has a single child, like the kernel. */
+  private def duckTrainedEb3Cte: String = {
+    val d = DuckSql
+    s"""$duckTrainedEb2Cte,
+       |eh2 AS (SELECT vec_id, cid AS cell3 FROM (
+       |    SELECT r.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
+       |    FROM tra r JOIN tca a ON a.csuper = r.rsuper) WHERE rn = 2),
+       |eb3 AS (SELECT eb2.vec_id, eb2.embedding, eb2.n2, eb2.cell,
+       |    eb2.cell2, COALESCE(eh2.cell3, eb2.cell) AS cell3
+       |  FROM eb2 LEFT JOIN eh2 USING (vec_id))""".stripMargin
   }
 
   /** DISTRIBUTED-codebook variant of [[trainedCells]] — identical cell
@@ -987,6 +1014,106 @@ object SimilarityQueries {
            |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
            |ORDER BY vec_id_a, vec_id_b""".stripMargin
       }),
+
+    // MULTI-PROBE near-dup blocking on the TRAINED cells — the r08
+    // stress's honest bad news was that EVERY bounded blocker's
+    // retention collapses on a 100× clustered corpus (best 5.7% of true
+    // cosine≥0.4 pairs: truth grows quadratically in cluster mass while
+    // a bounded blocker spends ~constant candidates/row), and the
+    // standard lift is multi-probe candidate generation: each row
+    // probes its home cell AND the best child of its second-nearest
+    // super (exactly the cross-super boundary where single-probe
+    // blocking loses pairs). Only the PROBE side fans out (≤2×
+    // candidate mass — the corpus keeps one row per vector); a pair
+    // survives when EITHER endpoint probes the other's home cell, so
+    // the raw join is canonicalized (least/greatest) and deduped — one
+    // extra pair-keyed exchange over the single-probe shape. Retention
+    // vs mass is measured beside the single-probe blockers in
+    // AnnClusteredStress (the multi_probe rows + retention floor).
+    "q_dedup_embedding_probe2" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, probe2 = true)
+        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+            "n2 AS na2", "cell")
+          .unionAll(e.filter(col("cell2") =!= col("cell"))
+            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+              "n2 AS na2", "cell2 AS cell"))
+        val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
+          "n2 AS nb2", "cell")
+        probes.join(corpus, Seq("cell"))
+          .filter(col("vec_id_a") =!= col("vec_id_b"))
+          .selectExpr(
+            "least(vec_id_a, vec_id_b) AS vec_id_a",
+            "greatest(vec_id_a, vec_id_b) AS vec_id_b",
+            // symmetric bit-exact: dot's fold order is the dimension
+            // order and float multiply commutes, so either endpoint
+            // ordering yields the identical double
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= NearDupThreshold)
+          .distinct()
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      s"""WITH $duckTrainedEb2Cte,
+         |dprobes AS (
+         |  SELECT vec_id, embedding, n2, cell FROM eb2
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2
+         |  WHERE cell2 <> cell)
+         |SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
+         |  greatest(a.vec_id, b.vec_id) AS vec_id_b,
+         |  ${duckCos("a", "b")} AS cosine
+         |FROM dprobes a JOIN eb2 b ON a.cell = b.cell
+         |  AND a.vec_id <> b.vec_id
+         |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin),
+
+    // THREE-probe near-dup blocking: probe2's cross-super probe PLUS
+    // the home super's second-best child (cell3) — the INTRA-super
+    // boundary, the other seam a single-probe pair can be lost across.
+    // Probe mass ≤3× the single-probe join; both degenerate fallbacks
+    // (cell2 = cell, cell3 = cell) are filtered, and the three probe
+    // cells are pairwise distinct otherwise (cell2 lives in a different
+    // super's block; cell3 is a different child of the home block), so
+    // the union stays duplicate-free before the pair-level dedup.
+    "q_dedup_embedding_probe3" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, probe2 = true, probe3 = true)
+        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+            "n2 AS na2", "cell")
+          .unionAll(e.filter(col("cell2") =!= col("cell"))
+            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+              "n2 AS na2", "cell2 AS cell"))
+          .unionAll(e.filter(col("cell3") =!= col("cell"))
+            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+              "n2 AS na2", "cell3 AS cell"))
+        val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
+          "n2 AS nb2", "cell")
+        probes.join(corpus, Seq("cell"))
+          .filter(col("vec_id_a") =!= col("vec_id_b"))
+          .selectExpr(
+            "least(vec_id_a, vec_id_b) AS vec_id_a",
+            "greatest(vec_id_a, vec_id_b) AS vec_id_b",
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= NearDupThreshold)
+          .distinct()
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      s"""WITH $duckTrainedEb3Cte,
+         |dprobes AS (
+         |  SELECT vec_id, embedding, n2, cell FROM eb3
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
+         |  WHERE cell2 <> cell
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
+         |  WHERE cell3 <> cell)
+         |SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
+         |  greatest(a.vec_id, b.vec_id) AS vec_id_b,
+         |  ${duckCos("a", "b")} AS cosine
+         |FROM dprobes a JOIN eb3 b ON a.cell = b.cell
+         |  AND a.vec_id <> b.vec_id
+         |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin),
 
     // Exact brute-force top-k: query side broadcast, corpus scanned once.
     "q_ann_cosine" -> QueryDef(

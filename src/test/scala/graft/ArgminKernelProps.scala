@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{BucketedArgminBroadcast, TwoLevelArgmin2Broadcast, TwoLevelArgminBroadcast}
+import graft.functions.{BucketedArgminBroadcast, TwoLevelArgmin2Broadcast, TwoLevelArgminBroadcast, TwoLevelArgminH2Broadcast}
 
 /** ScalaCheck properties for the broadcast-codebook argmin kernels,
   * against a naive reference argmin — the tie totality the DuckDB
@@ -146,6 +146,25 @@ object ArgminKernelProps extends Properties("ArgminKernels") {
         else true
       bc.destroy()
       got2 == want && homeWhenDup
+    }
+
+  property("home-second-child probe: rn=2 of the home ranking, single-child fallback") =
+    forAll(seedsGen, vec) { (seeds, x) =>
+      val (sIds, sVecs, cIds, cVecs) = build(seeds)
+      val bc = SparkTestSession.spark.sparkContext
+        .broadcast((sIds, sVecs, cIds, cVecs))
+      val kH2 = TwoLevelArgminH2Broadcast(bc, null)
+      val got = kH2.cellOf(ArrayData.toArrayData(x))
+      val si = sIds.indices.minBy(i => (d2(x, sVecs(i)), sIds(i)))
+      val home = refArgmin(x, cIds(si), cVecs(si))
+      val want =
+        if (cIds(si).length < 2) home
+        else {
+          val rest = cIds(si).zip(cVecs(si)).filter(_._1 != home)
+          rest.minBy { case (id, v) => (d2(x, v), id) }._1
+        }
+      bc.destroy()
+      got == want
     }
 
   private val bucketedGen: Gen[Map[Long, List[(Long, Array[Long])]]] = for {
