@@ -72,69 +72,107 @@ object Bench10x {
         catch { case _: Throwable => () }
       }
     val errors = scala.collection.mutable.SortedSet.empty[String]
-    def timeOne(name: String): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
-        catch { case _: Throwable => errors += name; false }
-        finally ScratchCache.release()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-    }
-    val names =
-      (ScaleStress.StressQueries ++ Extras).filter(SparkEntry.queries.contains)
-    val passes = (1 to 3).map { _ =>
-      spark.catalog.clearCache()
-      names.map(n => n -> timeOne(n)).toMap
-    }
-    val results: Seq[(String, Double)] = names.map { n =>
-      val ts = passes.map(_(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
-    }
-    val base = baselines()
-    // first run (or newly added queries): append first-recorded rows so
-    // the NEXT round has an anchor — same protocol BASELINE.md followed
-    val missing = results.filter { case (q, t) => t > 0 && !base.contains(q) }
-    if (missing.nonEmpty) {
-      val f = baselineFile()
-      val header = if (f.exists()) "" else
-        s"""# BASELINE_10x — first-recorded per-query seconds on the
-           |# ScaleStress ${Factor}x corpus (synthesized from sf0.1; 32
-           |# files/table, decorrelated payloads). Gate: same 2×
-           |# acceptance as BASELINE.md, evaluated by graft.Bench10x
-           |# into BENCH_10x.json. Rows append on first measurement and
-           |# are never rewritten.
-           |
-           || query | first_s |
-           ||---|---|
-           |""".stripMargin
-      val rows = missing.map { case (q, t) => f"| $q | $t%.3f |\n" }.mkString
-      java.nio.file.Files.writeString(f.toPath, header + rows,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      println(s"[bench10x] recorded ${missing.size} new baseline rows")
-    }
-    val breaches = results.collect {
-      case (q, t) if t > 0 && base.get(q).exists(b => b > 0 && t > 2 * b) => q
-    }
-    val ratio = {
-      val both = results.filter { case (q, t) => t > 0 && base.contains(q) }
-      val num = both.map(_._2).sum
-      val den = both.map { case (q, _) => base(q) }.sum
-      if (den > 0) num / den else -1.0
-    }
-    val qs = results.map { case (q, t) => f""""$q":$t%.3f""" }
-      .mkString("{", ",", "}")
-    val total =
-      if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
-    val line =
-      f"""{"metric":"total_10x","value":$total%.1f,"unit":"sec","factor":$Factor,""" +
-        s""""queries":$qs,"errors":${errors.map("\"" + _ + "\"")
-          .mkString("[", ",", "]")},""" +
+    // one timed phase over (names, corpus dir); baseline rows key by
+    // name + keySuffix so the clustered phase's anchors never collide
+    // with the default-mode rows of the same query
+    def phase(names: Seq[String], corpusDir: String, keySuffix: String)
+        : (String, Double, Seq[String]) = {
+      def timeOne(name: String): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, corpusDir).count(); true }
+          catch { case _: Throwable => errors += (name + keySuffix); false }
+          finally ScratchCache.release()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val passes = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        names.map(n => n -> timeOne(n)).toMap
+      }
+      val results: Seq[(String, Double)] = names.map { n =>
+        val ts = passes.map(_(n))
+        (n + keySuffix) ->
+          (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
+      }
+      val base = baselines()
+      // first run (or newly added queries): append first-recorded rows
+      // so the NEXT round has an anchor — BASELINE.md's protocol
+      val missing = results.filter { case (q, t) => t > 0 && !base.contains(q) }
+      if (missing.nonEmpty) {
+        val f = baselineFile()
+        val header = if (f.exists()) "" else
+          s"""# BASELINE_10x — first-recorded per-query seconds on the
+             |# ScaleStress ${Factor}x corpus (synthesized from sf0.1; 32
+             |# files/table, decorrelated payloads). Gate: same 2×
+             |# acceptance as BASELINE.md, evaluated by graft.Bench10x
+             |# into BENCH_10x.json. Rows append on first measurement and
+             |# are never rewritten. `@clustered` rows run on the
+             |# mode=clustered corpus (16 planted density-skewed
+             |# clusters) — the trained-ANN family's deployment profile.
+             |
+             || query | first_s |
+             ||---|---|
+             |""".stripMargin
+        val rows = missing.map { case (q, t) => f"| $q | $t%.3f |\n" }.mkString
+        java.nio.file.Files.writeString(f.toPath, header + rows,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        println(s"[bench10x] recorded ${missing.size} new baseline rows$keySuffix")
+      }
+      val breaches = results.collect {
+        case (q, t) if t > 0 && base.get(q).exists(b => b > 0 && t > 2 * b) => q
+      }
+      val ratio = {
+        val both = results.filter { case (q, t) => t > 0 && base.contains(q) }
+        val num = both.map(_._2).sum
+        val den = both.map { case (q, _) => base(q) }.sum
+        if (den > 0) num / den else -1.0
+      }
+      val qs = results.map { case (q, t) => f""""$q":$t%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val json = s""""queries":$qs,""" +
         s""""gate_2x_breaches":${breaches.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
-        f""""vs_baseline_ratio":${ratio}%.2f,"base_sf":"$baseDir"}"""
+        f""""vs_baseline_ratio":${ratio}%.2f"""
+      (json, total, breaches)
+    }
+
+    val names =
+      (ScaleStress.StressQueries ++ Extras).filter(SparkEntry.queries.contains)
+    val (defaultJson, defaultTotal, defaultBreaches) = phase(names, dir, "")
+
+    // CLUSTERED phase (r09): the trained-ANN family's raison d'être is
+    // density-skewed data, yet the standing gate only timed the
+    // default-mode corpus — so a plan regression on the recommended
+    // clustered path could ride through a green gate. Same 10× volume,
+    // mode=clustered payloads, separate `@clustered` baseline anchors.
+    val ClusteredQueries = Seq(
+      "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
+      "q_ann_ivf_trained_dist", "q_ann_incremental_trained",
+      "q_ann_lsh_adaptive", "q_dedup_semantic",
+      "q_dedup_embedding_probe2", "q_dedup_embedding_probe3")
+      .filter(SparkEntry.queries.contains)
+    val cdir = s"${ProcScratch.base}/bench10x_clustered"
+    println(s"[bench10x] generating ${Factor}x clustered corpus at $cdir")
+    ScaleStress.generate(spark, baseDir, cdir, Factor, mode = "clustered")
+    spark.read.parquet(s"$cdir/embeddings.parquet").count(): Unit
+    val (clusteredJson, clusteredTotal, clusteredBreaches) =
+      phase(ClusteredQueries, cdir, "@clustered")
+
+    val total =
+      if (errors.nonEmpty) -1.0 else defaultTotal + clusteredTotal
+    val line =
+      f"""{"metric":"total_10x","value":$total%.1f,"unit":"sec","factor":$Factor,""" +
+        defaultJson + "," +
+        s""""errors":${errors.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""clustered":{$clusteredJson},""" +
+        f""""base_sf":"$baseDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Path.of("/root/repo/BENCH_10x.json"), line)
     println(line)
+    println(s"[bench10x] default breaches=${defaultBreaches.size} " +
+      s"clustered breaches=${clusteredBreaches.size}")
     spark.stop()
   }
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * a running-best early exit, inside whole-stage codegen; the codebook
   * (≤65536 seeds × 64 longs) moves once per executor as a broadcast —
   * the same device as [[IntervalSlotBroadcast]] and
-  * [[CentroidArgminBroadcast]]. Reference analog: broadcast edges
+  * [[SuperArgminBroadcast]]. Reference analog: broadcast edges
   * feeding per-task lookup state
   * (`tez-runtime-library/src/main/java/org/apache/tez/runtime/library/conf/UnorderedKVEdgeConfig.java`).
   */
