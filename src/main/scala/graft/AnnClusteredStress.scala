@@ -145,6 +145,15 @@ object AnnClusteredStress {
       val balGot2 = top3(balQ2.join(balCand, col("probe") === col("ccell"))
         .dropDuplicates("query_id", "neighbor_id"))
       val balR2 = (truth & balGot2).size.toDouble / truth.size
+      // nprobe=3 (q_ann_ivf_trained_probe3): + the home super's
+      // second-best child — recall must order probe3 ≥ probe2 ≥ probe1
+      val balQ3 = balQ2.unionByName(
+        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+            "cell3 AS probe"))
+      val balGot3 = top3(balQ3.join(balCand, col("probe") === col("ccell"))
+        .dropDuplicates("query_id", "neighbor_id"))
+      val balR3 = (truth & balGot3).size.toDouble / truth.size
       balQ.unpersist()
 
       // the DENSITY-ADAPTIVE LSH (q_ann_lsh_adaptive) on the same
@@ -313,7 +322,7 @@ object AnnClusteredStress {
         f"lsh buckets used=$bUsed max/med=$bMax/$bMed sumsq=${bSq}%.3g | " +
         f"recall@3 p1=$r1%.3f p2=$r2%.3f | trained used=$balUsed " +
         f"max/med=$balMax/$balMed sumsq=${balSq}%.3g recall " +
-        f"p1=$balR1%.3f p2=$balR2%.3f | adaLSH(cap=$refCap) used=$refUsed " +
+        f"p1=$balR1%.3f p2=$balR2%.3f p3=$balR3%.3f | adaLSH(cap=$refCap) used=$refUsed " +
         f"max/med=$refMax/$refMed sumsq=${refSq}%.3g recall p1=$refR1%.3f | " +
         f"sem k=$semUsed max/med=$semMax/$semMed sumsq=${semSq}%.3g " +
         f"build=${semBuildS}%.1fs | " +
@@ -334,6 +343,7 @@ object AnnClusteredStress {
           f""""trained_occ_med":$balMed,"trained_pair_mass":$balSq%.0f,""" +
           f""""trained_recall3_probe1":$balR1%.3f,""" +
           f""""trained_recall3_probe2":$balR2%.3f,""" +
+          f""""trained_recall3_probe3":$balR3%.3f,""" +
           f""""cell_mass_per_row":${cellSq / n}%.1f,""" +
           f""""bucket_mass_per_row":${bSq / n}%.1f,""" +
           f""""trained_mass_per_row":${balSq / n}%.1f,""" +

@@ -62,8 +62,10 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_ann_lsh", "q_ann_lsh_adaptive",
     "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
-    "q_ann_ivf_trained_dist",
+    "q_ann_ivf_trained_probe3", "q_ann_ivf_trained_dist",
+    "q_dedup_semantic_mp",
     "q_ann_incremental", "q_ann_incremental_trained",
+    "q_stream_ann_ingest",
     "q_ann_ivfpq", "q_kmeans",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",

@@ -477,6 +477,20 @@ object SimilarityQueries {
        |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
+  /** Oracle shared by q_ann_incremental_trained and q_stream_ann_ingest
+    * — the streaming ingest's appended union must EQUAL the one-shot
+    * batch probe (micro-batch composition is the claim under test). */
+  private def duckIncrementalTrainedSql: String =
+    s"""WITH ${duckTrainedEbCteW("vec_id % 10 <> 0")}
+       |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM eb q JOIN eb c ON q.cell = c.cell
+       |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+       |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
+
   /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
   private def duckPlanesExpr: String =
@@ -1115,6 +1129,62 @@ object SimilarityQueries {
          |WHERE ${duckCos("a", "b")} >= $NearDupThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin),
 
+    // SemDeDup REMOVAL DECISION on the multi-probe trained blocking —
+    // the engine's recommended semantic-dedup pass for clustered
+    // corpora. Same output contract as q_dedup_semantic (each removed
+    // vec_id with its kept lowest-id duplicate + dup count), but the
+    // candidate block is the 3-probe trained-cell set instead of a
+    // single k-means cluster: measured on the 100× clustered corpus
+    // this retains 0.151 of true cosine≥0.4 pairs vs the k-means
+    // blocker's 0.025 — a 6× better dedup pass at comparable
+    // per-row candidate mass (AnnClusteredStress, retention floor
+    // gated). Pair generation is q_dedup_embedding_probe3's; the
+    // removal rollup adds one pair-keyed aggregate.
+    "q_dedup_semantic_mp" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, probe2 = true, probe3 = true)
+        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+            "n2 AS na2", "cell")
+          .unionAll(e.filter(col("cell2") =!= col("cell"))
+            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+              "n2 AS na2", "cell2 AS cell"))
+          .unionAll(e.filter(col("cell3") =!= col("cell"))
+            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
+              "n2 AS na2", "cell3 AS cell"))
+        val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
+          "n2 AS nb2", "cell")
+        probes.join(corpus, Seq("cell"))
+          .filter(col("vec_id_a") =!= col("vec_id_b"))
+          .selectExpr(
+            "least(vec_id_a, vec_id_b) AS vec_id_a",
+            "greatest(vec_id_a, vec_id_b) AS vec_id_b",
+            "(graft_vec_dot(ea, eb) / sqrt(na2 * nb2)) AS cosine")
+          .filter(col("cosine") >= NearDupThreshold)
+          .select("vec_id_a", "vec_id_b").distinct()
+          .groupBy("vec_id_b")
+          .agg(min("vec_id_a").as("kept_id"), count(lit(1)).as("n_dups"))
+          .selectExpr("vec_id_b AS vec_id", "kept_id", "n_dups")
+          .orderBy("vec_id")
+      },
+      s"""WITH $duckTrainedEb3Cte,
+         |dprobes AS (
+         |  SELECT vec_id, embedding, n2, cell FROM eb3
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
+         |  WHERE cell2 <> cell
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
+         |  WHERE cell3 <> cell),
+         |dpairs AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_id_b
+         |  FROM dprobes a JOIN eb3 b ON a.cell = b.cell
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE ${duckCos("a", "b")} >= $NearDupThreshold)
+         |SELECT vec_id_b AS vec_id, min(vec_id_a) AS kept_id,
+         |  count(*) AS n_dups
+         |FROM dpairs GROUP BY vec_id_b ORDER BY vec_id""".stripMargin),
+
     // Exact brute-force top-k: query side broadcast, corpus scanned once.
     "q_ann_cosine" -> QueryDef(
       (s, d) => {
@@ -1304,15 +1374,83 @@ object SimilarityQueries {
           .filter(col("rn") <= 3)
           .orderBy("arrival_id", "rn")
       },
-      s"""WITH ${duckTrainedEbCteW("vec_id % 10 <> 0")}
-         |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
-         |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
-         |    ${duckCos("q", "c")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-         |  FROM eb q JOIN eb c ON q.cell = c.cell
-         |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
-         |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin),
+      duckIncrementalTrainedSql),
+
+    // STREAMING ANN ingest on the served trained index — the
+    // production write path of the clustered-corpus family, now under
+    // the oracle as one declared query instead of only a spec
+    // (TrainedWriteSpec proves the pruning mechanics; this proves the
+    // composed micro-batch SEMANTICS): the existing corpus is written
+    // PARTITIONED BY its trained cell (cells are stable — the codebook
+    // trains on existing rows only, q_ann_incremental_trained's
+    // seedWhere contract), the arrival feed lands as an unbounded file
+    // stream (maxFilesPerTrigger=1 → 3 real triggers), and each
+    // micro-batch probes ONLY its arrivals' home cells — a
+    // partition-pruned read of the served table, per-batch cost
+    // ∝ batch size at any corpus size — appending its top-3 rows.
+    // Arrival batches are key-disjoint, so per-arrival top-3 completes
+    // within one batch and the appended union EQUALS the one-shot
+    // batch query: SAME oracle as q_ann_incremental_trained.
+    "q_stream_ann_ingest" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/stream_ann/$tag"
+        val watch = s"$root/_arrivals"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val e = trainedCells(s, d, seedWhere = "vec_id % 10 <> 0")
+        // the SERVED table: existing rows, one directory per cell
+        e.filter(col("vec_id") % 10 =!= 0)
+          .select("vec_id", "embedding", "n2", "cell")
+          .write.partitionBy("cell").parquet(s"$root/corpus")
+        // the arrival feed: 3 key-disjoint chunks (vec_id/10 mod 3)
+        val arrivals = e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding", "n2", "cell").persist()
+        (0 until 3).foreach { i =>
+          val tmp = s"$root/_arr_stage/$i"
+          arrivals.filter(expr(s"(vec_id div 10) % 3 = $i")).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
+          fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
+        }
+        arrivals.unpersist()
+        val arrSchema = s.read.parquet(watch).schema
+        val q = s.readStream.schema(arrSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+          .writeStream
+          .option("checkpointLocation", s"$root/_checkpoint")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // bounded collect: the batch's distinct home cells — the
+            // partition-pruning predicate for the served-table scan
+            val cells = batch.select("cell").distinct()
+              .collect().map(_.getLong(0))
+            val corpus = s.read.parquet(s"$root/corpus")
+              .withColumn("cell", col("cell").cast("long"))
+              .filter(col("cell").isin(cells: _*))
+              .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+                "n2 AS cn2", "cell")
+            val probes = batch.selectExpr("vec_id AS arrival_id",
+              "embedding AS qe", "n2 AS qn2", "cell")
+            val w = Window.partitionBy("arrival_id")
+              .orderBy(col("cosine").desc, col("neighbor_id"))
+            probes.join(corpus, Seq("cell"))
+              .selectExpr("arrival_id", "neighbor_id", "cell",
+                "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= 3)
+              .write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out").orderBy("arrival_id", "rn")
+      },
+      duckIncrementalTrainedSql),
 
     // IVF-flat ANN: coarse-quantize into Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
@@ -1436,6 +1574,57 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
          |  FROM tprobes q JOIN eb2 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
+    // Trained IVF with nprobe=3 — both boundary probes at once: the
+    // second-nearest super's best child (cell2, cross-super seam) AND
+    // the home super's second-best child (cell3, intra-super seam).
+    // The three probe cells are pairwise distinct when no fallback
+    // fires (cell2 lives in another super's block; cell3 is a
+    // different child of the home block), and a corpus row's home cell
+    // matches at most ONE probe row per query — so the fan-out stays
+    // pair-disjoint with no dedup shuffle; fallback rows are filtered
+    // like the probe2 query. Recall ordering probe3 ≥ probe2 ≥ probe1
+    // is measured in AnnClusteredStress on the clustered corpus.
+    "q_ann_ivf_trained_probe3" -> QueryDef(
+      (s, d) => {
+        val e = trainedCells(s, d, probe2 = true, probe3 = true)
+        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+          .unionAll(e.filter(col("cell2") =!= col("cell"))
+            .selectExpr("vec_id AS query_id", "embedding AS qe",
+              "n2 AS qn2", "cell2 AS cell"))
+          .unionAll(e.filter(col("cell3") =!= col("cell"))
+            .selectExpr("vec_id AS query_id", "embedding AS qe",
+              "n2 AS qn2", "cell3 AS cell"))
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedEb3Cte,
+         |tprobes AS (
+         |  SELECT vec_id, embedding, n2, cell FROM eb3
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
+         |  WHERE cell2 <> cell
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
+         |  WHERE cell3 <> cell)
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM tprobes q JOIN eb3 c ON q.cell = c.cell
          |    AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 
