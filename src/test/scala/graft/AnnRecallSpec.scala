@@ -85,5 +85,19 @@ class AnnRecallSpec extends AnyFunSuite {
     val rt2 = (truth & pt2).size.toDouble / truth.size
     info(f"recall@3 ivf_trained_probe2=$rt2%.3f")
     assert(rt2 >= rt, "probing more trained cells must not lose recall")
+
+    // nprobe=3 (r09): + the home super's second-best child — the full
+    // probe chain must stay monotone (clustered-corpus values, where
+    // this knob actually earns its keep: 0.263/0.323/0.403 at 10× and
+    // 0.947/0.970/0.977 at 100×, SCALE_r09_clustered_ann*.json)
+    val pt3 = pairs("q_ann_ivf_trained_probe3")
+    val rt3 = (truth & pt3).size.toDouble / truth.size
+    info(f"recall@3 ivf_trained_probe3=$rt3%.3f")
+    assert(rt3 >= rt2, "the third probe must not lose recall")
+
+    // the DISTRIBUTED codebook build must be indistinguishable here:
+    // identical cells ⇒ identical pairs, not merely similar recall
+    val ptd = pairs("q_ann_ivf_trained_dist")
+    assert(ptd == pt, "dist build diverged from the one-broadcast build")
   }
 }
