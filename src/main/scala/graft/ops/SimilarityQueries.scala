@@ -1813,6 +1813,64 @@ object SimilarityQueries {
          |  FROM est) WHERE rn <= $TopK
          |ORDER BY query_id, rn""".stripMargin),
 
+    // IVF-PQ on the TRAINED coarse quantizer — the composition FAISS
+    // actually ships for clustered corpora (train nlist cells on the
+    // data, then PQ-encode within them): q_ann_ivfpq's hash cells
+    // measured COLLAPSING on density skew (recall 0.087 at 100×
+    // clustered for the flat-hash family) while the trained cells hold
+    // 0.947 — this query routes the byte-code ADC scoring through
+    // those trained cells, so candidate LISTING inherits the
+    // density-tracking occupancy (measured in
+    // SCALE_r09_clustered_ann*.json) and scoring stays 4 byte-code
+    // lookups per candidate. Cell count is corpus-adaptive here
+    // (unlike the fixture-fixed hash-PQ family: its oracle carries
+    // centroid literals; this oracle derives the trained cells
+    // relationally, so adaptivity costs nothing). At 100 TB the corpus
+    // is write-time partitioned by trained cell (TrainedWriteSpec) and
+    // a query reads its cell's files + 4×16 lookup rows.
+    "q_ann_ivfpq_trained" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(trainedCells(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        val book = pqLearnBook(v)
+        val codes = pqCodes(v, book)
+        val qdist = pqQdist(s, v, book)
+          .join(v.filter(col("vec_id") < PqQueries)
+            .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+              codes("cell") === qdist("qcell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedEbCte,
+         |v AS (
+         |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+         |  FROM embeddings),
+         |$pqOracleTail,
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN eb ck ON ck.vec_id = k.vec_id
+         |  JOIN eb cq ON cq.vec_id = q.query_id
+         |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
     // IVF-PQ with nprobe=2 — the recall knob of the composed index
     // (the q_ann_ivf_probe2 axis applied to the PQ path): each query
     // probes its nearest AND second-nearest coarse cell

@@ -69,8 +69,22 @@ object GroupCommit {
         throw new SparkException("injected failure before manifest")
     } catch {
       case e: Throwable =>
-        // no manifest ⇒ the group never committed: roll back staging
-        moves.foreach { case (staging, _) => fs.delete(staging, true) }
+        // no manifest ⇒ the group never committed: roll back staging.
+        // A lingering task of the failed parallel write can still be
+        // materializing temp files under the dir, which makes one
+        // recursive delete racy (observed once in-suite: a staging dir
+        // survived its delete) — retry with backoff until the path is
+        // verifiably gone. Even an unreclaimed orphan is correct
+        // (readers never see `.__staging__` names; vacuum() collects
+        // it), so the retry is about leaving zero residue, not safety.
+        moves.foreach { case (staging, _) =>
+          var tries = 0
+          while (fs.exists(staging) && tries < 5) {
+            fs.delete(staging, true)
+            tries += 1
+            if (fs.exists(staging)) Thread.sleep(100L << tries)
+          }
+        }
         throw e
     }
     // phase 2 — THE commit point: temp write + atomic rename
