@@ -269,9 +269,13 @@ object AnnClusteredStress {
       // the driver only ever collects the ⌈√c⌉ super seeds instead of
       // all ≈c child seeds
       val dist = ops.SimilarityQueries.trainedCellsDist(spark, dir)
+      // mismatches + any row-count delta: the dist build's inner join
+      // could silently DROP rows if the supers-subset-of-children
+      // invariant broke, and an inner-join equality alone would miss it
       val distDiff = bal.selectExpr("vec_id", "cell AS cell_one")
         .join(dist.selectExpr("vec_id", "cell AS cell_dist"), "vec_id")
-        .filter(col("cell_one") =!= col("cell_dist")).count()
+        .filter(col("cell_one") =!= col("cell_dist")).count() +
+        math.abs(dist.count() - n)
       val (scStride, ssStride) = ops.SimilarityQueries.trainedStrides(n)
       val oneBroadcastSeeds =
         assigned.filter(pmod(col("vec_id"), lit(scStride)) === 0).count()

@@ -220,15 +220,16 @@ object Bench {
           java.nio.file.Files.writeString(
             new java.io.File(repo, "BENCH_DETAIL.json").toPath, detail)
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"sf":"$sfDir"}""")
     // The round artifact (BENCH_rNN.json) stores only the LAST 2000
-    // chars of stdout and tries to parse a JSON line out of them — the
-    // full contract line above is ~6 KB at 199 queries, so its head is
-    // always cut and every round's artifact has recorded parsed:null
-    // (r01–r08). Print a SIZE-BOUNDED summary line LAST: true total +
-    // errors + the slowest queries that fit a fixed budget, with the
-    // complete per-query map still in the line above and in the
-    // committed BENCH_DETAIL.json.
+    // chars of stdout and tries to parse a JSON line out of them — a
+    // full-map contract line is ~6 KB at 200+ queries, so its head was
+    // always cut and every round's artifact recorded parsed:null
+    // (r01–r08). stdout therefore carries exactly ONE JSON line (a
+    // second full-map line would be a same-"metric" ambiguity for any
+    // consumer that greps rather than takes the last line): the
+    // SIZE-BOUNDED summary — true total + errors + the slowest queries
+    // that fit a fixed budget + queries_omitted — with the complete
+    // per-query map in the committed BENCH_DETAIL.json.
     val budget = 1500 // line budget; + ~80 chars of sbt epilogue < 2000
     val slowest = reported.toSeq.filter(_._2 >= 0).sortBy(-_._2)
     val fixed = s"""{"metric":"total","value":$total,"unit":"sec",""" +

@@ -53,7 +53,10 @@ object ProfileQuery {
       analyzer.reset()
       analyzer.setLabel(name)
       val t0 = System.nanoTime()
-      try fn(spark, dir).collect()
+      // count(), not collect(): the drill-down exists for large-corpus
+      // flags, where materializing a pair-heavy result on the driver
+      // (quadratic in cluster mass at 100x) would OOM the profiler
+      try fn(spark, dir).count()
       finally ScratchCache.release()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1200) // drain the listener bus

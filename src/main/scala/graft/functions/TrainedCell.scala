@@ -134,11 +134,13 @@ case class TwoLevelArgmin2Broadcast(
   /** Executor-side probe; also the codegen entry point. Falls back to
     * the home cell on a single-super codebook AND on an empty
     * second-super child block (duplicate super vectors) — both are the
-    * oracle's LEFT JOIN + COALESCE twin. */
+    * oracle's LEFT JOIN + COALESCE twin. The home-block scan runs ONLY
+    * on those fallback paths: the common case pays one super scan plus
+    * one si2-block scan, exactly the pre-guard cost. */
   def cellOf(v: ArrayData): Long = {
     val x = v.toLongArray()
     val si = argminIdxExcl(x, superVecs, -1)
-    val home = childIds(si)(argminIdxExcl(x, childVecs(si), -1))
+    def home: Long = childIds(si)(argminIdxExcl(x, childVecs(si), -1))
     if (superVecs.length < 2) home
     else {
       val si2 = argminIdxExcl(x, superVecs, si)

@@ -157,11 +157,10 @@ object ClusteringQueries {
   private val duckSemKExpr =
     s"(SELECT GREATEST(8, (count(*) + ${SemOcc - 1}) // $SemOcc) FROM v)"
 
-  /** Two-level codebook over the CURRENT centroids — the exact
-    * construction [[graft.ops.SimilarityQueries.trainedCells]] and
-    * ArgminKernelProps.build share: centroids sorted by cid, supers =
-    * every ⌈√K⌉-th centroid in cid rank order, children grouped to their
-    * nearest super (exact integer d2, smallest-sid tie). */
+  /** Two-level codebook over the CURRENT centroids: centroids sorted
+    * by cid, supers = every ⌈√K⌉-th centroid in cid rank order, then
+    * the SHARED tie-law grouping ([[graft.functions.Codebook]] — one
+    * source of truth with trainedCells and lshRefined). */
   private def twoLevelBook(cents: Seq[(Int, Seq[Long])])
       : (Array[Long], Array[Array[Long]],
         Array[Array[Long]], Array[Array[Array[Long]]]) = {
@@ -171,18 +170,7 @@ object ClusteringQueries {
     val supers = children.zipWithIndex.collect {
       case (c, j) if j % sb == 0 => c
     }
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
-    val bySuper = children.groupBy { case (_, cv) =>
-      supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
-    }
-    val empty = Array.empty[(Long, Array[Long])]
-    val kids = supers.map(sp => bySuper.getOrElse(sp._1, empty).sortBy(_._1))
-    (supers.map(_._1), supers.map(_._2),
-      kids.map(_.map(_._1)), kids.map(_.map(_._2)))
+    graft.functions.Codebook.group(children, supers)
   }
 
   /** One assignment at arbitrary K through TWO-LEVEL routing: the

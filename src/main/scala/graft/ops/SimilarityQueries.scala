@@ -224,25 +224,10 @@ object SimilarityQueries {
         val sb = (1 to 256).find(z => z * z >= childSeeds.length).getOrElse(256)
         childSeeds.zipWithIndex.collect { case (c, j) if j % sb == 0 => c }
       }
-    // driver-side: each child seed routes to its super (same integer
-    // dist + smallest-id tie-break the kernel and the oracle use)
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
-    val bySuper: Map[Long, Array[(Long, Array[Long])]] =
-      childSeeds.groupBy { case (_, cv) =>
-        superSeeds.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
-      }
-    val empty = Array.empty[(Long, Array[Long])]
-    val superIds = superSeeds.map(_._1)
-    // child arrays sorted ascending: the kernel's first-minimum scan
-    // must tie to the smallest id, like the oracle's ORDER BY dist, cid
-    val kids = superIds.map(sid => bySuper.getOrElse(sid, empty).sortBy(_._1))
-    val bc = s.sparkContext.broadcast((
-      superIds, superSeeds.map(_._2),
-      kids.map(_.map(_._1)), kids.map(_.map(_._2))))
+    // driver-side: each child seed routes to its super (the shared
+    // tie-law construction — graft.functions.Codebook.group)
+    val bc = s.sparkContext.broadcast(
+      graft.functions.Codebook.group(childSeeds, superSeeds))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val fn = s"graft_trained_cell_$tag"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
@@ -445,6 +430,40 @@ object SimilarityQueries {
     out
   }
 
+  /** Probe-side fan-out of the multi-probe family — ONE place for the
+    * probe law (it appears in five declared queries): home cell always;
+    * cell2 (second-nearest super's best child) and, when `useCell3`,
+    * cell3 (home super's second-best child) with their degenerate
+    * fallback rows (cellX = cell) FILTERED so the fan-out stays
+    * pair-disjoint. Column aliases are caller-chosen (the dedup family
+    * speaks vec_id_a/ea/na2, the ANN family query_id/qe/qn2). */
+  private def probeUnion(e: DataFrame, idAs: String, embAs: String,
+      n2As: String, useCell3: Boolean): DataFrame = {
+    def sel(cellExpr: String) = Seq(s"vec_id AS $idAs",
+      s"embedding AS $embAs", s"n2 AS $n2As", s"$cellExpr AS cell")
+    val u = e.selectExpr(sel("cell"): _*)
+      .unionAll(e.filter(col("cell2") =!= col("cell"))
+        .selectExpr(sel("cell2"): _*))
+    if (!useCell3) u
+    else u.unionAll(e.filter(col("cell3") =!= col("cell"))
+      .selectExpr(sel("cell3"): _*))
+  }
+
+  /** DuckDB twin of [[probeUnion]] over a `src(vec_id, embedding, n2,
+    * cell, cell2[, cell3])` CTE — the body of the dprobes/tprobes CTEs. */
+  private def duckProbes(src: String, useCell3: Boolean): String = {
+    val base =
+      s"""SELECT vec_id, embedding, n2, cell FROM $src
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM $src
+         |  WHERE cell2 <> cell""".stripMargin
+    if (!useCell3) base
+    else base + "\n" +
+      s"""  UNION ALL
+         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM $src
+         |  WHERE cell3 <> cell""".stripMargin
+  }
+
   /** The within-cell top-3 search shared by the trained-IVF family:
     * one hash-partitioned self-join on cell + per-query top-3 window
     * (cosine desc, neighbor_id asc). */
@@ -626,18 +645,12 @@ object SimilarityQueries {
       .filter((col("rn") - 1) % cap === 0)
       .selectExpr("bucket", "vec_id", "qv")
       .orderBy("bucket", "vec_id").collect()
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
     val books: Map[Long, (Array[Long], Array[Array[Long]],
         Array[Array[Long]], Array[Array[Array[Long]]])] =
       seedRows.groupBy(_.getLong(0)).map { case (bucket, rows) =>
         // children sorted ascending by vec_id (the collect's ORDER BY);
-        // supers = every ⌈√k⌉-th child seed, ids ascending — the kernel's
-        // first-minimum scan then ties to the smallest id like the
-        // oracle's ORDER BY dist2, sid
+        // supers = every ⌈√k⌉-th child seed, ids ascending; grouping
+        // through the shared tie-law builder (functions.Codebook)
         val children = rows.map(r =>
           r.getLong(1) -> r.getSeq[Long](2).toArray)
         val k = children.length
@@ -645,14 +658,7 @@ object SimilarityQueries {
         val supers = children.zipWithIndex.collect {
           case (c, j) if j % sb == 0 => c
         }
-        val bySuper = children.groupBy { case (_, cv) =>
-          supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
-        }
-        val empty = Array.empty[(Long, Array[Long])]
-        val kids = supers.map(sp =>
-          bySuper.getOrElse(sp._1, empty).sortBy(_._1))
-        bucket -> ((supers.map(_._1), supers.map(_._2),
-          kids.map(_.map(_._1)), kids.map(_.map(_._2))))
+        bucket -> graft.functions.Codebook.group(children, supers)
       }
     val bc = s.sparkContext.broadcast(books)
     val fn = s"graft_lsh_cell_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1047,11 +1053,7 @@ object SimilarityQueries {
     "q_dedup_embedding_probe2" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true)
-        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-            "n2 AS na2", "cell")
-          .unionAll(e.filter(col("cell2") =!= col("cell"))
-            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-              "n2 AS na2", "cell2 AS cell"))
+        val probes = probeUnion(e, "vec_id_a", "ea", "na2", useCell3 = false)
         val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
           "n2 AS nb2", "cell")
         probes.join(corpus, Seq("cell"))
@@ -1069,10 +1071,7 @@ object SimilarityQueries {
       },
       s"""WITH $duckTrainedEb2Cte,
          |dprobes AS (
-         |  SELECT vec_id, embedding, n2, cell FROM eb2
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2
-         |  WHERE cell2 <> cell)
+         |  ${duckProbes("eb2", useCell3 = false)})
          |SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
          |  greatest(a.vec_id, b.vec_id) AS vec_id_b,
          |  ${duckCos("a", "b")} AS cosine
@@ -1092,14 +1091,7 @@ object SimilarityQueries {
     "q_dedup_embedding_probe3" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true, probe3 = true)
-        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-            "n2 AS na2", "cell")
-          .unionAll(e.filter(col("cell2") =!= col("cell"))
-            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-              "n2 AS na2", "cell2 AS cell"))
-          .unionAll(e.filter(col("cell3") =!= col("cell"))
-            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-              "n2 AS na2", "cell3 AS cell"))
+        val probes = probeUnion(e, "vec_id_a", "ea", "na2", useCell3 = true)
         val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
           "n2 AS nb2", "cell")
         probes.join(corpus, Seq("cell"))
@@ -1114,13 +1106,7 @@ object SimilarityQueries {
       },
       s"""WITH $duckTrainedEb3Cte,
          |dprobes AS (
-         |  SELECT vec_id, embedding, n2, cell FROM eb3
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
-         |  WHERE cell2 <> cell
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
-         |  WHERE cell3 <> cell)
+         |  ${duckProbes("eb3", useCell3 = true)})
          |SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
          |  greatest(a.vec_id, b.vec_id) AS vec_id_b,
          |  ${duckCos("a", "b")} AS cosine
@@ -1143,14 +1129,7 @@ object SimilarityQueries {
     "q_dedup_semantic_mp" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true, probe3 = true)
-        val probes = e.selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-            "n2 AS na2", "cell")
-          .unionAll(e.filter(col("cell2") =!= col("cell"))
-            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-              "n2 AS na2", "cell2 AS cell"))
-          .unionAll(e.filter(col("cell3") =!= col("cell"))
-            .selectExpr("vec_id AS vec_id_a", "embedding AS ea",
-              "n2 AS na2", "cell3 AS cell"))
+        val probes = probeUnion(e, "vec_id_a", "ea", "na2", useCell3 = true)
         val corpus = e.selectExpr("vec_id AS vec_id_b", "embedding AS eb",
           "n2 AS nb2", "cell")
         probes.join(corpus, Seq("cell"))
@@ -1168,13 +1147,7 @@ object SimilarityQueries {
       },
       s"""WITH $duckTrainedEb3Cte,
          |dprobes AS (
-         |  SELECT vec_id, embedding, n2, cell FROM eb3
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
-         |  WHERE cell2 <> cell
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
-         |  WHERE cell3 <> cell),
+         |  ${duckProbes("eb3", useCell3 = true)}),
          |dpairs AS (
          |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id_a,
          |    greatest(a.vec_id, b.vec_id) AS vec_id_b
@@ -1545,11 +1518,7 @@ object SimilarityQueries {
         // at fixture knobs); dropping that branch row keeps the probe
         // fan-out pair-disjoint instead of duplicating every
         // (query, neighbor) pair through the rn<=3 window
-        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-          .unionAll(e.filter(col("cell2") =!= col("cell"))
-            .selectExpr("vec_id AS query_id", "embedding AS qe",
-              "n2 AS qn2", "cell2 AS cell"))
+        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = false)
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
           "n2 AS cn2", "cell")
         val w = Window.partitionBy("query_id")
@@ -1564,10 +1533,7 @@ object SimilarityQueries {
       },
       s"""WITH $duckTrainedEb2Cte,
          |tprobes AS (
-         |  SELECT vec_id, embedding, n2, cell FROM eb2
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb2
-         |  WHERE cell2 <> cell)
+         |  ${duckProbes("eb2", useCell3 = false)})
          |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
          |    ${duckCos("q", "c")} AS cosine,
@@ -1590,11 +1556,7 @@ object SimilarityQueries {
     "q_ann_ivf_trained_probe3" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true, probe3 = true)
-        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-          .unionAll(e.filter(col("cell2") =!= col("cell"))
-            .selectExpr("vec_id AS query_id", "embedding AS qe",
-              "n2 AS qn2", "cell2 AS cell"))
+        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = false)
           .unionAll(e.filter(col("cell3") =!= col("cell"))
             .selectExpr("vec_id AS query_id", "embedding AS qe",
               "n2 AS qn2", "cell3 AS cell"))
@@ -1612,13 +1574,7 @@ object SimilarityQueries {
       },
       s"""WITH $duckTrainedEb3Cte,
          |tprobes AS (
-         |  SELECT vec_id, embedding, n2, cell FROM eb3
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell2 AS cell FROM eb3
-         |  WHERE cell2 <> cell
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2, cell3 AS cell FROM eb3
-         |  WHERE cell3 <> cell)
+         |  ${duckProbes("eb3", useCell3 = true)})
          |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
          |    ${duckCos("q", "c")} AS cosine,

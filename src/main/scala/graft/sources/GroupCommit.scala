@@ -79,10 +79,22 @@ object GroupCommit {
         // it), so the retry is about leaving zero residue, not safety.
         moves.foreach { case (staging, _) =>
           var tries = 0
-          while (fs.exists(staging) && tries < 5) {
+          var gone = !fs.exists(staging)
+          while (!gone && tries < 5) {
             fs.delete(staging, true)
             tries += 1
-            if (fs.exists(staging)) Thread.sleep(100L << tries)
+            gone = !fs.exists(staging)
+            // no sleep after the final attempt (nothing left to retry),
+            // and an interrupt must not replace the original failure —
+            // restore the flag and stop retrying instead of throwing
+            if (!gone && tries < 5) {
+              try Thread.sleep(100L << tries)
+              catch {
+                case _: InterruptedException =>
+                  Thread.currentThread().interrupt()
+                  gone = true
+              }
+            }
           }
         }
         throw e

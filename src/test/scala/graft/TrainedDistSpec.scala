@@ -24,8 +24,16 @@ class TrainedDistSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .selectExpr("vec_id", "cell AS cell_dist")
     val joined = one.join(dist, "vec_id").cache()
     try {
+      val nOne = one.count()
+      val nDist = dist.count()
       val n = joined.count()
-      assert(n > 0)
+      // count equality FIRST: the dist build's inner join on rsuper
+      // could silently DROP rows routed to a childless super if the
+      // supers-subset-of-children invariant ever broke — an equality
+      // check over the inner join alone would still read 0 diffs
+      assert(nOne > 0)
+      assert(nDist === nOne, s"dist build lost rows: $nDist vs $nOne")
+      assert(n === nOne, s"join lost rows: $n vs $nOne")
       val diff = joined.filter("cell_one <> cell_dist").count()
       assert(diff === 0L, s"$diff of $n rows disagree between builds")
     } finally {
