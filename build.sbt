@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is ONE bare JSON line on stdout; sbt's default
+// LoggedOutput strategy re-logs the forked JVM's stdout with an
+// "[info] " prefix, which is what kept the driver's BENCH_rNN.json
+// parser at parsed:null through r09 (the size-bounded summary line
+// survived the 2000-char tail but arrived prefixed). StdoutOutput
+// passes the forked process's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // SpeculationClusterSpec boots a local-cluster master (real executor JVMs,
 // needs SPARK_HOME and a JVM with no pre-existing SparkContext), so it runs
 // in its own forked JVM; everything else shares one JVM + SparkTestSession.

@@ -209,6 +209,15 @@ case class TwoLevelArgminH2Broadcast(
     val x = v.toLongArray()
     val si = argminIdxExcl(x, superVecs, -1)
     val kids = childVecs(si)
+    // every builder keeps supers a SUBSET of children, so the home
+    // super always has ≥1 child (a super seed is its own nearest
+    // child; duplicate-vector ties route to the smaller id on both
+    // engines, and so does the row's home-super choice) — fail loudly
+    // if a future builder breaks that invariant instead of throwing
+    // AIOOBE off argminIdxExcl's -1 sentinel
+    require(kids.nonEmpty,
+      "TwoLevelArgminH2Broadcast: empty home child block — the " +
+        "codebook violates the supers-subset-of-children invariant")
     val ci = argminIdxExcl(x, kids, -1)
     if (kids.length < 2) childIds(si)(ci) // single child: home fallback
     else childIds(si)(argminIdxExcl(x, kids, ci))

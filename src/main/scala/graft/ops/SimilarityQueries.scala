@@ -1556,10 +1556,7 @@ object SimilarityQueries {
     "q_ann_ivf_trained_probe3" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true, probe3 = true)
-        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = false)
-          .unionAll(e.filter(col("cell3") =!= col("cell"))
-            .selectExpr("vec_id AS query_id", "embedding AS qe",
-              "n2 AS qn2", "cell3 AS cell"))
+        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
           "n2 AS cn2", "cell")
         val w = Window.partitionBy("query_id")

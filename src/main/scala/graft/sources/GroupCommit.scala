@@ -78,23 +78,34 @@ object GroupCommit {
         // (readers never see `.__staging__` names; vacuum() collects
         // it), so the retry is about leaving zero residue, not safety.
         moves.foreach { case (staging, _) =>
-          var tries = 0
-          var gone = !fs.exists(staging)
-          while (!gone && tries < 5) {
-            fs.delete(staging, true)
-            tries += 1
-            gone = !fs.exists(staging)
-            // no sleep after the final attempt (nothing left to retry),
-            // and an interrupt must not replace the original failure —
-            // restore the flag and stop retrying instead of throwing
-            if (!gone && tries < 5) {
-              try Thread.sleep(100L << tries)
-              catch {
-                case _: InterruptedException =>
-                  Thread.currentThread().interrupt()
-                  gone = true
+          // best-effort: a transient FS error in exists/delete must not
+          // replace the ORIGINAL failure `e` below — rollback residue
+          // is already correct-by-design (readers never see
+          // `.__staging__` names; vacuum() collects orphans)
+          try {
+            var tries = 0
+            var gone = !fs.exists(staging)
+            while (!gone && tries < 5) {
+              fs.delete(staging, true)
+              tries += 1
+              gone = !fs.exists(staging)
+              // no sleep after the final attempt (nothing left to retry),
+              // and an interrupt must not replace the original failure —
+              // restore the flag and stop retrying instead of throwing
+              if (!gone && tries < 5) {
+                try Thread.sleep(100L << tries)
+                catch {
+                  case _: InterruptedException =>
+                    Thread.currentThread().interrupt()
+                    gone = true
+                }
               }
             }
+          } catch {
+            case fsErr: Throwable =>
+              System.err.println(s"[GroupCommit] rollback of $staging " +
+                s"failed (${fsErr.getClass.getSimpleName}: " +
+                s"${fsErr.getMessage}) — orphan left for vacuum()")
           }
         }
         throw e
