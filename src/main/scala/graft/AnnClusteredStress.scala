@@ -282,6 +282,25 @@ object AnnClusteredStress {
       val distDriverSeeds =
         assigned.filter(pmod(col("vec_id"), lit(ssStride)) === 0).count()
 
+      // the SIZE SWITCH itself (r10): force the driver-seed budget
+      // below this corpus's c so trainedCells DELEGATES to the dist
+      // build, and assert the switched build is bit-identical on ALL
+      // probe columns while the driver held only the ~sqrt(c) supers —
+      // the "switch fires and is safe" proof on a corpus big enough to
+      // trip it (the fixture suite can only prove it at c=16)
+      spark.conf.set(ops.SimilarityQueries.MaxDriverSeedsKey, "1")
+      val switched = ops.SimilarityQueries.trainedCells(spark, dir,
+        probe2 = true, probe3 = true)
+      val switchRoute = ops.SimilarityQueries.TrainedBuildStats.lastRoute
+      val switchSeeds = ops.SimilarityQueries.TrainedBuildStats.lastDriverSeeds
+      val switchDiff = bal
+        .selectExpr("vec_id", "cell AS c1", "cell2 AS c21", "cell3 AS c31")
+        .join(switched.selectExpr(
+          "vec_id", "cell AS c2", "cell2 AS c22", "cell3 AS c32"), "vec_id")
+        .filter("c1 <> c2 OR c21 <> c22 OR c31 <> c32").count() +
+        math.abs(switched.count() - n)
+      spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
+
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
       // now measured under the SAME density skew as the quantizers —
@@ -371,6 +390,9 @@ object AnnClusteredStress {
           f""""trained_dist_cell_diff":$distDiff,""" +
           f""""trained_codebook_seeds":$oneBroadcastSeeds,""" +
           f""""trained_dist_driver_seeds":$distDriverSeeds,""" +
+          s""""switch_route":"$switchRoute",""" +
+          f""""switch_driver_seeds":$switchSeeds,""" +
+          f""""switch_probe_diff":$switchDiff,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -408,6 +430,13 @@ object AnnClusteredStress {
       case (tag, r) if r < RetentionFloor => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
+    // the r10 switch gate: at every scale the forced-budget build must
+    // have actually taken the dist route AND agreed on every probe col
+    val switchBreach = (massOf("switch_probe_diff").collect {
+      case (tag, d) if d != 0.0 => tag }.toSeq ++
+      rows.collect {
+        case r if !r.json.contains(""""switch_route":"dist"""") => r.tag })
+      .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
         rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
@@ -424,6 +453,8 @@ object AnnClusteredStress {
         s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""dist_build_diff_nonzero":${distBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""switch_gate_breach":${switchBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         f""""linear_bound":${factor * 1.5}%.1f}"""
     java.nio.file.Files.writeString(java.nio.file.Path.of(outJson), out)

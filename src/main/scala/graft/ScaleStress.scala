@@ -63,6 +63,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
     "q_ann_ivf_trained_probe3", "q_ann_ivf_trained_dist",
+    "q_ann_ivf_trained_probe3_dist",
     "q_dedup_semantic_mp",
     "q_ann_incremental", "q_ann_incremental_trained",
     "q_stream_ann_ingest",

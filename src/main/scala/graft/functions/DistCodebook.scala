@@ -65,6 +65,66 @@ case class SuperArgminBroadcast(
     copy(child = newChild)
 }
 
+/** SECOND-nearest super routing — the distributed twin of
+  * [[TwoLevelArgmin2Broadcast]]'s outer level: exclude the nearest
+  * super (first minimum over ascending seed ids), return the first
+  * minimum of the rest. On a single-super codebook it returns the HOME
+  * super id, so the downstream block join + argmin lands on the home
+  * cell — exactly the broadcast kernel's degenerate fallback (and the
+  * oracle's `LEFT JOIN … COALESCE(cell2, cell)`); the other fallback
+  * (second super with an EMPTY child block) falls out of the join
+  * itself: a childless super has no blocks row, the LEFT join misses,
+  * and the caller's COALESCE lands on the home cell. */
+case class SuperArgmin2Broadcast(
+    supers: Broadcast[(Array[Long], Array[Array[Long]])],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_super_argmin2"
+
+  @transient private lazy val sids = supers.value._1
+  @transient private lazy val vecs = supers.value._2
+
+  private def argminExcl(x: Array[Long], excl: Int): Int = {
+    var best = -1
+    var bestD = Long.MaxValue
+    var i = 0
+    while (i < vecs.length) {
+      if (i != excl) {
+        val c = vecs(i)
+        var d = 0L
+        var j = 0
+        while (j < x.length && d < bestD) {
+          val t = x(j) - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Executor-side probe; also the codegen entry point. */
+  def argmin2(v: ArrayData): Long = {
+    val x = v.toLongArray()
+    val si = argminExcl(x, -1)
+    if (vecs.length < 2) sids(si) else sids(argminExcl(x, si))
+  }
+
+  override def nullSafeEval(v: Any): Any = argmin2(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSuperArgmin2", this,
+      classOf[SuperArgmin2Broadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.argmin2($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SuperArgmin2Broadcast =
+    copy(child = newChild)
+}
+
 /** CHILD-level routing against a JOINED block — the second half of the
   * distributed trained codebook: `argmin(qv, block)` over
   * `block: array<struct<cid bigint, cv array<bigint>>>` (sorted
@@ -119,5 +179,64 @@ case class ChildBlockArgmin(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ChildBlockArgmin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SECOND-best child within a joined block — the distributed twin of
+  * [[TwoLevelArgminH2Broadcast]]'s inner level: the home ranking's
+  * `rn = 2` (first minimum excluded, first minimum of the rest,
+  * ascending-cid blocks + strict `<`). On a single-child block it
+  * returns the best child itself — i.e. the home cell — the broadcast
+  * kernel's fallback and the oracle's `COALESCE(cell3, cell)`; probe
+  * fan-outs drop `cell3 = cell` rows exactly as before. Returns -1 on
+  * an empty block (unreachable through the home-side inner join). */
+case class ChildBlockArgmin2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_block_argmin2"
+
+  /** Executor-side probe; also the codegen entry point. */
+  def argmin2(qv: ArrayData, block: ArrayData): Long = {
+    val x = qv.toLongArray()
+    val n = block.numElements()
+    if (n == 0) return -1L
+    def scan(excl: Int): Int = {
+      var best = -1
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (i != excl) {
+          val row = block.getStruct(i, 2)
+          val cv = row.getArray(1)
+          var d = 0L
+          var j = 0
+          while (j < x.length && d < bestD) {
+            val t = x(j) - cv.getLong(j)
+            d += t * t
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+        }
+        i += 1
+      }
+      best
+    }
+    val ci = scan(-1)
+    if (n < 2) block.getStruct(ci, 2).getLong(0) // single child: home
+    else block.getStruct(scan(ci), 2).getLong(0)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    argmin2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBlockArgmin2", this,
+      classOf[ChildBlockArgmin2].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.argmin2($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ChildBlockArgmin2 =
     copy(left = newLeft, right = newRight)
 }

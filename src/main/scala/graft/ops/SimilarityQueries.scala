@@ -146,6 +146,39 @@ object SimilarityQueries {
     (sc, ss)
   }
 
+  /** Driver-seed budget for the trained-codebook build. The broadcast
+    * route holds all c = ⌈N/125⌉ child seeds on the driver (and one
+    * copy per executor) at ~520 B per quantized seed (64 longs + id);
+    * the default budget of 2^18 seeds ≈ 134 MB caps that state at a
+    * sane broadcast size (N ≈ 33M rows) — past it [[trainedCells]]
+    * delegates to the distributed build, whose driver state is the
+    * ⌈√c⌉ supers only. Session conf so tests can trip the switch. */
+  private[graft] val MaxDriverSeedsKey = "spark.graft.trained.maxDriverSeeds"
+  private[graft] val DefaultMaxDriverSeeds = 262144
+  private def maxDriverSeeds(s: SparkSession): Int =
+    s.conf.get(MaxDriverSeedsKey, DefaultMaxDriverSeeds.toString).toInt
+
+  /** Which route the last trained-codebook build took and how many
+    * seed rows it held on the driver — observability for the size
+    * switch (asserted by TrainedDistSpec and AnnClusteredStress; a
+    * Scaladoc claim that the switch fires is not evidence). */
+  private[graft] object TrainedBuildStats {
+    @volatile var lastRoute: String = ""
+    @volatile var lastDriverSeeds: Int = 0
+  }
+
+  /** Shared prelude of both trained-codebook builders: the corpus
+    * projection (id, embedding, |v|², 1e-6-quantized vector),
+    * scratch-cached ONCE so the size switch's delegation does not
+    * double-cache it. */
+  private def trainedVecs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.ScratchCache.scratch(Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        "graft_vec_dot(embedding, embedding) AS n2",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
+  }
+
   /** Embeddings with their TRAINED two-level IVF cell — the
     * density-adaptive coarse quantizer. Motivation is measured
     * (SCALE_r08_clustered_ann.json): on a 16-cluster density-skewed
@@ -194,15 +227,23 @@ object SimilarityQueries {
   private[graft] def trainedCells(s: SparkSession, d: String,
       probe2: Boolean = false, seedWhere: String = "TRUE",
       probe3: Boolean = false): DataFrame = {
-    GraftFunctions.register(s)
-    val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding",
-        "graft_vec_dot(embedding, embedding) AS n2",
-        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
+    val v = trainedVecs(s, d)
     val defaultMode = seedWhere == "TRUE"
     val seedSrc = if (defaultMode) v else v.filter(expr(seedWhere))
     val n = seedSrc.count()
     val (sc, ss) = trainedStrides(n)
+    // SIZE SWITCH (r10, the r09 verdict's top item): the broadcast
+    // route below collects c = ⌈N/125⌉ child seeds to the driver —
+    // ~520 B each quantized (64 longs + id), a ~40 GB object at 10¹⁰
+    // rows. Past the stated budget the build delegates to the
+    // DISTRIBUTED route (driver holds only the ⌈√c⌉ supers; blocks
+    // meet rows in a SHUFFLE_HASH join) — assignment is bit-identical
+    // (TrainedDistSpec / AnnClusteredStress's dist_build_diff gate),
+    // so every oracle is unaffected by which route ran. The budget is
+    // a session conf so tests/stress can trip the switch at fixture
+    // scale.
+    if (adaptiveCells(n) > maxDriverSeeds(s))
+      return trainedCellsDistFrom(s, v, probe2, seedWhere, probe3)
     val childPred =
       if (defaultMode) s"vec_id % $sc = 0"
       else s"(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648) % $sc = 0"
@@ -224,6 +265,8 @@ object SimilarityQueries {
         val sb = (1 to 256).find(z => z * z >= childSeeds.length).getOrElse(256)
         childSeeds.zipWithIndex.collect { case (c, j) if j % sb == 0 => c }
       }
+    TrainedBuildStats.lastRoute = "broadcast"
+    TrainedBuildStats.lastDriverSeeds = childSeeds.length
     // driver-side: each child seed routes to its super (the shared
     // tie-law construction — graft.functions.Codebook.group)
     val bc = s.sparkContext.broadcast(
@@ -384,19 +427,68 @@ object SimilarityQueries {
     * only when c no longer fits the driver (the declared query exists
     * to keep the scale path under the fixture oracle; the stress
     * harness proves assignment equality on the clustered corpus). */
-  private[graft] def trainedCellsDist(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val v = graft.ScratchCache.scratch(Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding",
-        "graft_vec_dot(embedding, embedding) AS n2",
-        s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
-    val n = v.count()
+  private[graft] def trainedCellsDist(s: SparkSession, d: String,
+      probe2: Boolean = false, seedWhere: String = "TRUE",
+      probe3: Boolean = false): DataFrame =
+    trainedCellsDistFrom(s, trainedVecs(s, d), probe2, seedWhere, probe3)
+
+  /** Body of [[trainedCellsDist]] over an already-built vector frame —
+    * shared with [[trainedCells]]' size switch so the delegation does
+    * not re-scratch-cache a second copy of the corpus projection.
+    *
+    * Full option parity with the broadcast builder (r10 — this is what
+    * lets the switch route EVERY trained-family query):
+    *  - `seedWhere` — children by the same LCG-mixed stride over the
+    *    filtered sub-corpus; supers are the rank-strided children
+    *    (`j % sb = 0`, sb = ⌈√k⌉), ranked DISTRIBUTEDLY (sorted child
+    *    frame + zipWithIndex — the standard per-partition-offset rank,
+    *    no single-task window) and only the ≈√c selected supers are
+    *    collected;
+    *  - `probe2` — rows also route to their SECOND-nearest super
+    *    ([[graft.functions.SuperArgmin2Broadcast]], home super when the
+    *    codebook has one super) and a second SHUFFLE_HASH join (LEFT —
+    *    a childless duplicate-vector super has no blocks row) meets
+    *    that super's block; `coalesce(argmin, cell)` reproduces both of
+    *    the broadcast kernel's degenerate home fallbacks;
+    *  - `probe3` — [[graft.functions.ChildBlockArgmin2]] scans the
+    *    already-joined HOME block for its second-best child (best
+    *    child when the block is single-child), no extra join.
+    * Assignment (and every probe column) is bit-identical to
+    * [[trainedCells]]' broadcast route — same seeds, same tie law —
+    * so the DuckDB twins are REUSED verbatim (TrainedDistSpec pins
+    * fixture equality; AnnClusteredStress pins it at 10×–100×). */
+  private def trainedCellsDistFrom(s: SparkSession, v: DataFrame,
+      probe2: Boolean, seedWhere: String, probe3: Boolean): DataFrame = {
+    val defaultMode = seedWhere == "TRUE"
+    val seedSrc = if (defaultMode) v else v.filter(expr(seedWhere))
+    val n = seedSrc.count()
     val (sc, ss) = trainedStrides(n)
-    val superSeeds = v.filter(expr(s"vec_id % $ss = 0"))
-      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val childPred =
+      if (defaultMode) s"vec_id % $sc = 0"
+      else s"(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648) % $sc = 0"
+    val childDf = seedSrc.filter(expr(childPred))
+      .selectExpr("vec_id AS cid", "qv AS cv")
+    val superSeeds: Array[(Long, Array[Long])] =
+      if (defaultMode)
+        seedSrc.filter(expr(s"vec_id % $ss = 0"))
+          .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      else {
+        val k = childDf.count()
+        require(k > 0,
+          s"trainedCellsDist: seed selection produced no child seeds " +
+            s"(n=$n, sc=$sc, seedWhere=$seedWhere) — the training " +
+            s"sub-corpus is too small for the stride; widen seedWhere")
+        val sb = (1 to 256).find(z => z * z >= k).getOrElse(256)
+        childDf.orderBy("cid").rdd.zipWithIndex()
+          .filter(_._2 % sb == 0)
+          .map { case (r, _) => r.getLong(0) -> r.getSeq[Long](1).toArray }
+          .collect().sortBy(_._1)
+      }
     require(superSeeds.nonEmpty,
       s"trainedCellsDist: no super seeds (n=$n, ss=$ss)")
+    TrainedBuildStats.lastRoute = "dist"
+    TrainedBuildStats.lastDriverSeeds = superSeeds.length
     val bcS = s.sparkContext.broadcast(
       (superSeeds.map(_._1), superSeeds.map(_._2)))
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -408,24 +500,53 @@ object SimilarityQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
       exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
       "scala_udf")
+    var fns = Seq(fnS, fnB)
+    val fnS2 = s"graft_super_argmin2_$tag"
+    if (probe2) {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fnS2,
+        exprs => graft.functions.SuperArgmin2Broadcast(bcS, exprs(0)),
+        "scala_udf")
+      fns :+= fnS2
+    }
+    val fnB2 = s"graft_block_argmin2_$tag"
+    if (probe3) {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB2,
+        exprs => graft.functions.ChildBlockArgmin2(exprs(0), exprs(1)),
+        "scala_udf")
+      fns :+= fnB2
+    }
     // coalesce(-1) marks the routing key non-nullable (qv is never
     // null): without it the join's null-key elimination plants an
     // isnotnull(kernel(qv)) filter that EVALUATES the O(√c·d) routing
     // a second time per row (observed in the r09 plan audit)
-    val blocks = v.filter(expr(s"vec_id % $sc = 0"))
-      .selectExpr("vec_id AS cid", "qv AS cv",
-        s"coalesce($fnS(qv), -1L) AS csuper")
+    val blocks = graft.ScratchCache.scratch(childDf
+      .selectExpr("cid", "cv", s"coalesce($fnS(cv), -1L) AS csuper")
       .groupBy("csuper")
       .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
-        .as("block"))
-    val routed = v.selectExpr("vec_id", "embedding", "n2", "qv",
-      s"coalesce($fnS(qv), -1L) AS rsuper")
-    val out = graft.ScratchCache.scratch(
-      routed.join(blocks.hint("SHUFFLE_HASH"),
-          col("rsuper") === col("csuper"))
-        .selectExpr("vec_id", "embedding", "n2", s"$fnB(qv, block) AS cell")
-        .repartition(col("cell")))
-    Seq(fnS, fnB).foreach(f => s.sessionState.functionRegistry.dropFunction(
+        .as("block")))
+    val routedCols = Seq("vec_id", "embedding", "n2", "qv",
+      s"coalesce($fnS(qv), -1L) AS rsuper") ++
+      (if (probe2) Seq(s"coalesce($fnS2(qv), -1L) AS rsuper2") else Nil)
+    val routed = v.selectExpr(routedCols: _*)
+    val homeCols = Seq("vec_id", "embedding", "n2",
+      s"$fnB(qv, block) AS cell") ++
+      (if (probe3) Seq(s"$fnB2(qv, block) AS cell3") else Nil) ++
+      (if (probe2) Seq("qv", "rsuper2") else Nil)
+    val home = routed.join(blocks.hint("SHUFFLE_HASH"),
+        col("rsuper") === col("csuper"))
+      .selectExpr(homeCols: _*)
+    val assigned =
+      if (!probe2) home
+      else {
+        val b2 = blocks.selectExpr("csuper AS csuper2", "block AS block2")
+        home.join(b2.hint("SHUFFLE_HASH"),
+            col("rsuper2") === col("csuper2"), "left")
+          .selectExpr(Seq("vec_id", "embedding", "n2", "cell",
+            s"coalesce($fnB(qv, block2), cell) AS cell2") ++
+            (if (probe3) Seq("cell3") else Nil): _*)
+      }
+    val out = graft.ScratchCache.scratch(assigned.repartition(col("cell")))
+    fns.foreach(f => s.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out
   }
@@ -1556,6 +1677,42 @@ object SimilarityQueries {
     "q_ann_ivf_trained_probe3" -> QueryDef(
       (s, d) => {
         val e = trainedCells(s, d, probe2 = true, probe3 = true)
+        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedEb3Cte,
+         |tprobes AS (
+         |  ${duckProbes("eb3", useCell3 = true)})
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM tprobes q JOIN eb3 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
+    // The nprobe=3 search through the DISTRIBUTED codebook build — the
+    // route the size switch takes past the driver-seed budget, under
+    // the IDENTICAL oracle as q_ann_ivf_trained_probe3 (the dist
+    // build's probe columns are bit-identical to the broadcast
+    // build's; TrainedDistSpec pins that claim on the fixture, this
+    // query keeps the full probe-parity path oracle-gated tri-SF so a
+    // tie-law drift in SuperArgmin2Broadcast/ChildBlockArgmin2 cannot
+    // ride a green default gate).
+    "q_ann_ivf_trained_probe3_dist" -> QueryDef(
+      (s, d) => {
+        val e = trainedCellsDist(s, d, probe2 = true, probe3 = true)
         val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
         val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
           "n2 AS cn2", "cell")

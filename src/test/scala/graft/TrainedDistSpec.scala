@@ -42,6 +42,87 @@ class TrainedDistSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("probe2/probe3 columns are bit-identical between builds") {
+    val one = ops.SimilarityQueries
+      .trainedCells(spark, sf, probe2 = true, probe3 = true)
+      .selectExpr("vec_id", "cell AS c1", "cell2 AS c21", "cell3 AS c31")
+    val dist = ops.SimilarityQueries
+      .trainedCellsDist(spark, sf, probe2 = true, probe3 = true)
+      .selectExpr("vec_id", "cell AS c2", "cell2 AS c22", "cell3 AS c32")
+    val joined = one.join(dist, "vec_id").cache()
+    try {
+      val nOne = one.count()
+      assert(nOne > 0)
+      assert(dist.count() === nOne)
+      assert(joined.count() === nOne)
+      val diff = joined
+        .filter("c1 <> c2 OR c21 <> c22 OR c31 <> c32").count()
+      assert(diff === 0L, s"$diff rows disagree on a probe column")
+      // the fixture's codebook is non-degenerate: some rows must carry
+      // REAL second probes, or this test would pass on all-fallbacks
+      assert(joined.filter("c21 <> c1").count() > 0, "no real cell2 probes")
+      assert(joined.filter("c31 <> c1").count() > 0, "no real cell3 probes")
+    } finally {
+      joined.unpersist()
+      ScratchCache.release()
+    }
+  }
+
+  test("filtered training (seedWhere) is bit-identical between builds") {
+    val w = "vec_id % 10 <> 0"
+    val one = ops.SimilarityQueries
+      .trainedCells(spark, sf, seedWhere = w)
+      .selectExpr("vec_id", "cell AS cell_one")
+    val dist = ops.SimilarityQueries
+      .trainedCellsDist(spark, sf, seedWhere = w)
+      .selectExpr("vec_id", "cell AS cell_dist")
+    val joined = one.join(dist, "vec_id").cache()
+    try {
+      val nOne = one.count()
+      assert(nOne > 0)
+      assert(dist.count() === nOne)
+      assert(joined.count() === nOne)
+      assert(joined.filter("cell_one <> cell_dist").count() === 0L)
+    } finally {
+      joined.unpersist()
+      ScratchCache.release()
+    }
+  }
+
+  test("size switch: past the driver-seed budget trainedCells takes the dist route") {
+    import ops.SimilarityQueries.{MaxDriverSeedsKey, TrainedBuildStats}
+    // baseline: default budget, fixture c is tiny -> broadcast route
+    val base = ops.SimilarityQueries
+      .trainedCells(spark, sf, probe2 = true, probe3 = true)
+      .selectExpr("vec_id", "cell AS c1", "cell2 AS c21", "cell3 AS c31")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(TrainedBuildStats.lastRoute === "broadcast")
+    val broadcastSeeds = TrainedBuildStats.lastDriverSeeds
+    ScratchCache.release()
+    spark.conf.set(MaxDriverSeedsKey, "1")
+    try {
+      val switched = ops.SimilarityQueries
+        .trainedCells(spark, sf, probe2 = true, probe3 = true)
+        .selectExpr("vec_id", "cell", "cell2", "cell3").collect()
+      assert(TrainedBuildStats.lastRoute === "dist",
+        "budget=1 must delegate to the distributed build")
+      // driver state drops from c child seeds to ~sqrt(c) supers
+      assert(TrainedBuildStats.lastDriverSeeds < broadcastSeeds,
+        s"dist route held ${TrainedBuildStats.lastDriverSeeds} seeds, " +
+          s"broadcast held $broadcastSeeds")
+      assert(switched.length === base.size)
+      switched.foreach { r =>
+        val exp = base(r.getLong(0))
+        assert((r.getLong(1), r.getLong(2), r.getLong(3)) === exp,
+          s"vec_id ${r.getLong(0)} differs through the switch")
+      }
+    } finally {
+      spark.conf.unset(MaxDriverSeedsKey)
+      ScratchCache.release()
+    }
+  }
+
   test("child blocks meet the corpus through a shuffle join, not a broadcast") {
     val dist = ops.SimilarityQueries.trainedCellsDist(spark, sf)
     try {
