@@ -331,6 +331,20 @@ object AnnClusteredStress {
       val ndSem = ndPairs(semQnd.join(semCand, col("pcl") === col("ccl")))
       semAll.unpersist()
 
+      // sem SIZE SWITCH (r10): force the shared budget below this
+      // corpus's K so the Lloyd rounds take the DataFrame-centroid
+      // route, and assert the assignment is bit-identical while the
+      // driver held only ~sqrt(K) centroid rows per round
+      spark.conf.set(ops.SimilarityQueries.MaxDriverSeedsKey, "1")
+      val semSwitched = ops.ClusteringQueries.semClusters(spark, dir)
+      val semSwitchRoute = ops.ClusteringQueries.SemBuildStats.lastRoute
+      val semSwitchDriver =
+        ops.ClusteringQueries.SemBuildStats.lastDriverCentroids
+      val semSwitchDiff = sem.selectExpr("vec_id", "cluster AS k1")
+        .join(semSwitched.selectExpr("vec_id", "cluster AS k2"), "vec_id")
+        .filter("k1 <> k2").count() + math.abs(semSwitched.count() - n)
+      spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
+
       def ret(s: Set[(Long, Long)]): Double =
         if (ndTruth.isEmpty) 1.0 else (ndTruth & s).size.toDouble / ndTruth.size
       val (retLsh, retRef, retBal, retSem) =
@@ -393,6 +407,9 @@ object AnnClusteredStress {
           s""""switch_route":"$switchRoute",""" +
           f""""switch_driver_seeds":$switchSeeds,""" +
           f""""switch_probe_diff":$switchDiff,""" +
+          s""""sem_switch_route":"$semSwitchRoute",""" +
+          f""""sem_switch_driver_centroids":$semSwitchDriver,""" +
+          f""""sem_switch_diff":$semSwitchDiff,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -434,8 +451,11 @@ object AnnClusteredStress {
     // have actually taken the dist route AND agreed on every probe col
     val switchBreach = (massOf("switch_probe_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("sem_switch_diff").collect {
+        case (tag, d) if d != 0.0 => tag }.toSeq ++
       rows.collect {
-        case r if !r.json.contains(""""switch_route":"dist"""") => r.tag })
+        case r if !r.json.contains(""""switch_route":"dist"""") ||
+          !r.json.contains(""""sem_switch_route":"dist"""") => r.tag })
       .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +

@@ -199,6 +199,78 @@ object ClusteringQueries {
     out
   }
 
+  /** Which route the last [[semClusters]] build took and the largest
+    * per-round driver collect it paid — observability for the size
+    * switch (asserted by SemDistSpec and AnnClusteredStress). */
+  private[graft] object SemBuildStats {
+    @volatile var lastRoute: String = ""
+    @volatile var lastDriverCentroids: Int = 0
+  }
+
+  /** One centroid UPDATE kept as a DataFrame — the distributed twin of
+    * [[update]]: the same map-combinable (cluster, dim) integer sums
+    * and `sum div count` floor means, reshaped by a per-cluster
+    * `sort_array(collect_list(struct(dim, c)))` instead of a driver
+    * collect. K rows, never on the driver. */
+  private def updateDf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .selectExpr("cluster", "dim", "sx div n AS cc")
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("dim"), col("cc")))).as("dc"))
+      .selectExpr("CAST(cluster AS BIGINT) AS cid",
+        "transform(dc, x -> x.cc) AS c")
+
+  /** One assignment against a centroid DATAFRAME — the
+    * q_ann_ivf_trained_dist device applied to Lloyd rounds: the driver
+    * collects only the ⌈√K⌉ rank-strided super centroids
+    * ([[graft.functions.SuperArgminBroadcast]]); centroids route to
+    * their super map-side and group into per-super blocks; rows route
+    * map-side and meet their one block in a SHUFFLE_HASH join scanned
+    * in place by [[graft.functions.ChildBlockArgmin]]. Same supers
+    * (rank-stride over ascending cid), same tie law
+    * ([[graft.functions.Codebook]]'s (dist2, id) order) — assignment
+    * is bit-identical to [[assignTwoLevel]]'s broadcast book, so the
+    * DuckDB oracle ([[semAssignCte]]) gates both routes unchanged. */
+  private def assignTwoLevelDist(v: DataFrame, cents: DataFrame): DataFrame = {
+    val s = v.sparkSession
+    val kCur = cents.count()
+    val sb = (1 to 256).find(z => z * z >= kCur).getOrElse(256)
+    val supers = cents.orderBy("cid").rdd.zipWithIndex()
+      .filter(_._2 % sb == 0)
+      .map { case (r, _) => r.getLong(0) -> r.getSeq[Long](1).toArray }
+      .collect().sortBy(_._1)
+    require(supers.nonEmpty, s"assignTwoLevelDist: no supers (K=$kCur)")
+    SemBuildStats.lastDriverCentroids =
+      math.max(SemBuildStats.lastDriverCentroids, supers.length)
+    val bc = s.sparkContext.broadcast(
+      (supers.map(_._1), supers.map(_._2)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fnS = s"graft_sem_super_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnS,
+      exprs => graft.functions.SuperArgminBroadcast(bc, exprs(0)),
+      "scala_udf")
+    val fnB = s"graft_sem_block_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
+      exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+    // coalesce(-1): the routing key is never null (v/c are not null),
+    // but unmarked nullability plants an isnotnull(kernel(..)) filter
+    // that evaluates the routing twice (the trainedCellsDist lesson)
+    val blocks = cents
+      .selectExpr("cid", "c AS cv", s"coalesce($fnS(c), -1L) AS csuper")
+      .groupBy("csuper")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("block"))
+    val out = v.selectExpr("vec_id", "v", s"coalesce($fnS(v), -1L) AS rsuper")
+      .join(blocks.hint("SHUFFLE_HASH"), col("rsuper") === col("csuper"))
+      .selectExpr("vec_id", "v", s"CAST($fnB(v, block) AS INT) AS cluster")
+    Seq(fnS, fnB).foreach(f => s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    out
+  }
+
   /** The SemDeDup blocking: k-means cluster ids at K = [[adaptiveSemK]]
     * (first-K data seeds — vec_ids are uncorrelated with embedding
     * position, so the init is a density-proportional sample — then
@@ -208,25 +280,48 @@ object ClusteringQueries {
     * mass / retention / per-row assignment cost on the density-skewed
     * corpus beside the ANN quantizers. Returns (vec_id, cluster).
     *
-    * Driver-state bound (stated, like adaptiveCells'): each Lloyd round
-    * collects the K updated centroids (K×64 longs — 410 KB at the
-    * measured 100× point, K = 800). K ∝ N means the collect grows with
-    * the corpus: past ~10⁶ clusters (~2.5×10⁸ rows) the update wants
-    * the distributed-codebook treatment (keep centroid blocks as a
-    * DataFrame keyed by super, the q_ann_ivf_trained_dist device)
-    * and/or FAISS-style bounded-sample training. Routing cost is
-    * already covered: √K·d per row stays below the 250·d within-block
-    * pair cost until far past that point. */
+    * Driver state (r10 — the r09 verdict's stated ceiling, now a
+    * SWITCH like trainedCells'): the default route collects the K
+    * updated centroids each Lloyd round (K×64 longs, K ∝ N/250 — a
+    * growing-with-corpus collect past ~10⁶ clusters). Past the shared
+    * driver-seed budget ([[SimilarityQueries.MaxDriverSeedsKey]]) the
+    * build keeps centroids as a DATAFRAME end-to-end: init is a
+    * filter (no collect), the update is [[updateDf]], and assignment
+    * is [[assignTwoLevelDist]] (the driver holds ⌈√K⌉ supers only).
+    * Assignment is bit-identical between routes, so the oracle is
+    * unaffected by which route ran (SemDistSpec pins fixture equality;
+    * AnnClusteredStress forces the switch at 10×–100× and gates the
+    * diff). Routing cost is already covered either way: √K·d per row
+    * stays below the 250·d within-block pair cost until far past the
+    * switch point. */
   private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val v = ScratchCache.scratch(Tables.embeddings(s, d)
       .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
     val k = adaptiveSemK(v.count())
-    var cents: Seq[(Int, Seq[Long])] =
-      v.filter(col("vec_id") < k).orderBy("vec_id").collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
-    for (_ <- 1 to Iters) cents = update(assignTwoLevel(v, cents))
-    assignTwoLevel(v, cents).select("vec_id", "cluster")
+    val budget = s.conf.get(SimilarityQueries.MaxDriverSeedsKey,
+      SimilarityQueries.DefaultMaxDriverSeeds.toString).toInt
+    if (k > budget) {
+      SemBuildStats.lastRoute = "dist"
+      SemBuildStats.lastDriverCentroids = 0
+      var cents = ScratchCache.scratch(v.filter(col("vec_id") < k)
+        .selectExpr("vec_id AS cid", "v AS c"))
+      for (_ <- 1 to Iters)
+        cents = ScratchCache.scratch(updateDf(assignTwoLevelDist(v, cents)))
+      assignTwoLevelDist(v, cents).select("vec_id", "cluster")
+    } else {
+      SemBuildStats.lastRoute = "broadcast"
+      var cents: Seq[(Int, Seq[Long])] =
+        v.filter(col("vec_id") < k).orderBy("vec_id").collect()
+          .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
+      SemBuildStats.lastDriverCentroids = cents.length
+      for (_ <- 1 to Iters) {
+        cents = update(assignTwoLevel(v, cents))
+        SemBuildStats.lastDriverCentroids =
+          math.max(SemBuildStats.lastDriverCentroids, cents.length)
+      }
+      assignTwoLevel(v, cents).select("vec_id", "cluster")
+    }
   }
 
   val defs: Map[String, QueryDef] = Map(
