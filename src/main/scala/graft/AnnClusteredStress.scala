@@ -43,6 +43,17 @@ object AnnClusteredStress {
     * its value as a dedup device, not that a ratio drifted. */
   private val RetentionFloor = 0.10
 
+  /** Floors for the r10 ADAPTIVE knob row: its measured 100× clustered
+    * retention is 0.210 (vs probe3's 0.151), so its floor sits at 0.15
+    * — above the probe3 gate, below the measured point. REMOVAL recall
+    * — the dedup decision metric (any one found partner removes the
+    * row) — measured 1.000 at every grid point of ProbeTune's
+    * frontier, so its floor is a tight 0.95: a breach means the
+    * blocker stopped finding even ONE partner for rows that have
+    * hundreds, i.e. the key collapsed. */
+  private val AdaptiveRetentionFloor = 0.15
+  private val RemovalRecallFloor = 0.95
+
   private final case class ScaleRow(tag: String, n: Long, json: String)
 
   def main(args: Array[String]): Unit = {
@@ -263,6 +274,43 @@ object AnnClusteredStress {
             .select(mpCols.map(col): _*)))
       val mp3Mass = mpMass + probeMass("cell3")
 
+      // ADAPTIVE multi-probe knob (r10, q_dedup_embedding_adaptive):
+      // the shipped (nSupers, maxProbes, eps, interleave) defaults,
+      // measured on the SAME truth beside the fixed-probe rows — plus
+      // REMOVAL RECALL, the decision metric of a dedup pass (a row
+      // with any true lower-id duplicate is removed iff the blocker
+      // finds ANY ONE lower-id duplicate for it)
+      val adp = ops.SimilarityQueries.trainedAdaptiveCells(spark, dir,
+        ops.SimilarityQueries.AdaptNSupers,
+        ops.SimilarityQueries.AdaptMaxProbes,
+        ops.SimilarityQueries.AdaptEpsNum,
+        ops.SimilarityQueries.AdaptEpsDen, interleave = true).persist()
+      val adpMass = adp.selectExpr("explode(probes) AS cell")
+        .join(broadcast(cnt), "cell")
+        .agg(coalesce(sum("bn"), lit(0L))).head.getLong(0).toDouble
+      val adpQ = adp.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val adpGot1 = adpQ.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "explode(probes) AS probe")
+        .join(adp.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell AS ccell"), col("probe") === col("ccell"))
+      val adpGot2 = adpQ.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "cell AS probe")
+        .join(adp.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "explode(probes) AS ccell"),
+          col("probe") === col("ccell"))
+      val ndAdp = ndPairs(
+        adpGot1.select(mpCols.map(col): _*)
+          .unionByName(adpGot2.select(mpCols.map(col): _*)))
+      adp.unpersist()
+      def removalRecall(got: Set[(Long, Long)]): Double = {
+        val remTruth = ndTruth.collect { case (q, nb) if nb < q => q }
+        val remGot = got.collect { case (q, nb) if nb < q => q }
+        if (remTruth.isEmpty) 1.0
+        else (remTruth & remGot).size.toDouble / remTruth.size
+      }
+      val remAdp = removalRecall(ndAdp)
+      val remMp3 = removalRecall(ndBalMp3)
+
       // the DISTRIBUTED codebook build (q_ann_ivf_trained_dist): same
       // cells by construction — diff must be ZERO at every scale (this
       // is the "recall within a stated delta" point: delta = 0) while
@@ -351,6 +399,7 @@ object AnnClusteredStress {
         (ret(ndLsh), ret(ndRef), ret(ndBal), ret(ndSem))
       val retMp = ret(ndBalMp)
       val retMp3 = ret(ndBalMp3)
+      val retAdp = ret(ndAdp)
       ScratchCache.release()
 
       q.unpersist(); assigned.unpersist()
@@ -366,7 +415,8 @@ object AnnClusteredStress {
         f"nd(n=${ndTruth.size}) lsh=$retLsh%.3f ada=$retRef%.3f " +
         f"trained=$retBal%.3f sem=$retSem%.3f MULTI2=$retMp%.3f " +
         f"(${mpMass / balSq}%.2fx) MULTI3=$retMp3%.3f " +
-        f"(${mp3Mass / balSq}%.2fx) | distDiff=$distDiff " +
+        f"(${mp3Mass / balSq}%.2fx) ADAPT=$retAdp%.3f " +
+        f"(${adpMass / balSq}%.2fx, removal=$remAdp%.3f) | distDiff=$distDiff " +
         f"seeds one=$oneBroadcastSeeds dist=$distDriverSeeds")
       ScaleRow(tag, n,
         f"""{"n":$n,"cells":$cells,"cells_used":$cellsUsed,""" +
@@ -416,7 +466,12 @@ object AnnClusteredStress {
           f""""neardup_retention_trained":$retBal%.3f,""" +
           f""""neardup_retention_sem":$retSem%.3f,""" +
           f""""neardup_retention_multi_probe":$retMp%.3f,""" +
-          f""""neardup_retention_multi_probe3":$retMp3%.3f}""")
+          f""""neardup_retention_multi_probe3":$retMp3%.3f,""" +
+          f""""adaptive_probe_pair_mass":$adpMass%.0f,""" +
+          f""""adaptive_probe_mass_vs_single":${adpMass / balSq}%.2f,""" +
+          f""""neardup_retention_adaptive_probe":$retAdp%.3f,""" +
+          f""""removal_recall_adaptive":$remAdp%.3f,""" +
+          f""""removal_recall_probe3":$remMp3%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -445,6 +500,10 @@ object AnnClusteredStress {
     val retMpByTag = massOf("neardup_retention_multi_probe3")
     val retBreach = retMpByTag.collect {
       case (tag, r) if r < RetentionFloor => tag }.toSeq.sorted
+    val adpRetBreach = massOf("neardup_retention_adaptive_probe").collect {
+      case (tag, r) if r < AdaptiveRetentionFloor => tag }.toSeq.sorted
+    val remBreach = massOf("removal_recall_adaptive").collect {
+      case (tag, r) if r < RemovalRecallFloor => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     // the r10 switch gate: at every scale the forced-budget build must
@@ -470,6 +529,12 @@ object AnnClusteredStress {
         """is largely unsplit mass; per-row candidates are bounded by """ +
         """the cap at any corpus size",""" +
         f""""multi_probe_retention_floor":$RetentionFloor%.2f,""" +
+        f""""adaptive_retention_floor":$AdaptiveRetentionFloor%.2f,""" +
+        f""""removal_recall_floor":$RemovalRecallFloor%.2f,""" +
+        s""""adaptive_retention_below_floor":${adpRetBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""removal_recall_below_floor":${remBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
         s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""dist_build_diff_nonzero":${distBreach.map("\"" + _ + "\"")

@@ -153,7 +153,8 @@ object Bench10x {
       "q_ann_incremental_trained", "q_stream_ann_ingest",
       "q_ann_ivfpq_trained",
       "q_ann_lsh_adaptive", "q_dedup_semantic", "q_dedup_semantic_mp",
-      "q_dedup_embedding_probe2", "q_dedup_embedding_probe3")
+      "q_dedup_embedding_probe2", "q_dedup_embedding_probe3",
+      "q_dedup_embedding_adaptive", "q_dedup_semantic_adaptive")
       .filter(SparkEntry.queries.contains)
     val cdir = s"${ProcScratch.base}/bench10x_clustered"
     println(s"[bench10x] generating ${Factor}x clustered corpus at $cdir")

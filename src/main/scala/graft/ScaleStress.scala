@@ -58,7 +58,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_semantic",
     // similarity / ANN family (embeddings)
     "q_dedup_embedding_lsh", "q_dedup_embedding_probe2",
-    "q_dedup_embedding_probe3",
+    "q_dedup_embedding_probe3", "q_dedup_embedding_adaptive",
+    "q_dedup_semantic_adaptive",
     "q_ann_lsh", "q_ann_lsh_adaptive",
     "q_ann_ivf", "q_ann_ivf_probe2",
     "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",

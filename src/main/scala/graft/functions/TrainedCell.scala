@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Two-level TRAINED-codebook cell assignment (the data-seeded IVF of
   * ops.SimilarityQueries.trainedCells): given a 1e-6-quantized vector
@@ -232,5 +232,170 @@ case class TwoLevelArgminH2Broadcast(
   }
 
   override protected def withNewChildInternal(newChild: Expression): TwoLevelArgminH2Broadcast =
+    copy(child = newChild)
+}
+
+/** ADAPTIVE multi-probe over the trained codebook — the
+  * target-retention knob of the near-dup blocking family
+  * (ops.SimilarityQueries.trainedAdaptiveCells): instead of a FIXED
+  * probe set per row (home / cell2 / cell3), each row probes every
+  * child cell of its `nSupers` nearest supers whose seed lies within
+  * an integer margin of the nearest NON-HOME child distance hd2
+  * (d2·epsDen ≤ hd2·epsNum — "within √(num/den)× of the nearest
+  * alternative"; hd2 not hd, because a seed row's home distance is
+  * ZERO and a ratio margin off zero strips every probe from exactly
+  * the rows sitting on seed points), capped at `maxProbes` cells
+  * total. Interior rows
+  * (nothing inside the margin) spend ONE probe; boundary rows — where
+  * near-dup pairs are actually lost — spend up to the cap, so the
+  * retention-per-candidate-mass frontier dominates fixed probe counts
+  * (measured in AnnClusteredStress on the clustered corpus).
+  *
+  * Returns the probe cells as array<bigint>: the home cell first,
+  * then qualifying cells ordered by (d2, cid) — the same total order
+  * as every argmin kernel, so the DuckDB twin is a windowed ranking
+  * with the identical integer margin predicate. Cells are distinct by
+  * construction (a child belongs to exactly one super; home is
+  * excluded from the qualifying scan). Cost: O(nSupers·√c·d)/row with
+  * the margin bound as an early exit — the probe3 cost class. */
+case class TwoLevelProbesBroadcast(
+    codebook: Broadcast[(Array[Long], Array[Array[Long]],
+      Array[Array[Long]], Array[Array[Array[Long]]])],
+    nSupers: Int, maxProbes: Int, epsNum: Long, epsDen: Long,
+    child: Expression, interleave: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_trained_probes"
+
+  @transient private lazy val superVecs = codebook.value._2
+  @transient private lazy val childIds = codebook.value._3
+  @transient private lazy val childVecs = codebook.value._4
+
+  private def d2(x: Array[Long], c: Array[Long], bound: Long): Long = {
+    var d = 0L
+    var j = 0
+    while (j < x.length && d <= bound) {
+      val t = x(j) - c(j)
+      d += t * t
+      j += 1
+    }
+    d
+  }
+
+  /** Executor-side probe; also the codegen entry point. */
+  def probesOf(v: ArrayData): ArrayData = {
+    val x = v.toLongArray()
+    // top-nSupers supers by (d2, sid): repeated excluded argmin scans
+    // (nSupers is 2-4, supers are ~sqrt(c) — quadratic in a tiny k)
+    val nS = math.min(nSupers, superVecs.length)
+    val sel = new Array[Int](nS)
+    var k = 0
+    while (k < nS) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < superVecs.length) {
+        var taken = false
+        var t = 0
+        while (t < k) { if (sel(t) == i) taken = true; t += 1 }
+        if (!taken) {
+          val d = d2(x, superVecs(i), bestD)
+          if (d < bestD) { bestD = d; best = i }
+        }
+        i += 1
+      }
+      sel(k) = best
+      k += 1
+    }
+    // home = best child of the nearest super (exact d2, no bound)
+    val homeKids = childVecs(sel(0))
+    require(homeKids.nonEmpty,
+      "TwoLevelProbesBroadcast: empty home child block — the codebook " +
+        "violates the supers-subset-of-children invariant")
+    var hi = 0
+    var hd = Long.MaxValue
+    var i = 0
+    while (i < homeKids.length) {
+      val d = d2(x, homeKids(i), hd - 1)
+      if (d < hd) { hd = d; hi = i }
+      i += 1
+    }
+    val home = childIds(sel(0))(hi)
+    // full distance scan of the pooled non-home children: the margin
+    // base is hd2 — the NEAREST NON-HOME child distance — not hd (a
+    // seed row's hd is ZERO, and a ratio margin off zero would strip
+    // every probe from exactly the rows that sit on seed points; the
+    // r10 tune caught this as 1600 probe-less rows at 100×, one per
+    // child seed). With base hd2 every row keeps ≥2 probes and the
+    // margin qualifies cells within √(num/den)× of the nearest
+    // alternative, which is the boundary geometry the knob is for.
+    val perSuper = Array.fill(nS)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+    var hd2 = Long.MaxValue
+    k = 0
+    while (k < nS) {
+      val kids = childVecs(sel(k))
+      val ids = childIds(sel(k))
+      var j = 0
+      while (j < kids.length) {
+        if (ids(j) != home) {
+          val d = d2(x, kids(j), Long.MaxValue - 1)
+          perSuper(k) += ((d, ids(j)))
+          if (d < hd2) hd2 = d
+        }
+        j += 1
+      }
+      k += 1
+    }
+    // qualify iff d2*epsDen <= hd2*epsNum — evaluated as d2 <= bound
+    // with bound = floor(hd2*num/den) (equivalent for integers) and an
+    // overflow guard so a huge num sentinel means "no margin"
+    if (hd2 != Long.MaxValue) {
+      val bound =
+        if (epsNum != 0 && hd2 > Long.MaxValue / epsNum) Long.MaxValue
+        else hd2 * epsNum / epsDen
+      k = 0
+      while (k < nS) {
+        perSuper(k) = perSuper(k).filter(_._1 <= bound)
+        k += 1
+      }
+    }
+    val extra =
+      if (!interleave)
+        // DISTANCE order: globally by (d2, cid) — classic multi-probe
+        perSuper.flatten.sorted.take(maxProbes - 1).map(_._2).toSeq
+      else {
+        // INTERLEAVED order: (rank-within-super, super-rank) — one
+        // probe per super before any super's second probe, maximizing
+        // the diversity that two-sided pair coverage feeds on (the
+        // probe3 fixed set {home, s1c2, s2c1} is this order's prefix)
+        val ranked = perSuper.map(_.sorted)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var js = 0
+        var have = true
+        while (have) {
+          have = false
+          var sk = 0
+          while (sk < nS) {
+            if (ranked(sk).length > js) { buf += ranked(sk)(js)._2; have = true }
+            sk += 1
+          }
+          js += 1
+        }
+        buf.take(maxProbes - 1).toSeq
+      }
+    new GenericArrayData((home +: extra).toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = probesOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTrainedProbes", this,
+      classOf[TwoLevelProbesBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.probesOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelProbesBroadcast =
     copy(child = newChild)
 }
