@@ -311,6 +311,44 @@ object AnnClusteredStress {
       val remAdp = removalRecall(ndAdp)
       val remMp3 = removalRecall(ndBalMp3)
 
+      // corpus-adaptive PQ codes (r10, q_ann_ivfpq_trained): the code
+      // count must TRACK the corpus (⌈n/125⌉ clamped to [16,256]) and
+      // must BUY accuracy — ADC relative error vs the exact quantized
+      // d2 on the sampled same-cell pairs, fixed-16 book vs adaptive
+      // book (gated: adaptive may not be worse)
+      val kPq = ops.SimilarityQueries.adaptivePqCodes(n)
+      val vq = ScratchCache.scratch(bal.selectExpr("vec_id",
+        s"${graft.oracle.SparkSql.quantVec("embedding", 1000000L)} AS v",
+        "cell"))
+      val pqQcell = vq.filter(col("vec_id") < 20)
+        .selectExpr("vec_id AS query_id", "cell AS qcell", "v AS qv")
+        .persist()
+      val pqTrue = vq.selectExpr("vec_id", "v AS cv", "cell")
+        .join(broadcast(pqQcell), col("cell") === col("qcell") &&
+          col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${graft.oracle.SparkSql.dist2Big("qv", "cv")} AS d2")
+        .persist()
+      def adcRelErr(k: Int): Double = {
+        val book = ops.SimilarityQueries.pqLearnBook(vq, k)
+        val codes = ops.SimilarityQueries.pqCodes(vq, book)
+        val qd = ops.SimilarityQueries.pqQdist(spark, vq, book)
+        val est = codes.join(broadcast(qd),
+            codes("ss") === qd("ss") && codes("code") === qd("cid"))
+          .join(broadcast(pqQcell.select("query_id", "qcell")
+            .withColumnRenamed("query_id", "qid")),
+            codes("cell") === col("qcell") && col("qid") =!= codes("vec_id"))
+          .filter(col("qid") === col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        est.join(pqTrue, Seq("query_id", "vec_id"))
+          .selectExpr("avg(abs(est_d2 - d2) / greatest(d2, 1)) AS e")
+          .head.getDouble(0)
+      }
+      val pqErrFixed = adcRelErr(16)
+      val pqErrAdaptive = if (kPq == 16) pqErrFixed else adcRelErr(kPq)
+      pqQcell.unpersist(); pqTrue.unpersist()
+
       // the DISTRIBUTED codebook build (q_ann_ivf_trained_dist): same
       // cells by construction — diff must be ZERO at every scale (this
       // is the "recall within a stated delta" point: delta = 0) while
@@ -471,7 +509,10 @@ object AnnClusteredStress {
           f""""adaptive_probe_mass_vs_single":${adpMass / balSq}%.2f,""" +
           f""""neardup_retention_adaptive_probe":$retAdp%.3f,""" +
           f""""removal_recall_adaptive":$remAdp%.3f,""" +
-          f""""removal_recall_probe3":$remMp3%.3f}""")
+          f""""removal_recall_probe3":$remMp3%.3f,""" +
+          f""""pq_codes_adaptive":$kPq,""" +
+          f""""pq_adc_relerr_fixed":$pqErrFixed%.4f,""" +
+          f""""pq_adc_relerr_adaptive":$pqErrAdaptive%.4f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -504,6 +545,10 @@ object AnnClusteredStress {
       case (tag, r) if r < AdaptiveRetentionFloor => tag }.toSeq.sorted
     val remBreach = massOf("removal_recall_adaptive").collect {
       case (tag, r) if r < RemovalRecallFloor => tag }.toSeq.sorted
+    // adaptive PQ must not quantize WORSE than the fixed 16-code book
+    val errF = massOf("pq_adc_relerr_fixed")
+    val pqBreach = massOf("pq_adc_relerr_adaptive").collect {
+      case (tag, e) if e > errF(tag) => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     // the r10 switch gate: at every scale the forced-budget build must
@@ -534,6 +579,8 @@ object AnnClusteredStress {
         s""""adaptive_retention_below_floor":${adpRetBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""removal_recall_below_floor":${remBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""pq_adaptive_worse":${pqBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +

@@ -964,6 +964,24 @@ object SimilarityQueries {
   private val PqSubDims = 16
   private val PqCodes = 16
 
+  /** CORPUS-ADAPTIVE per-subspace code count (r10, the r09 verdict's
+    * item 4): the same ⌈N/125⌉ occupancy law as [[adaptiveCells]],
+    * clamped to [16, 256] — 16 at every fixture SF (so the adaptive
+    * query's oracle values are fixture-identical to the fixed-book
+    * family) and 256 = one byte per code at scale, FAISS's production
+    * ceiling. More codes per subspace spend quantization error down
+    * exactly where a bigger corpus can support finer sub-centroids;
+    * the measured effect is AnnClusteredStress's pq_adc_relerr rows
+    * (adaptive must not be worse than fixed — gated). Driver state is
+    * the codebook only: 4 subspaces × ≤256 codes × 16 longs. */
+  private[graft] def adaptivePqCodes(n: Long): Int =
+    math.min(256L, math.max(16L, (n + 124) / 125)).toInt
+
+  /** The same clamp as inline DuckDB SQL over the embeddings view. */
+  private def duckPqCodesExpr: String =
+    "(SELECT LEAST(256, GREATEST(16, (count(*) + 124) // 125)) " +
+      "FROM embeddings)"
+
   /** IVF coarse-quantizer cell: argmin over NCells deterministic
     * pseudo-random centroids of squared L2 distance. Centroid coords use
     * the same LCG as the LSH planes with a decorrelating index offset;
@@ -1059,8 +1077,9 @@ object SimilarityQueries {
     * against seed literals plus a single map-combinable (ss, cid, dim)
     * update bounded at 4×16×16 rows. The driver holds only the
     * codebook (the broadcast-variable pattern, as in q_kmeans). */
-  private def pqLearnBook(v: DataFrame): Int => Seq[(Int, Seq[Long])] = {
-    val seedRows = v.filter(col("vec_id") < PqCodes)
+  private[graft] def pqLearnBook(v: DataFrame,
+      nCodes: Int = PqCodes): Int => Seq[(Int, Seq[Long])] = {
+    val seedRows = v.filter(col("vec_id") < nCodes)
       .select("vec_id", "v").collect().sortBy(_.getLong(0))
     val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
       (r.getLong(0).toInt,
@@ -1087,7 +1106,7 @@ object SimilarityQueries {
 
   /** Byte-code encoding in long form (vec_id, cell, ss, code) — pure
     * map over the cached frame (4 argmin projections + a stack). */
-  private def pqCodes(v: DataFrame,
+  private[graft] def pqCodes(v: DataFrame,
       book: Int => Seq[(Int, Seq[Long])]): DataFrame = {
     val codeCols = (0 until PqSubSpaces)
       .map(ss => s"${pqCidExpr(book(ss), ss)} AS code$ss")
@@ -1100,7 +1119,7 @@ object SimilarityQueries {
 
   /** Per-query ADC lookup table (query_id, ss, cid, qd2): |Q|×4×16
     * exact subvector→centroid distances, built to be broadcast. */
-  private def pqQdist(s: SparkSession, v: DataFrame,
+  private[graft] def pqQdist(s: SparkSession, v: DataFrame,
       book: Int => Seq[(Int, Seq[Long])]): DataFrame = {
     import s.implicits._
     val bookDf = (0 until PqSubSpaces)
@@ -1137,7 +1156,9 @@ object SimilarityQueries {
     * raw-vector queries (q_ann_pq / q_ann_ivfpq) and the residual
     * variant (q_ann_ivfpq_res) share one relational text that mirrors
     * pqLearnBook/pqCodes/pqQdist bit-for-bit. */
-  private lazy val pqOracleTail: String = {
+  private lazy val pqOracleTail: String = pqOracleTailK(PqCodes.toString)
+
+  private def pqOracleTailK(codesExpr: String): String = {
     val dl = DuckSql
     def d2(a: String, b: String) = dl.dist2Big(a, b)
     s"""sub AS (
@@ -1146,7 +1167,7 @@ object SimilarityQueries {
        |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
        |seeds AS (
        |  SELECT ss, CAST(vec_id AS INT) AS cid, vs AS c
-       |  FROM sub WHERE vec_id < $PqCodes),
+       |  FROM sub WHERE vec_id < ($codesExpr)),
        |a1 AS (
        |  SELECT vec_id, ss, cid, vs FROM (
        |    SELECT s.vec_id, s.ss, t.cid, s.vs,
@@ -2139,7 +2160,11 @@ object SimilarityQueries {
         val v = ScratchCache.scratch(trainedCells(s, d)
           .selectExpr("vec_id",
             s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
-        val book = pqLearnBook(v)
+        // r10: the PQ half is corpus-adaptive like nlist — ⌈N/125⌉
+        // codes per subspace clamped to [16, 256] (adaptivePqCodes),
+        // 16 at every fixture so the oracle values are unchanged; the
+        // oracle derives the SAME count relationally (duckPqCodesExpr)
+        val book = pqLearnBook(v, adaptivePqCodes(corpusN(s, d)))
         val codes = pqCodes(v, book)
         val qdist = pqQdist(s, v, book)
           .join(v.filter(col("vec_id") < PqQueries)
@@ -2161,7 +2186,7 @@ object SimilarityQueries {
          |v AS (
          |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
          |  FROM embeddings),
-         |$pqOracleTail,
+         |${pqOracleTailK(duckPqCodesExpr)},
          |est AS (
          |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
          |  FROM codes k
