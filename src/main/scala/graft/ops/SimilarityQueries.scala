@@ -1763,6 +1763,64 @@ object SimilarityQueries {
       },
       duckIncrementalTrainedSql),
 
+    // DELETES on the served ANN index (r10, the r09 verdict's item 5):
+    // q_stream_ann_ingest proved append; a dedup pipeline REMOVES rows,
+    // so this composes the served index with the KeyedTable device —
+    // the index lives as a versioned keyed table (key-sorted immutable
+    // files + manifest, vec_id key), a delete batch lands through
+    // mergeDelta with an anti-join mergeFn (REWRITES ONLY THE FILES
+    // whose key range the batch touches — O(delta·fanout), same
+    // contract as q_delta_merge), and the manifest-aware compact()
+    // coalesces the survivors. The PROBE of the post-delete version
+    // must EQUAL the probe of a corpus the deleted rows were never
+    // inserted into — the codebook stays the one trained at serve time
+    // (FAISS's remove_ids contract: deletion drops rows, it does not
+    // retrain), which is exactly what the oracle computes: full-corpus
+    // codebook, search restricted to surviving rows. AnnDeleteSpec
+    // additionally pins the file-pruning evidence and version history.
+    "q_ann_delete" -> QueryDef(
+      (s, d) => {
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/ann_delete/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val e = trainedCells(s, d)
+        graft.sources.KeyedTable.write(s, root, "annidx",
+          e.select("vec_id", "embedding", "n2", "cell"), "vec_id", 8)
+        val deletes = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+        graft.sources.KeyedTable.mergeDelta(s, root, "annidx",
+          deletes, "vec_id") { (cur, ch) =>
+          cur.join(ch.select("vec_id"), Seq("vec_id"), "left_anti")
+        }
+        graft.sources.KeyedTable.compact(s, root, "annidx", "vec_id", 100000L)
+        val idx = graft.sources.KeyedTable.read(s, root, "annidx")
+        val q = idx.filter(col("vec_id") % 10 === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+        val c = idx.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedEbCte
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
+         |    AND c.vec_id % 7 <> 0
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
     // IVF-flat ANN: coarse-quantize into Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
     // hyperplane LSH: at 100 TB the corpus is write-time partitioned by
