@@ -86,7 +86,8 @@ object Bench {
     // snapshot with the stage report, before the re-measure phase
     // appends extra same-label runs
     val criticalJson = analyzer.criticalJson()
-    val skewJson = analyzer.skewFlags().toSeq.sortBy(_._1)
+    val skewMap = analyzer.skewFlags()
+    val skewJson = skewMap.toSeq.sortBy(_._1)
       .map { case (q, r) => f""""$q":$r%.1f""" }.mkString("{", ",", "}")
     // Snapshot per-query shuffle bytes HERE, before the outlier
     // re-measure phase below: re-measured queries execute 3 more times
@@ -115,6 +116,35 @@ object Bench {
         }
         (q, suiteT, if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
       }
+    // SKEW AUTO-ISOLATION (r10, r09 verdict item 6): the r08 false
+    // 38.2× flag came from the skew map aggregating cache-cold
+    // first-pass stages; the fix that closed it was a MANUAL isolated
+    // ProfileQuery run. That logic now runs in-process: any suite skew
+    // flag ≥ 20× is re-measured ISOLATED (fresh run, analyzer reset)
+    // and the isolated per-stage profile rides BENCH_DETAIL.json — a
+    // committed skew flag is therefore either reproduced-with-stage-
+    // named or auto-cleared, never a mystery for the next round.
+    // Placed after every suite-attribution snapshot above (the resets
+    // here would otherwise wipe them).
+    val skewIsolated: Seq[(String, Double, Double, String)] =
+      skewMap.toSeq // the SNAPSHOT the committed skew map shows, not
+        // the post-remeasure state (re-measured queries append stages
+        // under the same label and could shift the flags)
+        .filter { case (qn, r) => r >= 20.0 && selected.contains(qn) }
+        .sortBy(_._1)
+        .map { case (qn, suiteFlag) =>
+          spark.catalog.clearCache()
+          analyzer.reset()
+          timeOne(qn, selected(qn))
+          Thread.sleep(1200) // drain the listener bus
+          val isoFlag = analyzer.skewFlags().getOrElse(qn, 0.0)
+          val stages = analyzer.report().getOrElse(qn, Nil)
+            .map(_.json).mkString("[", ",", "]")
+          (qn, suiteFlag, isoFlag, stages)
+        }
+    val skewIsoJson = skewIsolated.map { case (qn, s0, i0, st) =>
+      f""""$qn":{"suite":$s0%.1f,"isolated":$i0%.1f,"stages":$st}"""
+    }.mkString("{", ",", "}")
     // GATE ERGONOMICS (r05 verdict item, tightened r07): a first breach
     // UNDER 2.5× is the ambient-noise profile (co-tenant load spikes
     // documented in BASELINE.md), so the isolated median becomes the
@@ -212,7 +242,7 @@ object Bench {
         }.getOrElse("[]")
       }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"skew_isolated":$skewIsoJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"sf":"$sfDir"}"""
     Seq("BASELINE.md", "/root/repo/BASELINE.md")
       .map(new java.io.File(_)).find(_.exists())
       .map(_.getAbsoluteFile.getParentFile).foreach { repo =>
