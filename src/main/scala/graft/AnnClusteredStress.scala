@@ -202,13 +202,8 @@ object AnnClusteredStress {
       // consistent with the recall rows — a third independent
       // measurement of the same conclusion).
       // Truth from the sampled queries only (bounded: |sample|·N pairs).
-      def ndPairs(joined: DataFrame): Set[(Long, Long)] = joined
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id",
-          "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-        .filter(col("cosine") >= 0.4)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def ndPairs(joined: DataFrame): Set[(Long, Long)] =
+        NearDupLaw.pairs(joined) // the SHARED law (see NearDupLaw)
       val qnd = assigned.filter(pmod(col("vec_id"), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "bucket AS pbucket")
@@ -302,12 +297,8 @@ object AnnClusteredStress {
         adpGot1.select(mpCols.map(col): _*)
           .unionByName(adpGot2.select(mpCols.map(col): _*)))
       adp.unpersist()
-      def removalRecall(got: Set[(Long, Long)]): Double = {
-        val remTruth = ndTruth.collect { case (q, nb) if nb < q => q }
-        val remGot = got.collect { case (q, nb) if nb < q => q }
-        if (remTruth.isEmpty) 1.0
-        else (remTruth & remGot).size.toDouble / remTruth.size
-      }
+      def removalRecall(got: Set[(Long, Long)]): Double =
+        NearDupLaw.removalRecall(ndTruth, got)
       val remAdp = removalRecall(ndAdp)
       val remMp3 = removalRecall(ndBalMp3)
 
@@ -329,9 +320,17 @@ object AnnClusteredStress {
         .selectExpr("query_id", "vec_id",
           s"${graft.oracle.SparkSql.dist2Big("qv", "cv")} AS d2")
         .persist()
+      // book learning reads the full corpus (matching the declared
+      // query) but ENCODING is restricted to the query cells: only
+      // rows sharing a cell with the 20 sampled queries ever reach the
+      // est join, and encoding all n rows against a 256-entry literal
+      // book was the stress's dominant PQ cost (~100x wasted at 100x)
+      val pqCellIds = pqQcell.select("qcell").distinct()
+        .collect().map(_.getLong(0))
+      val vqNear = vq.filter(col("cell").isin(pqCellIds: _*))
       def adcRelErr(k: Int): Double = {
         val book = ops.SimilarityQueries.pqLearnBook(vq, k)
-        val codes = ops.SimilarityQueries.pqCodes(vq, book)
+        val codes = ops.SimilarityQueries.pqCodes(vqNear, book)
         val qd = ops.SimilarityQueries.pqQdist(spark, vq, book)
         val est = codes.join(broadcast(qd),
             codes("ss") === qd("ss") && codes("code") === qd("cid"))

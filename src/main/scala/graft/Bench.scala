@@ -135,7 +135,13 @@ object Bench {
         .map { case (qn, suiteFlag) =>
           spark.catalog.clearCache()
           analyzer.reset()
+          // a failure in this PROFILING-ONLY extra run must not poison
+          // the headline (timeOne adds to `errors`, which flips total
+          // to -1.0): the three timed suite passes already succeeded,
+          // so a dead profile rerun only blanks this entry
+          val preIso = errors.toSet
           timeOne(qn, selected(qn))
+          errors.clear(); errors ++= preIso
           Thread.sleep(1200) // drain the listener bus
           val isoFlag = analyzer.skewFlags().getOrElse(qn, 0.0)
           val stages = analyzer.report().getOrElse(qn, Nil)

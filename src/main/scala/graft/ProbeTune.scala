@@ -45,14 +45,10 @@ object ProbeTune {
     val cnt = bal.groupBy("cell").agg(count(lit(1)).as("bn")).persist()
     val balSq = cnt.selectExpr("sum(bn * bn)").head.getLong(0).toDouble
 
-    // truth: sampled queries × corpus, cosine >= 0.4 (the stress law)
-    def pairs(df: DataFrame): Set[(Long, Long)] = df
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .selectExpr("query_id", "neighbor_id",
-        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-      .filter(col("cosine") >= 0.4)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truth: sampled queries × corpus — the SHARED law (NearDupLaw),
+    // so the frontier measured here and the floors gated in
+    // AnnClusteredStress can never drift apart
+    def pairs(df: DataFrame): Set[(Long, Long)] = NearDupLaw.pairs(df)
     val q0 = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
       .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2")
     val c0 = bal.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -143,14 +139,7 @@ object ProbeTune {
         "qe", "ce", "qn2", "cn2")))
       val ret = if (truth.isEmpty) 1.0
         else (truth & got).size.toDouble / truth.size
-      // REMOVAL recall — the decision metric of a dedup pass: a row
-      // with ANY true lower-id duplicate is removed as long as the
-      // blocker finds ANY ONE lower-id duplicate for it (every found
-      // pair is a true pair; which one is immaterial to removal)
-      val remTruth = truth.collect { case (q, nb) if nb < q => q }
-      val remGot = got.collect { case (q, nb) if nb < q => q }
-      val remRecall = if (remTruth.isEmpty) 1.0
-        else (remTruth & remGot).size.toDouble / remTruth.size
+      val remRecall = NearDupLaw.removalRecall(truth, got)
       val avgProbes = a.selectExpr("avg(size(probes))").head.getDouble(0)
       println(f"[probe-tune] nS=$ns mp=$mp eps=$num/$den il=$il: " +
         f"retention=$ret%.3f removal_recall=$remRecall%.3f " +

@@ -121,14 +121,27 @@ object SimilarityQueries {
     * children): assignment drops to O(N·√c·d), which is cheap enough
     * to return to constant occupancy — probing is linear again and
     * assignment's √c·d per row stays below the 125·d probe cost until
-    * ~1000× the fixture (past that, add a third level: c^(1/3)). */
+    * ~1000× the fixture (past that, add a third level: c^(1/3)).
+    *
+    * Cap history (r10): the law is smallest c ≥ 16 with 125·c ≥ N —
+    * i.e. max(16, ⌈N/125⌉), written arithmetically in BOTH engines —
+    * capped at 2^24. The cap was 65536 through r09, which silently
+    * made the r10 driver-seed size switch unreachable (65536 < the
+    * 2^18 budget — caught by the r10 review): constant occupancy died
+    * at 8.2M rows and the broadcast codebook never outgrew 34 MB. The
+    * DISTRIBUTED codebook build is exactly what makes a bigger cap
+    * affordable (driver holds ⌈√c⌉ ≤ 4096 supers ≈ 2 MB at the cap);
+    * 2^24 cells keep constant occupancy to 2.1×10⁹ rows, past which
+    * the stated third routing level is the named next step. */
+  private[graft] val CellCap = 1 << 24
   private[graft] def adaptiveCells(n: Long): Int =
-    (NCells to 65536).find(c => 125L * c >= n).getOrElse(65536)
+    math.min(CellCap.toLong, math.max(NCells.toLong, (n + 124) / 125)).toInt
 
   /** Two-level split of a cell count: s = smallest with s² ≥ c, then
-    * m children per super (s·m ≥ c cells exist; ids run 1..s·m). */
+    * m children per super (s·m ≥ c cells exist; ids run 1..s·m).
+    * s ≤ 4096 covers the whole [[CellCap]] range (4096² = 2^24). */
   private[graft] def superSplit(c: Int): (Int, Int) = {
-    val s = (1 to 256).find(s => s * s >= c).getOrElse(256)
+    val s = (1 to 4096).find(s => s * s >= c).getOrElse(4096)
     (s, (c + s - 1) / s)
   }
 
@@ -371,13 +384,13 @@ object SimilarityQueries {
   private def duckTrainedEbCteW(w: String): String = {
     val d = DuckSql
     val q = d.quantVec("embedding", 1000000L)
-    // COALESCE mirrors the builder's getOrElse(65536): past 8.192M
-    // rows the range subquery is empty → NULL, and NULL here would
-    // cascade (GREATEST(16, NULL) = NULL) while Spark clamps
+    // the arithmetic form of adaptiveCells — max(16, ⌈n/125⌉) capped
+    // at CellCap — written identically in both engines (r10: the old
+    // range-scan form was capped at 65536, which silently disabled
+    // the driver-seed size switch)
     val cellsW =
-      "GREATEST(16, COALESCE((SELECT min(c) FROM " +
-        "(SELECT unnest(range(16, 65537)) AS c) tc WHERE 125 * c >= " +
-        s"(SELECT count(*) FROM embeddings WHERE $w)), 65536))"
+      s"GREATEST(16, LEAST($CellCap, " +
+        s"((SELECT count(*) FROM embeddings WHERE $w) + 124) // 125))"
     val seedCtes = if (w == "TRUE")
       s"""tcs AS (SELECT vec_id AS cid, qv AS cv FROM tv, tk
          |  WHERE vec_id % sc = 0),
@@ -400,7 +413,7 @@ object SimilarityQueries {
        |  SELECT GREATEST(1, n // c) AS sc,
        |    GREATEST(1, n // c) * GREATEST(1, c // s) AS ss
        |  FROM (SELECT ($cellsW) AS c, n,
-       |      (SELECT min(z) FROM (SELECT unnest(range(1, 257)) AS z) tz
+       |      (SELECT min(z) FROM (SELECT unnest(range(1, 4097)) AS z) tz
        |        WHERE z * z >= ($cellsW)) AS s
        |    FROM tn) tkk),
        |tv AS (SELECT vec_id, embedding,
@@ -730,6 +743,38 @@ object SimilarityQueries {
        |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
        |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
+  /** The nprobe=3 top-3 search shared by the BROADCAST and DIST builds
+    * (q_ann_ivf_trained_probe3 / q_ann_ivf_trained_probe3_dist) — one
+    * body + one oracle so the two declared routes can never drift
+    * apart (their bit-equality is the dist query's whole point). */
+  private def trainedProbe3Search(e: DataFrame): DataFrame = {
+    val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
+    val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+      "n2 AS cn2", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", "cell",
+        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  private lazy val duckTrainedProbe3Sql: String =
+    s"""WITH $duckTrainedEb3Cte,
+       |tprobes AS (
+       |  ${duckProbes("eb3", useCell3 = true)})
+       |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM tprobes q JOIN eb3 c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
   /** Oracle shared by q_ann_incremental_trained and q_stream_ann_ingest
     * — the streaming ingest's appended union must EQUAL the one-shot
     * batch probe (micro-batch composition is the claim under test). */
@@ -752,10 +797,8 @@ object SimilarityQueries {
       "tpl WHERE (CAST(1 AS BIGINT) << p) * 125 >= " +
       "4 * (SELECT count(*) FROM embeddings)), 40))"
   private def duckCellsExpr: String =
-    "GREATEST(16, COALESCE((SELECT min(c) FROM " +
-      "(SELECT unnest(range(16, 65537)) " +
-      "AS c) tc WHERE 125 * c >= " +
-      "(SELECT count(*) FROM embeddings)), 65536))"
+    s"GREATEST(16, LEAST($CellCap, " +
+      "((SELECT count(*) FROM embeddings) + 124) // 125))"
 
   /** DuckDB CTE computing (c, s, m) — the exact integer twins of
     * [[adaptiveCells]] + [[superSplit]]. */
@@ -763,7 +806,7 @@ object SimilarityQueries {
     s"""knobs AS (
        |  SELECT c, s, ((c + s - 1) // s) AS m FROM (
        |    SELECT c, (SELECT min(ss) FROM
-       |        (SELECT unnest(range(1, 257)) AS ss) ts
+       |        (SELECT unnest(range(1, 4097)) AS ss) ts
        |      WHERE ss * ss >= c) AS s
        |    FROM (SELECT ($duckCellsExpr) AS c) tc0) tk)""".stripMargin
 
@@ -1880,7 +1923,7 @@ object SimilarityQueries {
     // hash-partitioned self-join on cell + per-query top-3); at 100 TB
     // the corpus is write-time partitioned by cell exactly as the
     // q_ann_ivf family documents, and the index build adds two bounded
-    // collects (the ≤65536-seed codebook) + one broadcast.
+    // collects (the budget-bounded codebook) + one broadcast.
     "q_ann_ivf_trained" -> QueryDef(
       (s, d) => trainedAnnSearch(trainedCells(s, d)),
       duckTrainedAnnSql),
@@ -1950,32 +1993,9 @@ object SimilarityQueries {
     // like the probe2 query. Recall ordering probe3 ≥ probe2 ≥ probe1
     // is measured in AnnClusteredStress on the clustered corpus.
     "q_ann_ivf_trained_probe3" -> QueryDef(
-      (s, d) => {
-        val e = trainedCells(s, d, probe2 = true, probe3 = true)
-        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
-        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-          "n2 AS cn2", "cell")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        probes.join(c, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .selectExpr("query_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("query_id", "rn")
-      },
-      s"""WITH $duckTrainedEb3Cte,
-         |tprobes AS (
-         |  ${duckProbes("eb3", useCell3 = true)})
-         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-         |    ${duckCos("q", "c")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-         |  FROM tprobes q JOIN eb3 c ON q.cell = c.cell
-         |    AND q.vec_id <> c.vec_id
-         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+      (s, d) => trainedProbe3Search(
+        trainedCells(s, d, probe2 = true, probe3 = true)),
+      duckTrainedProbe3Sql),
 
     // The nprobe=3 search through the DISTRIBUTED codebook build — the
     // route the size switch takes past the driver-seed budget, under
@@ -1986,32 +2006,9 @@ object SimilarityQueries {
     // tie-law drift in SuperArgmin2Broadcast/ChildBlockArgmin2 cannot
     // ride a green default gate).
     "q_ann_ivf_trained_probe3_dist" -> QueryDef(
-      (s, d) => {
-        val e = trainedCellsDist(s, d, probe2 = true, probe3 = true)
-        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = true)
-        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-          "n2 AS cn2", "cell")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        probes.join(c, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .selectExpr("query_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("query_id", "rn")
-      },
-      s"""WITH $duckTrainedEb3Cte,
-         |tprobes AS (
-         |  ${duckProbes("eb3", useCell3 = true)})
-         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-         |    ${duckCos("q", "c")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-         |  FROM tprobes q JOIN eb3 c ON q.cell = c.cell
-         |    AND q.vec_id <> c.vec_id
-         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+      (s, d) => trainedProbe3Search(
+        trainedCellsDist(s, d, probe2 = true, probe3 = true)),
+      duckTrainedProbe3Sql),
 
     // IVF with nprobe=2 — the canonical recall knob: each query probes
     // its nearest cell AND the best child of its SECOND-nearest super

@@ -102,7 +102,8 @@ object GroupCommit {
               }
             }
           } catch {
-            case fsErr: Throwable =>
+            // NonFatal: an OOM/VM error mid-rollback must still surface
+            case scala.util.control.NonFatal(fsErr) =>
               System.err.println(s"[GroupCommit] rollback of $staging " +
                 s"failed (${fsErr.getClass.getSimpleName}: " +
                 s"${fsErr.getMessage}) — orphan left for vacuum()")

@@ -123,6 +123,19 @@ class TrainedDistSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("the default budget is reachable: adaptiveCells outgrows it") {
+    import ops.SimilarityQueries._
+    // r10 review finding: the old 65536 cell cap sat silently BELOW
+    // the 2^18 default budget, so the size switch could never fire
+    // outside conf-forced tests. The law must outgrow the budget at
+    // real corpus sizes and stay fixture-identical at small N.
+    assert(adaptiveCells(10000000000L) > DefaultMaxDriverSeeds,
+      "the dist route is unreachable under the default budget")
+    assert(adaptiveCells(2000) === 16)
+    assert(adaptiveCells(200000) === 1600)
+    assert(superSplit(1 << 24) === ((4096, 4096)))
+  }
+
   test("child blocks meet the corpus through a shuffle join, not a broadcast") {
     val dist = ops.SimilarityQueries.trainedCellsDist(spark, sf)
     try {
