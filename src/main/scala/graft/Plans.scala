@@ -21,13 +21,35 @@ object Plans extends AdaptiveSparkPlanHelper {
       try {
         val df = fn(spark, sfDir)
         df.collect()
-        val plan = df.queryExecution.executedPlan
-        val nodes = collect(plan) { case p => p.nodeName }
+        val outer = df.queryExecution.executedPlan
+        // descend into scratch-cached relations too (r09 audit nit:
+        // q_ann_ivf_trained_dist's SHUFFLE_HASH join ran inside the
+        // ScratchCache materialization and never appeared here) —
+        // cached-plan work is labeled `cached:` so the outer counts
+        // stay comparable with earlier rounds
+        def cachedUnder(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          collect(p) {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              s.relation.cachedPlan
+          }.flatMap(cp => cp +: cachedUnder(cp))
+        val plans = outer +: cachedUnder(outer)
+        val nodes = collect(outer) { case p => p.nodeName }
+        val cachedNodes = plans.drop(1).flatMap(p =>
+          collect(p) { case q => q.nodeName })
         def n(sub: String) = nodes.count(_.contains(sub))
-        val joins = nodes.filter(_.contains("Join")).distinct.mkString("+")
-        val scans = collect(plan) {
-          case p if p.nodeName.contains("Scan") => p.schema.fields.length
-        }
+        val joins = (nodes.filter(_.contains("Join")).distinct ++
+          cachedNodes.filter(_.contains("Join")).distinct
+            .map("cached:" + _)).distinct.mkString("+")
+        // outer scan widths (incl. InMemory reads — the projected
+        // width the query actually consumes, comparable with earlier
+        // rounds), then the cached plans' parquet-scan widths
+        val scans = collect(outer) {
+          case q if q.nodeName.contains("Scan") => q.schema.fields.length
+        } ++ plans.drop(1).flatMap(p => collect(p) {
+          case q if q.nodeName.contains("Scan") &&
+            !q.nodeName.contains("InMemory") => q.schema.fields.length
+        })
         println(f"$name%-24s exchanges=${n("Exchange")} sorts=${n("Sort")} " +
           f"aggs=${n("Aggregate")} scanCols=${scans.mkString(",")} " +
           (if (joins.nonEmpty) s"joins=$joins" else ""))
