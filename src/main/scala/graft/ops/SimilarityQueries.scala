@@ -1007,23 +1007,17 @@ object SimilarityQueries {
   private val PqSubDims = 16
   private val PqCodes = 16
 
-  /** CORPUS-ADAPTIVE per-subspace code count (r10, the r09 verdict's
-    * item 4): the same ⌈N/125⌉ occupancy law as [[adaptiveCells]],
-    * clamped to [16, 256] — 16 at every fixture SF (so the adaptive
-    * query's oracle values are fixture-identical to the fixed-book
-    * family) and 256 = one byte per code at scale, FAISS's production
-    * ceiling. More codes per subspace spend quantization error down
-    * exactly where a bigger corpus can support finer sub-centroids;
-    * the measured effect is AnnClusteredStress's pq_adc_relerr rows
-    * (adaptive must not be worse than fixed — gated). Driver state is
-    * the codebook only: 4 subspaces × ≤256 codes × 16 longs. */
+  /** MEASUREMENT-ONLY per-subspace code count (r10): ⌈N/125⌉ clamped
+    * to [16, 256]. AnnClusteredStress uses it to measure what code
+    * growth buys (ADC relative error, gated `pq_adaptive_worse`) on
+    * bounded sample cells. It is deliberately NOT wired into the
+    * declared query: the 10× stress measured k ∝ N under literal-scan
+    * encoding as a 17.4× wall ratio (encode is O(N·k·d) — the
+    * fixed-vs-growing-cardinality defect class, inverted), and the
+    * production answer is CONSTANT k = 256 with a two-level routed
+    * encode, the named next step in q_ann_ivfpq_trained's comment. */
   private[graft] def adaptivePqCodes(n: Long): Int =
     math.min(256L, math.max(16L, (n + 124) / 125)).toInt
-
-  /** The same clamp as inline DuckDB SQL over the embeddings view. */
-  private def duckPqCodesExpr: String =
-    "(SELECT LEAST(256, GREATEST(16, (count(*) + 124) // 125)) " +
-      "FROM embeddings)"
 
   /** IVF coarse-quantizer cell: argmin over NCells deterministic
     * pseudo-random centroids of squared L2 distance. Centroid coords use
@@ -2215,11 +2209,20 @@ object SimilarityQueries {
         val v = ScratchCache.scratch(trainedCells(s, d)
           .selectExpr("vec_id",
             s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
-        // r10: the PQ half is corpus-adaptive like nlist — ⌈N/125⌉
-        // codes per subspace clamped to [16, 256] (adaptivePqCodes),
-        // 16 at every fixture so the oracle values are unchanged; the
-        // oracle derives the SAME count relationally (duckPqCodesExpr)
-        val book = pqLearnBook(v, adaptivePqCodes(corpusN(s, d)))
+        // PQ code count stays CONSTANT here — r10 tried the nlist law
+        // (k = ⌈N/125⌉ clamped 256) and the 10× stress measured the
+        // consequence immediately: literal-scan encoding is O(N·k·d),
+        // so k ∝ N made the wall ratio 17.4× vs the 15 linear bound —
+        // the same fixed-vs-growing-cardinality defect class as the
+        // r06 flat-IVF assignment, just inverted. Production PQ (FAISS)
+        // fixes k at 256 (one byte) and spends corpus growth on the
+        // TRAINING data, not the code count; what more codes buy is
+        // measured in AnnClusteredStress (pq_adc_relerr: 0.399 → 0.266
+        // at 10× clustered for k 16 → 160, on bounded sample cells
+        // where the encode stays cheap). Affordable k=256 at every
+        // scale needs a TWO-LEVEL routed encode (the trainedCells
+        // device applied per subspace) — the named next step.
+        val book = pqLearnBook(v)
         val codes = pqCodes(v, book)
         val qdist = pqQdist(s, v, book)
           .join(v.filter(col("vec_id") < PqQueries)
@@ -2241,7 +2244,7 @@ object SimilarityQueries {
          |v AS (
          |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
          |  FROM embeddings),
-         |${pqOracleTailK(duckPqCodesExpr)},
+         |$pqOracleTail,
          |est AS (
          |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
          |  FROM codes k
