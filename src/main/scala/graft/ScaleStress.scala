@@ -68,7 +68,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_semantic_mp",
     "q_ann_incremental", "q_ann_incremental_trained",
     "q_stream_ann_ingest", "q_ann_delete",
-    "q_ann_ivfpq", "q_ann_ivfpq_trained", "q_kmeans",
+    "q_ann_ivfpq", "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
+    "q_kmeans",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
     "q_heavy_hitters", "q_contamination",

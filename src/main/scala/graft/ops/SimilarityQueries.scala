@@ -1236,6 +1236,85 @@ object SimilarityQueries {
        |  FROM embeddings),
        |$pqOracleTail""".stripMargin
 
+  /** The PRODUCTION-SHAPED PQ geometry (r10): k = 256 codes per
+    * subspace — one byte, the FAISS ceiling — made affordable at every
+    * corpus size by bounding BOTH sides that the adaptive-codes
+    * experiment measured as quadratic:
+    *  - TRAINING assigns against the 256 seed literals over a strided
+    *    SAMPLE of ≤ [[PqTrainCap]] rows (FAISS trains on a bounded
+    *    sample for the same reason), so the Lloyd round is O(cap·k);
+    *  - ENCODING routes all N rows through a TWO-LEVEL broadcast book
+    *    over the learned sub-centroids (⌈√k⌉ supers then one child
+    *    block — [[graft.functions.TwoLevelArgminBroadcast]], the
+    *    trainedCells device applied per subspace), O(2√k·d_sub)/row
+    *    instead of the flat O(k·d_sub).
+    * At the fixtures the stride is 1 (sample = corpus), so the oracle
+    * is the same relational text evaluated exactly. */
+  private val PqCodes256 = 256
+  private val PqTrainCap = 32768L
+
+  /** Oracle tail of the 256-code path — seeds/one-Lloyd-round/codes/qd
+    * like [[pqOracleTailK]], with the sample-bounded training (pst
+    * stride) and the TWO-LEVEL encode chain (psb/pss/pca/pra — the
+    * same rank-strided-supers + two-window routing every trained
+    * two-level oracle in this file evaluates, per subspace). */
+  private lazy val pqOracleTail256: String = {
+    val dl = DuckSql
+    def d2(a: String, b: String) = dl.dist2Big(a, b)
+    s"""sub AS (
+       |  SELECT vec_id, ss,
+       |    list_slice(v, ss * $PqSubDims + 1, (ss + 1) * $PqSubDims) AS vs
+       |  FROM v, (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS ss) t),
+       |pst AS (SELECT GREATEST(1, ((SELECT count(*) FROM embeddings)
+       |    + ${PqTrainCap - 1}) // $PqTrainCap) AS st),
+       |seeds AS (
+       |  SELECT ss, CAST(vec_id AS INT) AS cid, vs AS c
+       |  FROM sub WHERE vec_id < $PqCodes256),
+       |a1 AS (
+       |  SELECT vec_id, ss, cid, vs FROM (
+       |    SELECT s.vec_id, s.ss, t.cid, s.vs,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.ss
+       |        ORDER BY ${d2("s.vs", "t.c")}, t.cid) AS rn
+       |    FROM sub s CROSS JOIN pst JOIN seeds t ON s.ss = t.ss
+       |    WHERE s.vec_id % pst.st = 0) WHERE rn = 1),
+       |c1 AS MATERIALIZED (
+       |  SELECT ss, cid, list(c ORDER BY dim) AS c FROM (
+       |    SELECT ss, cid, zz AS dim,
+       |      CAST(sum(vs[zz]) // count(*) AS BIGINT) AS c
+       |    FROM a1 CROSS JOIN generate_series(1, $PqSubDims) t(zz)
+       |    GROUP BY ss, cid, zz)
+       |  GROUP BY ss, cid),
+       |psb AS (SELECT ss, COALESCE((SELECT min(z) FROM
+       |    (SELECT unnest(range(1, 257)) AS z) tz
+       |    WHERE z * z >= k), 256) AS sb
+       |  FROM (SELECT ss, count(*) AS k FROM c1 GROUP BY ss) pk),
+       |pss AS MATERIALIZED (SELECT pj.ss, cid AS sid, c AS sv FROM (
+       |    SELECT ss, cid, c,
+       |      ROW_NUMBER() OVER (PARTITION BY ss ORDER BY cid) - 1 AS j
+       |    FROM c1) pj JOIN psb ON psb.ss = pj.ss WHERE j % sb = 0),
+       |pca AS MATERIALIZED (SELECT ss, cid, c, csuper FROM (
+       |    SELECT k.ss, k.cid, k.c, s.sid AS csuper,
+       |      ROW_NUMBER() OVER (PARTITION BY k.ss, k.cid
+       |        ORDER BY ${d2("k.c", "s.sv")}, s.sid) AS rn
+       |    FROM c1 k JOIN pss s ON s.ss = k.ss) WHERE rn = 1),
+       |pra AS (SELECT vec_id, ss, vs, rsuper FROM (
+       |    SELECT x.vec_id, x.ss, x.vs, s.sid AS rsuper,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.ss
+       |        ORDER BY ${d2("x.vs", "s.sv")}, s.sid) AS rn
+       |    FROM sub x JOIN pss s ON s.ss = x.ss) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, ss, cid AS code FROM (
+       |    SELECT r.vec_id, r.ss, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.ss
+       |        ORDER BY ${d2("r.vs", "a.c")}, a.cid) AS rn
+       |    FROM pra r JOIN pca a ON a.ss = r.ss AND a.csuper = r.rsuper)
+       |  WHERE rn = 1),
+       |qd AS (
+       |  SELECT s.vec_id AS query_id, s.ss, c.cid,
+       |    CAST(${d2("s.vs", "c.c")} AS BIGINT) AS qd2
+       |  FROM sub s JOIN c1 c ON s.ss = c.ss WHERE s.vec_id < $PqQueries)""".stripMargin
+  }
+
   /** Residual-variant oracle prefix: cells first (MATERIALIZED — the
     * 16-centroid fold per row is referenced by the residual build AND
     * both est joins; DuckDB would inline it per reference), then
@@ -2220,8 +2299,9 @@ object SimilarityQueries {
         // measured in AnnClusteredStress (pq_adc_relerr: 0.399 → 0.266
         // at 10× clustered for k 16 → 160, on bounded sample cells
         // where the encode stays cheap). Affordable k=256 at every
-        // scale needs a TWO-LEVEL routed encode (the trainedCells
-        // device applied per subspace) — the named next step.
+        // scale = q_ann_ivfpq_trained256 below: bounded-sample
+        // training + two-level routed encode, LANDED in r10 (ratios
+        // 1.26/1.56 at 10x/100x, SCALE_r10_pq256*.json).
         val book = pqLearnBook(v)
         val codes = pqCodes(v, book)
         val qdist = pqQdist(s, v, book)
@@ -2245,6 +2325,137 @@ object SimilarityQueries {
          |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
          |  FROM embeddings),
          |$pqOracleTail,
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN eb ck ON ck.vec_id = k.vec_id
+         |  JOIN eb cq ON cq.vec_id = q.query_id
+         |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // The PRODUCTION-SHAPED IVF-PQ (r10): trained coarse cells + k=256
+    // codes per subspace (one byte — the FAISS ceiling), CONSTANT-COST
+    // at every corpus size where the adaptive-codes experiment
+    // measured quadratic (SCALE r10: 17.4× wall at 10× under k ∝ N):
+    // training assigns 256 seed literals over a ≤32768-row strided
+    // SAMPLE (O(cap·k), the FAISS bounded-sample rule), and encoding
+    // routes all rows through a TWO-LEVEL broadcast book over the
+    // learned sub-centroids (⌈√k⌉ supers → one child block, the
+    // trainedCells device per subspace, O(2√k·d_sub)/row). Search is
+    // q_ann_ivfpq_trained's ADC shape: same-cell candidates, 4
+    // byte-code lookups each, broadcast lookup table.
+    "q_ann_ivfpq_trained256" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(trainedCells(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        val n = v.count()
+        val st = math.max(1L, (n + PqTrainCap - 1) / PqTrainCap)
+        val seedRows = v.filter(col("vec_id") < PqCodes256)
+          .select("vec_id", "v").collect().sortBy(_.getLong(0))
+        val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
+          (r.getLong(0).toInt,
+            r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
+        }
+        // ONE Lloyd round on the bounded sample. Assignment runs
+        // through the flat broadcast-argmin KERNEL (SuperArgminBroadcast
+        // — identical (d2, ascending-id) first-min law as the literal
+        // pqCidExpr and the oracle's a1 ROW_NUMBER), not a 256-entry
+        // literal expression: at k=256 the literal form is a ~40 KB
+        // Catalyst tree per subspace whose compile alone dominated the
+        // fixture wall (measured 12.7 s vs 3.1 s in DuckDB before the
+        // swap).
+        val sample = v.filter(expr(s"vec_id % $st = 0"))
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val seedFns = (0 until PqSubSpaces).map { ss =>
+          val sv = seeds(ss)
+          val bcS = s.sparkContext.broadcast(
+            (sv.map(_._1.toLong).toArray, sv.map(_._2.toArray).toArray))
+          val fn = s"graft_pq256_seed_${ss}_$tag"
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+            exprs => graft.functions.SuperArgminBroadcast(bcS, exprs(0)),
+            "scala_udf")
+          fn
+        }
+        val perSs = (0 until PqSubSpaces).map { ss =>
+          sample.selectExpr(
+              s"CAST(coalesce(${seedFns(ss)}(" +
+                s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)), -1L) " +
+                "AS INT) AS cid",
+              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
+            .select(lit(ss).as("ss"), col("cid"),
+              posexplode(col("vs")).as(Seq("dim", "x")))
+        }
+        val c1 = perSs.reduce(_ unionByName _)
+          .groupBy("ss", "cid", "dim")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .selectExpr("ss", "cid", "dim", "sx div n AS c")
+          .collect()
+        val bookMap = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
+          ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
+            cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+          }.toSeq.sortBy(_._1)
+        }
+        val book: Int => Seq[(Int, Seq[Long])] = bookMap(_)
+        // TWO-LEVEL routed encode: one broadcast book per subspace,
+        // same rank-strided supers + shared tie law as every trained
+        // codebook in this file (functions.Codebook)
+        val fns = (0 until PqSubSpaces).map { ss =>
+          val children = book(ss)
+            .map { case (cid, c) => cid.toLong -> c.toArray }.toArray
+          val sb = (1 to 256).find(z => z * z >= children.length)
+            .getOrElse(256)
+          val supers = children.zipWithIndex.collect {
+            case (c, j) if j % sb == 0 => c
+          }
+          val bc = s.sparkContext.broadcast(
+            graft.functions.Codebook.group(children, supers))
+          val fn = s"graft_pq256_${ss}_$tag"
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+            exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
+            "scala_udf")
+          fn
+        }
+        val codeCols = (0 until PqSubSpaces).map(ss =>
+          s"CAST(${fns(ss)}(slice(v, ${ss * PqSubDims + 1}, $PqSubDims)) " +
+            s"AS INT) AS code$ss")
+        val stackArgs = (0 until PqSubSpaces)
+          .map(ss => s"$ss, code$ss").mkString(", ")
+        val codes = v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
+          .select(col("vec_id"), col("cell"),
+            expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
+        val qdist = pqQdist(s, v, book)
+          .join(v.filter(col("vec_id") < PqQueries)
+            .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+        val est = codes.join(broadcast(qdist),
+            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+              codes("cell") === qdist("qcell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("qd2").as("est_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        val out = est.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+          .orderBy("query_id", "rn")
+        (seedFns ++ fns).foreach(f =>
+          s.sessionState.functionRegistry.dropFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+        out
+      },
+      s"""WITH $duckTrainedEbCte,
+         |v AS (
+         |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+         |  FROM embeddings),
+         |$pqOracleTail256,
          |est AS (
          |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
          |  FROM codes k
