@@ -624,6 +624,187 @@ object SimilarityQueries {
     out
   }
 
+  /** THREE-LEVEL split: t = smallest z with z³ ≥ c (z ≤ 4096 covers
+    * c up to 2^36 cells). Level widths become ≈ t grands,
+    * ≈ min(c, t²) supers, c children, so per-row routing cost is
+    * O((t + t + t)·d) = O(3·c^(1/3)·d) — the stated successor of the
+    * two-level O(2·√c·d) route once assignment's √c·d per row
+    * outgrows the 125·d probe cost (~2.1×10⁹ rows at [[CellCap]];
+    * see [[adaptiveCells]]' cap history). */
+  private[graft] def triSplit(c: Long): Int =
+    (1 to 4096).find(z => z.toLong * z * z >= c).getOrElse(4096)
+
+  /** Seed strides of the THREE-level trained quantizer (default mode):
+    * children every sc-th vec_id (≈ c of them), supers every ss-th
+    * (≈ min(c, t²), ss a multiple of sc), grands every gs-th
+    * (≈ supers/t, gs a multiple of ss) — grands ⊂ supers ⊂ children.
+    * At the fixtures (n = 500 / 2000, c = 16, t = 3): 3 grands,
+    * 8–9 supers, 16–17 children — all three levels genuinely routed
+    * under the DuckDB oracle. */
+  private[graft] def trainedStridesL3(n: Long): (Long, Long, Long) = {
+    val c = adaptiveCells(n).toLong
+    val t = triSplit(c).toLong
+    val sc = math.max(1L, n / c)
+    val ss = sc * math.max(1L, (c + t * t - 1) / (t * t))
+    (sc, ss, ss * t)
+  }
+
+  /** Embeddings with their THREE-level trained IVF cell — the routing
+    * law past [[CellCap]] (2^24 cells ≈ 2.1×10⁹ rows at 125/cell),
+    * where even the two-level DIST build stops holding constant
+    * occupancy: its ⌈√c⌉ supers outgrow both the 4096-super split and
+    * the per-row O(√c·d) routing budget. Here the tree gets one more
+    * level and EVERY piece of state is placement-bounded:
+    *
+    *  1. the driver collects/broadcasts only the ≈ c^(1/3) GRAND seeds
+    *     (≤ 4096 rows ≈ 2 MB at c = 2^36 — constant for any corpus
+    *     this side of 8.6×10¹² rows);
+    *  2. supers route to their grand map-side through the broadcast
+    *     kernel and group into per-grand SUPER blocks (≈ t rows each);
+    *  3. children descend the same tree — grand map-side, then
+    *     [[graft.functions.ChildBlockArgmin]] over the grand's joined
+    *     super block — and group into per-super CHILD blocks;
+    *  4. corpus rows descend grand → super → cell through two
+    *     SHUFFLE_HASH joins, each meeting a ≈ t-row block.
+    *
+    * The grouping and the probe descend the SAME tree (a child's super
+    * is found through the child's grand, never via a flat argmin over
+    * all supers), so assignment is exactly the hierarchical argmin the
+    * DuckDB twin ([[duckTrainedL3Cte]]) computes. Home blocks are
+    * never empty at any level by the recursive subset invariant:
+    * grands ⊂ supers ⊂ children and each seed routes to itself (d = 0,
+    * ties to smallest id — a duplicate-vector seed with a smaller id
+    * wins BOTH the seed's own routing and every row that would have
+    * chosen it, so a childless node is also unreachable). Same exact
+    * integer squared-L2 + ties-to-smaller-id law as the two-level
+    * family ([[graft.functions.Codebook]]); kernels are REUSED
+    * ([[graft.functions.SuperArgminBroadcast]] routes any level that
+    * rides a broadcast, [[graft.functions.ChildBlockArgmin]] scans any
+    * joined block).
+    *
+    * Cost: 3 shuffles (super blocks ~t², child blocks ~c seed rows,
+    * row routing ~N) + one t-sized broadcast, vs the two-level dist
+    * build's 2 shuffles + √c broadcast — the documented trade taken
+    * when √c itself stops fitting. Reference analog: the same
+    * shuffle-vs-state trade as ShuffleVertexManager's wave scaling
+    * (`tez-dag/src/main/java/org/apache/tez/dag/app/dag/impl/ShuffleVertexManager.java`),
+    * applied to quantizer state instead of task count. */
+  private[graft] def trainedCellsL3(s: SparkSession, d: String): DataFrame =
+    trainedCellsL3From(s, trainedVecs(s, d))
+
+  private def trainedCellsL3From(s: SparkSession, v: DataFrame): DataFrame = {
+    val n = v.count()
+    val (sc, ss, gs) = trainedStridesL3(n)
+    val grandSeeds = v.filter(expr(s"vec_id % $gs = 0"))
+      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    require(grandSeeds.nonEmpty,
+      s"trainedCellsL3: no grand seeds (n=$n, gs=$gs)")
+    TrainedBuildStats.lastRoute = "dist3"
+    TrainedBuildStats.lastDriverSeeds = grandSeeds.length
+    val bcG = s.sparkContext.broadcast(
+      (grandSeeds.map(_._1), grandSeeds.map(_._2)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fnG = s"graft_grand_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnG,
+      exprs => graft.functions.SuperArgminBroadcast(bcG, exprs(0)),
+      "scala_udf")
+    val fnB = s"graft_block_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
+      exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+    // coalesce(-1) on every kernel-valued join key: marks the key
+    // non-nullable so the join's null-key elimination cannot plant an
+    // isnotnull(kernel(...)) filter that re-evaluates the routing per
+    // row (the r09 plan-audit catch on the two-level dist build)
+    val sblocks = graft.ScratchCache.scratch(
+      v.filter(expr(s"vec_id % $ss = 0"))
+        .selectExpr("vec_id AS sid", "qv AS sv")
+        .selectExpr("sid", "sv", s"coalesce($fnG(sv), -1L) AS sgrand")
+        .groupBy("sgrand")
+        .agg(sort_array(collect_list(struct(col("sid"), col("sv"))))
+          .as("sblock")))
+    val cblocks = graft.ScratchCache.scratch(
+      v.filter(expr(s"vec_id % $sc = 0"))
+        .selectExpr("vec_id AS cid", "qv AS cv")
+        .selectExpr("cid", "cv", s"coalesce($fnG(cv), -1L) AS cgrand")
+        .join(sblocks.hint("SHUFFLE_HASH"), col("cgrand") === col("sgrand"))
+        .selectExpr("cid", "cv", s"coalesce($fnB(cv, sblock), -1L) AS csuper")
+        .groupBy("csuper")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+          .as("cblock")))
+    val assigned = v
+      .selectExpr("vec_id", "embedding", "n2", "qv",
+        s"coalesce($fnG(qv), -1L) AS rgrand")
+      .join(sblocks.hint("SHUFFLE_HASH"), col("rgrand") === col("sgrand"))
+      .selectExpr("vec_id", "embedding", "n2", "qv",
+        s"coalesce($fnB(qv, sblock), -1L) AS rsuper")
+      .join(cblocks.hint("SHUFFLE_HASH"), col("rsuper") === col("csuper"))
+      .selectExpr("vec_id", "embedding", "n2", s"$fnB(qv, cblock) AS cell")
+    val out = graft.ScratchCache.scratch(assigned.repartition(col("cell")))
+    Seq(fnG, fnB).foreach(f => s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    out
+  }
+
+  /** DuckDB twin of [[trainedCellsL3]] — the hierarchical argmin
+    * written relationally, ending in `ebl3(vec_id, embedding, n2,
+    * cell)`. Strides derive from the same arithmetic law (c, then t =
+    * min z with z³ ≥ c); every level is a windowed
+    * `ROW_NUMBER() OVER (ORDER BY dist2, id)` and the child/row
+    * descents JOIN on the parent assignment — never a flat argmin —
+    * exactly the tree the engine's blocks encode. */
+  private def duckTrainedL3Cte: String = {
+    val d = DuckSql
+    val q = d.quantVec("embedding", 1000000L)
+    val cellsW = s"GREATEST(16, LEAST($CellCap, " +
+      "((SELECT count(*) FROM embeddings) + 124) // 125))"
+    s"""l3k AS (
+       |  SELECT sc, sc * ssm AS ss, sc * ssm * t AS gs FROM (
+       |    SELECT GREATEST(1, n // c) AS sc,
+       |      GREATEST(1, (c + t * t - 1) // (t * t)) AS ssm, t
+       |    FROM (SELECT ($cellsW) AS c,
+       |        (SELECT count(*) FROM embeddings) AS n,
+       |        (SELECT min(z) FROM (SELECT unnest(range(1, 4097)) AS z) tz
+       |          WHERE z * z * z >= ($cellsW)) AS t) l3k0) l3k1),
+       |l3v AS (SELECT vec_id, embedding,
+       |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
+       |  FROM embeddings),
+       |l3g AS (SELECT vec_id AS gid, qv AS gv FROM l3v, l3k
+       |  WHERE vec_id % gs = 0),
+       |l3s AS (SELECT vec_id AS sid, qv AS sv FROM l3v, l3k
+       |  WHERE vec_id % ss = 0),
+       |l3c AS (SELECT vec_id AS cid, qv AS cv FROM l3v, l3k
+       |  WHERE vec_id % sc = 0),
+       |l3sg AS (SELECT sid, sv, gid AS sgrand FROM (
+       |    SELECT s.sid, s.sv, g.gid, ROW_NUMBER() OVER (PARTITION BY s.sid
+       |      ORDER BY ${d.dist2Big("s.sv", "g.gv")}, g.gid) AS rn
+       |    FROM l3s s CROSS JOIN l3g g) WHERE rn = 1),
+       |l3cg AS (SELECT cid, cv, gid AS cgrand FROM (
+       |    SELECT c.cid, c.cv, g.gid, ROW_NUMBER() OVER (PARTITION BY c.cid
+       |      ORDER BY ${d.dist2Big("c.cv", "g.gv")}, g.gid) AS rn
+       |    FROM l3c c CROSS JOIN l3g g) WHERE rn = 1),
+       |l3cs AS (SELECT cid, cv, sid AS csuper FROM (
+       |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
+       |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
+       |    FROM l3cg c JOIN l3sg s ON s.sgrand = c.cgrand) WHERE rn = 1),
+       |l3rg AS (SELECT vec_id, embedding, n2, qv, gid AS rgrand FROM (
+       |    SELECT t.vec_id, t.embedding, t.n2, t.qv, g.gid,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${d.dist2Big("t.qv", "g.gv")}, g.gid) AS rn
+       |    FROM l3v t CROSS JOIN l3g g) WHERE rn = 1),
+       |l3rs AS (SELECT vec_id, embedding, n2, qv, sid AS rsuper FROM (
+       |    SELECT r.vec_id, r.embedding, r.n2, r.qv, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "s.sv")}, s.sid) AS rn
+       |    FROM l3rg r JOIN l3sg s ON s.sgrand = r.rgrand) WHERE rn = 1),
+       |ebl3 AS (SELECT vec_id, embedding, n2, cid AS cell FROM (
+       |    SELECT r.vec_id, r.embedding, r.n2, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
+       |    FROM l3rs r JOIN l3cs a ON a.csuper = r.rsuper) WHERE rn = 1)""".stripMargin
+  }
+
   /** Knob defaults of the ADAPTIVE multi-probe blocker — chosen from
     * graft.ProbeTune's measured retention-vs-mass frontier on the 100×
     * clustered corpus (r10): nSupers=3 / maxProbes=5 / eps=4 /
@@ -2013,6 +2194,29 @@ object SimilarityQueries {
     "q_ann_ivf_trained_dist" -> QueryDef(
       (s, d) => trainedAnnSearch(trainedCellsDist(s, d)),
       duckTrainedAnnSql),
+
+    // The THREE-LEVEL trained quantizer — the routing law past the
+    // two-level family's 2^24-cell cap (constant occupancy dies at
+    // 2.1×10⁹ rows there; a 100 TB corpus is ~10¹¹). Rows descend
+    // grand → super → cell (O(3·c^(1/3)·d)/row); the driver holds only
+    // the ≈ c^(1/3) grand seeds (≤ 4096 at c = 2^36, ~2 MB), supers
+    // and children stay DataFrame blocks met through SHUFFLE_HASH
+    // joins ([[trainedCellsL3]]). A DIFFERENT quantizer than the
+    // two-level one (coarser routing loses some boundary assignments),
+    // so it carries its own hierarchical-argmin oracle rather than
+    // reusing duckTrainedAnnSql; search shape after the build is
+    // q_ann_ivf_trained's.
+    "q_ann_ivf_trained_l3" -> QueryDef(
+      (s, d) => trainedAnnSearch(trainedCellsL3(s, d)),
+      s"""WITH $duckTrainedL3Cte
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 
     // Trained IVF with nprobe=2 — the recall knob on the CLUSTERED-corpus
     // path: each query probes its home trained cell AND the best child of
