@@ -54,6 +54,20 @@ object AnnClusteredStress {
   private val AdaptiveRetentionFloor = 0.15
   private val RemovalRecallFloor = 0.95
 
+  /** The three-level route (with its nprobe=2 knob — the beam's
+    * runner-up cell, probe-side only) must hold at least this share of
+    * the TWO-level probe1 recall on the same corpus — the measured
+    * cost of the coarser grand→super→cell routing (the cap escape
+    * valve must not pay for state in recall). The 100× clustered
+    * point is the binding one — everywhere else the L3 BEATS the
+    * two-level book (1×/10×/30×: 0.57/0.32/0.26 vs 0.44/0.26/0.21).
+    * The measured 100× ladder that set the shipped beam: single
+    * descent 0.49×, grand beam-2 0.55×, super beam 2/3/4 →
+    * 0.67×/0.75×/0.82× probe1, 0.85× with probe2 — and doubling the
+    * GRAND count measured WORSE (narrower super blocks), which is why
+    * the beam rides the super stage. */
+  private val L3RecallShare = 0.80
+
   private final case class ScaleRow(tag: String, n: Long, json: String)
 
   def main(args: Array[String]): Unit = {
@@ -386,6 +400,47 @@ object AnnClusteredStress {
         math.abs(switched.count() - n)
       spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
 
+      // the THREE-LEVEL quantizer (q_ann_ivf_trained_l3): the routing
+      // law past the two-level 2^24-cell cap (constant occupancy dies
+      // at 2.1e9 rows there). Coarser routing can cost recall vs the
+      // two-level book on the SAME corpus — measured here at every
+      // scale — while driver state drops from ~sqrt(c) supers to the
+      // ~c^(1/3) grands and per-row routing width from 2*sqrt(c) to
+      // 3*c^(1/3). Rows lost must be ZERO (the inner joins drop rows
+      // only if the recursive subset invariant breaks — gated).
+      val l3 = ops.SimilarityQueries.trainedCellsL3(spark, dir,
+        probe2 = true)
+      val l3DriverSeeds =
+        ops.SimilarityQueries.TrainedBuildStats.lastDriverSeeds
+      val l3RowsLost = math.abs(l3.count() - n)
+      val l3Counts = l3.groupBy("cell").count()
+        .select("count").collect().map(_.getLong(0)).sorted
+      val (l3Used, l3Max, l3Med) =
+        (l3Counts.length, l3Counts.last, l3Counts(l3Counts.length / 2))
+      val l3Sq = l3Counts.map(x => x.toDouble * x).sum
+      val l3Q = l3.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cell AS probe")
+      val l3Cand = l3.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "cell AS ccell")
+      val l3Got = top3(l3Q.join(l3Cand, col("probe") === col("ccell")))
+      val l3R1 = (truth & l3Got).size.toDouble / truth.size
+      // the nprobe=2 knob (q_ann_ivf_trained_l3_probe2): the beam's
+      // runner-up cell, probe-side only — the recall compensation the
+      // share gate rides on
+      val l3Q2 = l3Q.unionByName(
+        l3.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell2 AS probe"))
+      val l3Got2 = top3(l3Q2.join(l3Cand, col("probe") === col("ccell"))
+        .dropDuplicates("query_id", "neighbor_id"))
+      val l3R2 = (truth & l3Got2).size.toDouble / truth.size
+      val (l3sc, l3ss, l3gs) = ops.SimilarityQueries.trainedStridesL3(n)
+      val l3Supers =
+        assigned.filter(pmod(col("vec_id"), lit(l3ss)) === 0).count()
+      val l3Children =
+        assigned.filter(pmod(col("vec_id"), lit(l3sc)) === 0).count()
+
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
       // now measured under the SAME density skew as the quantizers —
@@ -494,6 +549,14 @@ object AnnClusteredStress {
           s""""switch_route":"$switchRoute",""" +
           f""""switch_driver_seeds":$switchSeeds,""" +
           f""""switch_probe_diff":$switchDiff,""" +
+          f""""l3_cells_used":$l3Used,"l3_occ_max":$l3Max,""" +
+          f""""l3_occ_med":$l3Med,"l3_pair_mass":$l3Sq%.0f,""" +
+          f""""l3_mass_per_row":${l3Sq / n}%.1f,""" +
+          f""""l3_recall3_probe1":$l3R1%.3f,""" +
+          f""""l3_recall3_probe2":$l3R2%.3f,""" +
+          f""""l3_driver_seeds":$l3DriverSeeds,""" +
+          f""""l3_supers":$l3Supers,"l3_children":$l3Children,""" +
+          f""""l3_rows_lost":$l3RowsLost,""" +
           s""""sem_switch_route":"$semSwitchRoute",""" +
           f""""sem_switch_driver_centroids":$semSwitchDriver,""" +
           f""""sem_switch_diff":$semSwitchDiff,""" +
@@ -550,6 +613,16 @@ object AnnClusteredStress {
       case (tag, e) if e > errF(tag) => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
+    // the L3 gates: the three-level build must keep every row (an
+    // inner-join drop = broken subset invariant), and its coarser
+    // routing must hold at least L3RecallShare of the two-level
+    // probe1 recall on the same corpus at every scale
+    val l3Lost = massOf("l3_rows_lost").collect {
+      case (tag, d) if d != 0.0 => tag }.toSeq.sorted
+    val balR1ByTag = massOf("trained_recall3_probe1")
+    val l3RecallBreach = massOf("l3_recall3_probe2").collect {
+      case (tag, r) if r < L3RecallShare * balR1ByTag(tag) => tag }
+      .toSeq.sorted
     // the r10 switch gate: at every scale the forced-budget build must
     // have actually taken the dist route AND agreed on every probe col
     val switchBreach = (massOf("switch_probe_diff").collect {
@@ -584,6 +657,11 @@ object AnnClusteredStress {
         s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""dist_build_diff_nonzero":${distBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        f""""l3_recall_share_floor":$L3RecallShare%.2f,""" +
+        s""""l3_rows_lost_nonzero":${l3Lost.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""l3_recall_below_share":${l3RecallBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""switch_gate_breach":${switchBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +

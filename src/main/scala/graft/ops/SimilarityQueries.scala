@@ -640,7 +640,13 @@ object SimilarityQueries {
     * (≈ supers/t, gs a multiple of ss) — grands ⊂ supers ⊂ children.
     * At the fixtures (n = 500 / 2000, c = 16, t = 3): 3 grands,
     * 8–9 supers, 16–17 children — all three levels genuinely routed
-    * under the DuckDB oracle. */
+    * under the DuckDB oracle.
+    *
+    * Grand-count note (measured, 100× clustered): DOUBLING grands
+    * (gsm = t/2) was measured WORSE (0.613 vs 0.637 probe1 recall) —
+    * more grands shrink each grand's super block, so the descent
+    * examines FEWER supers; the binding width is the SUPER beam
+    * ([[L3SuperBeam]]), not top-level resolution. */
   private[graft] def trainedStridesL3(n: Long): (Long, Long, Long) = {
     val c = adaptiveCells(n).toLong
     val t = triSplit(c).toLong
@@ -664,13 +670,21 @@ object SimilarityQueries {
     *  3. children descend the same tree — grand map-side, then
     *     [[graft.functions.ChildBlockArgmin]] over the grand's joined
     *     super block — and group into per-super CHILD blocks;
-    *  4. corpus rows descend grand → super → cell through two
-    *     SHUFFLE_HASH joins, each meeting a ≈ t-row block.
+    *  4. corpus rows descend grand → super → cell through SHUFFLE_HASH
+    *     joins, each meeting a ≈ t-row block — BEAMED: both nearest
+    *     grands, each contributing its [[L3SuperBeam]] nearest supers
+    *     in one [[graft.functions.ChildBlockTopK]] scan, closest leaf
+    *     child kept (ties to the smaller cid). A single descent
+    *     measurably narrows (100× clustered: 0.49× of the two-level
+    *     recall; see the beam comment in the body for the measured
+    *     ladder), and the recall-per-work winner is the SUPER beam;
+    *     the shipped point is gated by `l3_recall_below_share` in
+    *     SCALE_r10_clustered_ann_100x.json.
     *
     * The grouping and the probe descend the SAME tree (a child's super
     * is found through the child's grand, never via a flat argmin over
-    * all supers), so assignment is exactly the hierarchical argmin the
-    * DuckDB twin ([[duckTrainedL3Cte]]) computes. Home blocks are
+    * all supers), so assignment is exactly the beamed hierarchical
+    * argmin the DuckDB twin ([[duckTrainedL3Cte]]) computes. Home blocks are
     * never empty at any level by the recursive subset invariant:
     * grands ⊂ supers ⊂ children and each seed routes to itself (d = 0,
     * ties to smallest id — a duplicate-vector seed with a smaller id
@@ -689,10 +703,19 @@ object SimilarityQueries {
     * shuffle-vs-state trade as ShuffleVertexManager's wave scaling
     * (`tez-dag/src/main/java/org/apache/tez/dag/app/dag/impl/ShuffleVertexManager.java`),
     * applied to quantizer state instead of task count. */
-  private[graft] def trainedCellsL3(s: SparkSession, d: String): DataFrame =
-    trainedCellsL3From(s, trainedVecs(s, d))
+  /** Super-stage beam width of the three-level descent — the binding
+    * recall knob (see [[trainedStridesL3]]'s grand-count note): each
+    * of the two beamed grands contributes its L3SuperBeam nearest
+    * supers, so ≤ 2·beam leaf blocks are scanned per row. Interpolated
+    * into BOTH engines (the oracle's srn ≤ beam window). */
+  private[graft] val L3SuperBeam = 4
 
-  private def trainedCellsL3From(s: SparkSession, v: DataFrame): DataFrame = {
+  private[graft] def trainedCellsL3(s: SparkSession, d: String,
+      probe2: Boolean = false): DataFrame =
+    trainedCellsL3From(s, trainedVecs(s, d), probe2)
+
+  private def trainedCellsL3From(s: SparkSession, v: DataFrame,
+      probe2: Boolean = false): DataFrame = {
     val n = v.count()
     val (sc, ss, gs) = trainedStridesL3(n)
     val grandSeeds = v.filter(expr(s"vec_id % $gs = 0"))
@@ -709,9 +732,22 @@ object SimilarityQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnG,
       exprs => graft.functions.SuperArgminBroadcast(bcG, exprs(0)),
       "scala_udf")
+    val fnG2 = s"graft_grand_argmin2_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnG2,
+      exprs => graft.functions.SuperArgmin2Broadcast(bcG, exprs(0)),
+      "scala_udf")
     val fnB = s"graft_block_argmin_$tag"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
       exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+    val fnTK = s"graft_block_topk_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnTK,
+      exprs => graft.functions.ChildBlockTopK(L3SuperBeam,
+        exprs(0), exprs(1)),
+      "scala_udf")
+    val fnD = s"graft_block_mind2_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnD,
+      exprs => graft.functions.ChildBlockMinD2(exprs(0), exprs(1)),
       "scala_udf")
     // coalesce(-1) on every kernel-valued join key: marks the key
     // non-nullable so the join's null-key elimination cannot plant an
@@ -733,17 +769,57 @@ object SimilarityQueries {
         .groupBy("csuper")
         .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
           .as("cblock")))
-    val assigned = v
-      .selectExpr("vec_id", "embedding", "n2", "qv",
-        s"coalesce($fnG(qv), -1L) AS rgrand")
-      .join(sblocks.hint("SHUFFLE_HASH"), col("rgrand") === col("sgrand"))
-      .selectExpr("vec_id", "embedding", "n2", "qv",
-        s"coalesce($fnB(qv, sblock), -1L) AS rsuper")
-      .join(cblocks.hint("SHUFFLE_HASH"), col("rsuper") === col("csuper"))
-      .selectExpr("vec_id", "embedding", "n2", s"$fnB(qv, cblock) AS cell")
+    // BEAMED descent: each row descends its TWO nearest grands, and
+    // within each grand's super block its L3SuperBeam nearest supers
+    // (ONE ChildBlockTopK scan per grand, exploded), then keeps the
+    // closest of the ≤ 2·beam leaf children (sort_array over
+    // struct(d2, cid) — exactly the (d2, id) tie order). A single
+    // descent measurably narrows: on the 100× clustered corpus 12
+    // grands routing 16 planted clusters held 0.49× of the two-level
+    // recall; widening the GRAND side (beam 2: 0.55×; doubling grand
+    // count: WORSE, 0.61 vs 0.64 — more grands shrink each super
+    // block, so fewer supers get examined) pays less than widening
+    // the SUPER beam, where the loss actually compounds (FAISS IMI's
+    // coarse multi-probe, applied one level down). Cost stays
+    // O(c^(1/3)·d)/row at a small beam constant; the skinny
+    // (vec_id, qv) spine rides the exploded joins and the full row
+    // joins back once by id. Joins stay INNER: a grand always wins
+    // its own super seed and a super its own child seed (the
+    // recursive subset invariant); the degenerate single-grand
+    // codebook contributes one descent (the rg2 <> rg1 filter), like
+    // the oracle's rn ≤ 2 window producing a single beam.
+    val r = v.selectExpr("vec_id", "qv",
+      s"coalesce($fnG(qv), -1L) AS rg1",
+      s"coalesce($fnG2(qv), -1L) AS rg2")
+    val rx = r.selectExpr("vec_id", "qv", "rg1 AS rg")
+      .unionAll(r.filter(col("rg2") =!= col("rg1"))
+        .selectExpr("vec_id", "qv", "rg2 AS rg"))
+    val picks = rx
+      .join(sblocks.hint("SHUFFLE_HASH"), col("rg") === col("sgrand"))
+      .selectExpr("vec_id", "qv", s"explode($fnTK(qv, sblock)) AS rs")
+      .join(cblocks.hint("SHUFFLE_HASH"), col("rs") === col("csuper"))
+      .selectExpr("vec_id",
+        s"named_struct('d', $fnD(qv, cblock), 'c', $fnB(qv, cblock)) AS cand")
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+      .selectExpr(Seq("vec_id", "element_at(cands, 1).c AS cell") ++
+        // the nprobe=2 knob: the beam's runner-up cell — candidates
+        // are distinct by construction (supers partition children), so
+        // the second array entry IS the second-distinct cell; home
+        // cell when the beam found only one (degenerate codebooks),
+        // the probeUnion fallback shape
+        (if (probe2) Seq("coalesce(try_element_at(cands, 2).c, " +
+          "element_at(cands, 1).c) AS cell2")
+        else Nil): _*)
+    // join-back pinned SHUFFLE_HASH: picks is one row per corpus row —
+    // broadcastable at the fixture only, so letting AQE pick a BHJ here
+    // would be testing a plan that cannot exist at scale
+    val assigned = v.selectExpr("vec_id", "embedding", "n2")
+      .join(picks.hint("SHUFFLE_HASH"), "vec_id")
     val out = graft.ScratchCache.scratch(assigned.repartition(col("cell")))
-    Seq(fnG, fnB).foreach(f => s.sessionState.functionRegistry.dropFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    Seq(fnG, fnG2, fnB, fnTK, fnD).foreach(f =>
+      s.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out
   }
 
@@ -788,22 +864,48 @@ object SimilarityQueries {
        |    SELECT c.cid, c.cv, s.sid, ROW_NUMBER() OVER (PARTITION BY c.cid
        |      ORDER BY ${d.dist2Big("c.cv", "s.sv")}, s.sid) AS rn
        |    FROM l3cg c JOIN l3sg s ON s.sgrand = c.cgrand) WHERE rn = 1),
-       |l3rg AS (SELECT vec_id, embedding, n2, qv, gid AS rgrand FROM (
+       |l3rg AS (SELECT vec_id, embedding, n2, qv, gid, rn AS beam FROM (
        |    SELECT t.vec_id, t.embedding, t.n2, t.qv, g.gid,
        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
        |        ORDER BY ${d.dist2Big("t.qv", "g.gv")}, g.gid) AS rn
-       |    FROM l3v t CROSS JOIN l3g g) WHERE rn = 1),
-       |l3rs AS (SELECT vec_id, embedding, n2, qv, sid AS rsuper FROM (
-       |    SELECT r.vec_id, r.embedding, r.n2, r.qv, s.sid,
-       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-       |        ORDER BY ${d.dist2Big("r.qv", "s.sv")}, s.sid) AS rn
-       |    FROM l3rg r JOIN l3sg s ON s.sgrand = r.rgrand) WHERE rn = 1),
+       |    FROM l3v t CROSS JOIN l3g g) WHERE rn <= 2),
+       |l3rs AS (SELECT vec_id, embedding, n2, qv, beam, srn,
+       |    sid AS rsuper FROM (
+       |    SELECT r.vec_id, r.embedding, r.n2, r.qv, r.beam, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.beam
+       |        ORDER BY ${d.dist2Big("r.qv", "s.sv")}, s.sid) AS srn
+       |    FROM l3rg r JOIN l3sg s ON s.sgrand = r.gid)
+       |  WHERE srn <= $L3SuperBeam),
+       |l3rc AS (SELECT vec_id, embedding, n2, cid,
+       |    ${d.dist2Big("qv", "cv")} AS cd2 FROM (
+       |    SELECT r.vec_id, r.embedding, r.n2, r.qv, a.cid, a.cv,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.beam, r.srn
+       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS crn
+       |    FROM l3rs r JOIN l3cs a ON a.csuper = r.rsuper) WHERE crn = 1),
        |ebl3 AS (SELECT vec_id, embedding, n2, cid AS cell FROM (
-       |    SELECT r.vec_id, r.embedding, r.n2, a.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-       |        ORDER BY ${d.dist2Big("r.qv", "a.cv")}, a.cid) AS rn
-       |    FROM l3rs r JOIN l3cs a ON a.csuper = r.rsuper) WHERE rn = 1)""".stripMargin
+       |    SELECT vec_id, embedding, n2, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cd2, cid) AS rn
+       |    FROM l3rc) WHERE rn = 1)""".stripMargin
   }
+
+  /** [[duckTrainedL3Cte]] extended with the beam runner-up cell — ends
+    * in `ebl3p(vec_id, embedding, n2, cell, cell2)`: cell2 is the
+    * second-DISTINCT cell of the ≤4 beam candidates ranked by
+    * (min d2, cid), COALESCEd to the home cell when every descent
+    * landed in one cell — the engine's filter-then-min over the beam
+    * array, relationally. */
+  private def duckTrainedL3P2Cte: String =
+    s"""$duckTrainedL3Cte,
+       |l3rcd AS (SELECT vec_id, cid, min(cd2) AS cd2 FROM l3rc
+       |  GROUP BY vec_id, cid),
+       |l3rk AS (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, cid) AS rn
+       |  FROM l3rcd),
+       |ebl3p AS (SELECT e.vec_id, e.embedding, e.n2, e.cell,
+       |    COALESCE(x.cid, e.cell) AS cell2
+       |  FROM ebl3 e LEFT JOIN (SELECT vec_id, cid FROM l3rk WHERE rn = 2) x
+       |  USING (vec_id))""".stripMargin
 
   /** Knob defaults of the ADAPTIVE multi-probe blocker — chosen from
     * graft.ProbeTune's measured retention-vs-mass frontier on the 100×
@@ -2215,6 +2317,42 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
          |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
+    // The three-level route's nprobe=2 knob: each query also probes
+    // the beam's best leaf in a DIFFERENT cell — the boundary-adjacent
+    // cell the 2×2 descent already scanned, so the knob costs no extra
+    // routing work, only the probe-side fan-out (same contract as
+    // q_ann_ivf_trained_probe2). This is the recall compensation for
+    // the coarser three-level assignment, measured beside it in
+    // AnnClusteredStress (`l3_recall3_probe2` vs the two-level probe1,
+    // gated by `l3_recall_below_share`).
+    "q_ann_ivf_trained_l3_probe2" -> QueryDef(
+      (s, d) => {
+        val e = trainedCellsL3(s, d, probe2 = true)
+        val probes = probeUnion(e, "query_id", "qe", "qn2", useCell3 = false)
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedL3P2Cte,
+         |tprobes AS (
+         |  ${duckProbes("ebl3p", useCell3 = false)})
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM tprobes q JOIN ebl3p c ON q.cell = c.cell
          |    AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 

@@ -37,7 +37,7 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       seeds: Seq[(Long, Array[Long])]): Long =
     seeds.minBy { case (id, v) => (d2(x, v), id) }._1
 
-  test("assignment matches an independent three-level mirror") {
+  test("assignment matches an independent 2x2-beam three-level mirror") {
     val eng = ops.SimilarityQueries.trainedCellsL3(spark, sf)
       .selectExpr("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -62,10 +62,24 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         val g = argmin(cv, grands)
         cid -> argmin(cv, supers.filter(s => superGrand(s._1) == g))
       }.toMap
+      val childVec = childs.toMap
+      // beamed descent: 2 nearest grands, L3SuperBeam nearest supers
+      // within each, closest of the leaf children (ties to the smaller
+      // cid) — the engine's and oracle's law
+      def topN(cands: Seq[(Long, Array[Long])], x: Array[Long],
+          n: Int): Seq[Long] =
+        cands.map { case (id, v) => (d2(x, v), id) }.sorted
+          .take(n).map(_._2)
+      val beamK = ops.SimilarityQueries.L3SuperBeam
       rows.foreach { case (id, x) =>
-        val g = argmin(x, grands)
-        val s = argmin(x, supers.filter(p => superGrand(p._1) == g))
-        val c = argmin(x, childs.filter(p => childSuper(p._1) == s))
+        val beams = for {
+          g <- topN(grands, x, 2)
+          s <- topN(supers.filter(p => superGrand(p._1) == g), x, beamK)
+        } yield {
+          val c = argmin(x, childs.filter(p => childSuper(p._1) == s))
+          (d2(x, childVec(c)), c)
+        }
+        val c = beams.min._2
         assert(eng(id) === c, s"vec_id $id: engine ${eng(id)}, mirror $c")
       }
     } finally ScratchCache.release()
