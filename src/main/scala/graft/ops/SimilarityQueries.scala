@@ -137,6 +137,23 @@ object SimilarityQueries {
   private[graft] def adaptiveCells(n: Long): Int =
     math.min(CellCap.toLong, math.max(NCells.toLong, (n + 124) / 125)).toInt
 
+  /** The THREE-level family's cell law: same 125-rows/cell arithmetic,
+    * capped at 2^36 — the t ≤ 4096 three-level split's ceiling
+    * ([[triSplit]]), i.e. constant occupancy to 8.6×10¹² rows where
+    * the two-level law saturates at 2^24 (2.1×10⁹). The two caps are
+    * the DOCUMENTED crossover between the families, not an automatic
+    * switch: the books differ (beamed grand→super→cell vs flat
+    * super→child) and so do their probe columns' semantics (beam
+    * runner-up vs seam probes), so a size-triggered flip would
+    * silently change what a downstream dedup query means — the caller
+    * picks the L3 family (q_ann_ivf_trained_l3*) past [[CellCap]],
+    * and AnnClusteredStress gates that route's recall share at every
+    * measured scale. Identical at every fixture SF (c = 16), so the
+    * oracles pin both laws. */
+  private[graft] val CellCapL3 = 1L << 36
+  private[graft] def adaptiveCellsL3(n: Long): Long =
+    math.min(CellCapL3, math.max(NCells.toLong, (n + 124) / 125))
+
   /** Two-level split of a cell count: s = smallest with s² ≥ c, then
     * m children per super (s·m ≥ c cells exist; ids run 1..s·m).
     * s ≤ 4096 covers the whole [[CellCap]] range (4096² = 2^24). */
@@ -648,7 +665,7 @@ object SimilarityQueries {
     * examines FEWER supers; the binding width is the SUPER beam
     * ([[L3SuperBeam]]), not top-level resolution. */
   private[graft] def trainedStridesL3(n: Long): (Long, Long, Long) = {
-    val c = adaptiveCells(n).toLong
+    val c = adaptiveCellsL3(n)
     val t = triSplit(c).toLong
     val sc = math.max(1L, n / c)
     val ss = sc * math.max(1L, (c + t * t - 1) / (t * t))
@@ -833,7 +850,7 @@ object SimilarityQueries {
   private def duckTrainedL3Cte: String = {
     val d = DuckSql
     val q = d.quantVec("embedding", 1000000L)
-    val cellsW = s"GREATEST(16, LEAST($CellCap, " +
+    val cellsW = s"GREATEST(16, LEAST($CellCapL3, " +
       "((SELECT count(*) FROM embeddings) + 124) // 125))"
     s"""l3k AS (
        |  SELECT sc, sc * ssm AS ss, sc * ssm * t AS gs FROM (

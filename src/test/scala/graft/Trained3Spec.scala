@@ -113,6 +113,12 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(triSplit(28L) === 4)
     assert(triSplit(1L << 24) === 256)
     assert(triSplit(1L << 36) === 4096)
+    // the L3 cell law EXTENDS past the two-level cap (its whole point)
+    // and matches it at every fixture SF (one oracle pins both)
+    assert(adaptiveCellsL3(2000) === 16L)
+    assert(adaptiveCellsL3(4L * 1000 * 1000 * 1000) > CellCap.toLong,
+      "L3 cells must outgrow the two-level cap past 2.1e9 rows")
+    assert(adaptiveCellsL3(Long.MaxValue / 2) === CellCapL3)
     // strides nest: gs multiple of ss multiple of sc (the recursive
     // subset invariant every routed level's non-empty home block
     // rests on)
