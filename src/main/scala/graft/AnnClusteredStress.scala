@@ -310,6 +310,27 @@ object AnnClusteredStress {
       val ndAdp = ndPairs(
         adpGot1.select(mpCols.map(col): _*)
           .unionByName(adpGot2.select(mpCols.map(col): _*)))
+
+      // adaptive SIZE SWITCH: force the shared budget below this
+      // corpus's c so trainedAdaptiveCells delegates to its DIST
+      // route (the relational replay of the probe law over per-block
+      // top-K candidates) — the probe ARRAYS must be bit-identical
+      // while the driver held only the ~sqrt(c) supers; this was the
+      // one remaining driver-growth ceiling in the trained family
+      spark.conf.set(ops.SimilarityQueries.MaxDriverSeedsKey, "1")
+      val adpSwitched = ops.SimilarityQueries.trainedAdaptiveCells(spark,
+        dir, ops.SimilarityQueries.AdaptNSupers,
+        ops.SimilarityQueries.AdaptMaxProbes,
+        ops.SimilarityQueries.AdaptEpsNum,
+        ops.SimilarityQueries.AdaptEpsDen, interleave = true)
+      val adpSwitchRoute = ops.SimilarityQueries.TrainedBuildStats.lastRoute
+      val adpSwitchSeeds =
+        ops.SimilarityQueries.TrainedBuildStats.lastDriverSeeds
+      val adpSwitchDiff = adp.selectExpr("vec_id", "probes AS p1")
+        .join(adpSwitched.selectExpr("vec_id", "probes AS p2"), "vec_id")
+        .filter("p1 <> p2").count() +
+        math.abs(adpSwitched.count() - n)
+      spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
       adp.unpersist()
       def removalRecall(got: Set[(Long, Long)]): Double =
         NearDupLaw.removalRecall(ndTruth, got)
@@ -560,6 +581,9 @@ object AnnClusteredStress {
           s""""sem_switch_route":"$semSwitchRoute",""" +
           f""""sem_switch_driver_centroids":$semSwitchDriver,""" +
           f""""sem_switch_diff":$semSwitchDiff,""" +
+          s""""adp_switch_route":"$adpSwitchRoute",""" +
+          f""""adp_switch_driver_seeds":$adpSwitchSeeds,""" +
+          f""""adp_switch_probe_diff":$adpSwitchDiff,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -629,9 +653,12 @@ object AnnClusteredStress {
       case (tag, d) if d != 0.0 => tag }.toSeq ++
       massOf("sem_switch_diff").collect {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("adp_switch_probe_diff").collect {
+        case (tag, d) if d != 0.0 => tag }.toSeq ++
       rows.collect {
         case r if !r.json.contains(""""switch_route":"dist"""") ||
-          !r.json.contains(""""sem_switch_route":"dist"""") => r.tag })
+          !r.json.contains(""""sem_switch_route":"dist"""") ||
+          !r.json.contains(""""adp_switch_route":"dist"""") => r.tag })
       .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +

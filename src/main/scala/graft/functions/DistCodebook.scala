@@ -182,6 +182,139 @@ case class ChildBlockArgmin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** TOP-K nearest SUPER ids from the broadcast super array, ordered by
+  * (d2, sid) — the beam generalization of [[SuperArgminBroadcast]] /
+  * [[SuperArgmin2Broadcast]] for the adaptive multi-probe family's
+  * DISTRIBUTED route: a row's nSupers nearest supers in one scan,
+  * exploded into the SHUFFLE_HASH join against the child blocks.
+  * Identical selection and tie law as the block-side [[ChildBlockTopK]]
+  * (first-minimum insertion over ascending ids). Returns fewer than K
+  * entries when the codebook has fewer supers. */
+case class SuperTopKBroadcast(k: Int,
+    supers: Broadcast[(Array[Long], Array[Array[Long]])],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_super_topk"
+
+  @transient private lazy val sids = supers.value._1
+  @transient private lazy val vecs = supers.value._2
+
+  /** Executor-side probe; also the codegen entry point. */
+  def topk(qv: ArrayData): ArrayData = {
+    val x = qv.toLongArray()
+    val n = vecs.length
+    val m = math.min(k, n)
+    val dists = Array.fill(m)(Long.MaxValue)
+    val ids = new Array[Long](m)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val cv = vecs(i)
+      val bound = dists(m - 1)
+      var d = 0L
+      var j = 0
+      while (j < x.length && d < bound) {
+        val t = x(j) - cv(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bound) {
+        var p = filled
+        while (p > 0 && dists(p - 1) > d) p -= 1
+        var q = math.min(filled, m - 1)
+        while (q > p) { dists(q) = dists(q - 1); ids(q) = ids(q - 1); q -= 1 }
+        dists(p) = d
+        ids(p) = sids(i)
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(ids, filled))
+  }
+
+  override def nullSafeEval(v: Any): Any = topk(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSuperTopK", this,
+      classOf[SuperTopKBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.topk($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SuperTopKBroadcast =
+    copy(child = newChild)
+}
+
+/** TOP-K nearest (d2, id) PAIRS within a joined block — the
+  * distance-carrying sibling of [[ChildBlockTopK]], for reductions
+  * that must COMPARE candidates across blocks downstream (the
+  * adaptive prober's home / margin-base / interleave law needs the
+  * distances, not just the ids). Kept entries carry EXACT distances
+  * (the early exit only abandons candidates that cannot enter the
+  * top-K). Same first-minimum tie law throughout. */
+case class ChildBlockTopKD(k: Int, left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_block_topkd"
+
+  /** Executor-side probe; also the codegen entry point. */
+  def topkd(qv: ArrayData, block: ArrayData): ArrayData = {
+    val x = qv.toLongArray()
+    val n = block.numElements()
+    val m = math.min(k, n)
+    val dists = Array.fill(m)(Long.MaxValue)
+    val ids = new Array[Long](m)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val row = block.getStruct(i, 2)
+      val cv = row.getArray(1)
+      val bound = dists(m - 1)
+      var d = 0L
+      var j = 0
+      while (j < x.length && d < bound) {
+        val t = x(j) - cv.getLong(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bound) {
+        var p = filled
+        while (p > 0 && dists(p - 1) > d) p -= 1
+        var q = math.min(filled, m - 1)
+        while (q > p) { dists(q) = dists(q - 1); ids(q) = ids(q - 1); q -= 1 }
+        dists(p) = d
+        ids(p) = row.getLong(0)
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (0 until filled).map(i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](dists(i), ids(i)))).toArray[Any])
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    topkd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBlockTopKD", this,
+      classOf[ChildBlockTopKD].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.topkd($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ChildBlockTopKD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** TOP-K nearest ids within a joined block, ordered by (d2, id) — the
   * beam-width generalization of [[ChildBlockArgmin]] for multi-level
   * descents: the three-level quantizer's super stage explodes this

@@ -259,19 +259,21 @@ object SimilarityQueries {
     * Returns (vec_id, embedding, n2, cell, probes) with cell =
     * probes[0]; ONE kernel evaluation per row.
     *
-    * State bound (stated): this builder rides the BROADCAST codebook
-    * (the adaptive kernel needs the child blocks of the top-nSupers
-    * supers in one place); past the driver budget the dist device
-    * applies — route to top-nSupers supers map-side, explode, meet
-    * blocks in the SHUFFLE_HASH join, qualify per block with the home
-    * distance from the home join — the same composition as
-    * trainedCellsDistFrom, not yet wired. */
+    * State bound: like [[trainedCells]], the broadcast route holds
+    * all c child seeds on the driver, so past the SAME driver budget
+    * this builder delegates to [[trainedAdaptiveCellsDistFrom]] —
+    * identical probe arrays (AdaptiveDistSpec pins bit-equality;
+    * AnnClusteredStress forces the switch at scale), child seeds kept
+    * as DataFrame blocks met in a SHUFFLE_HASH join. */
   private[graft] def trainedAdaptiveCells(s: SparkSession, d: String,
       nSupers: Int, maxProbes: Int, epsNum: Long, epsDen: Long,
       interleave: Boolean = false): DataFrame = {
     val v = trainedVecs(s, d)
     val n = v.count()
     val (sc, ss) = trainedStrides(n)
+    if (adaptiveCells(n) > maxDriverSeeds(s))
+      return trainedAdaptiveCellsDistFrom(s, v, nSupers, maxProbes,
+        epsNum, epsDen, interleave)
     val (childSeeds, superSeeds) = collectSeeds(v, n, sc, ss, "TRUE")
     val bc = s.sparkContext.broadcast(
       graft.functions.Codebook.group(childSeeds, superSeeds))
@@ -288,6 +290,119 @@ object SimilarityQueries {
         .repartition(col("cell")))
     s.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fnP))
+    out
+  }
+
+  /** DISTRIBUTED route of [[trainedAdaptiveCells]] — identical probe
+    * arrays (same seeds, same margin law, same interleave order, so
+    * the DuckDB twin is REUSED verbatim), with the codebook kept out
+    * of the driver exactly like [[trainedCellsDistFrom]]: only the
+    * ⌈√c⌉ super seeds broadcast ([[graft.functions.SuperTopKBroadcast]]
+    * routes each row to its nSupers nearest supers map-side), child
+    * blocks meet the exploded rows in ONE SHUFFLE_HASH join, and the
+    * probe LAW runs RELATIONALLY over per-block top-K candidates (one
+    * [[graft.functions.ChildBlockTopKD]] scan per joined block).
+    *
+    * Top-maxProbes per block provably suffices to replay the law:
+    * home is block 1's (d2, cid) top-1; the margin base hd2 — the
+    * nearest NON-home candidate — is within its own block's top-2
+    * (only home can precede it); the margin filter keeps a PREFIX of
+    * each block's (d2, cid) order, so within-block ranks survive the
+    * truncation; and an interleave rank js has at least js−1
+    * same-block predecessors in the final (js, srk) order, so only
+    * js ≤ maxProbes−1 is ever taken. The windows below are the same
+    * rank chain as the oracle's CTEs ([[duckAdaptiveProbesCte]]:
+    * pooled → thd2 → margin → js → rnp), so the law lives
+    * relationally in BOTH engines; AdaptiveDistSpec pins probe-array
+    * bit-equality against the broadcast kernel at the fixture, and
+    * AnnClusteredStress gates it at every stress scale. */
+  private[graft] def trainedAdaptiveCellsDist(s: SparkSession, d: String,
+      nSupers: Int, maxProbes: Int, epsNum: Long, epsDen: Long,
+      interleave: Boolean = false): DataFrame =
+    trainedAdaptiveCellsDistFrom(s, trainedVecs(s, d), nSupers, maxProbes,
+      epsNum, epsDen, interleave)
+
+  private def trainedAdaptiveCellsDistFrom(s: SparkSession, v: DataFrame,
+      nSupers: Int, maxProbes: Int, epsNum: Long, epsDen: Long,
+      interleave: Boolean): DataFrame = {
+    val n = v.count()
+    val (sc, ss) = trainedStrides(n)
+    val superSeeds = v.filter(expr(s"vec_id % $ss = 0"))
+      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    require(superSeeds.nonEmpty,
+      s"trainedAdaptiveCellsDist: no super seeds (n=$n, ss=$ss)")
+    TrainedBuildStats.lastRoute = "dist"
+    TrainedBuildStats.lastDriverSeeds = superSeeds.length
+    val bcS = s.sparkContext.broadcast(
+      (superSeeds.map(_._1), superSeeds.map(_._2)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fnS = s"graft_super_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnS,
+      exprs => graft.functions.SuperArgminBroadcast(bcS, exprs(0)),
+      "scala_udf")
+    val fnSK = s"graft_super_topk_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnSK,
+      exprs => graft.functions.SuperTopKBroadcast(nSupers, bcS, exprs(0)),
+      "scala_udf")
+    val fnTD = s"graft_block_topkd_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnTD,
+      exprs => graft.functions.ChildBlockTopKD(maxProbes,
+        exprs(0), exprs(1)),
+      "scala_udf")
+    val blocks = graft.ScratchCache.scratch(
+      v.filter(expr(s"vec_id % $sc = 0"))
+        .selectExpr("vec_id AS cid", "qv AS cv")
+        .selectExpr("cid", "cv", s"coalesce($fnS(cv), -1L) AS csuper")
+        .groupBy("csuper")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+          .as("block")))
+    val cands = v.selectExpr("vec_id", "qv")
+      .selectExpr("vec_id", "qv", s"posexplode($fnSK(qv)) AS (srk0, rs)")
+      .join(blocks.hint("SHUFFLE_HASH"), col("rs") === col("csuper"))
+      .selectExpr("vec_id", "srk0 + 1 AS srk",
+        s"explode($fnTD(qv, block)) AS cd")
+      .selectExpr("vec_id", "srk", "cd.d AS d", "cd.c AS c")
+    // home = block 1's best child: the FIRST row of the (srk, d, c)
+    // order (srk 1 always has a candidate — the home block is
+    // non-empty by the supers-subset-of-children invariant)
+    val wFirst = Window.partitionBy("vec_id")
+      .orderBy(col("srk"), col("d"), col("c"))
+    val wAll = Window.partitionBy("vec_id")
+    val flagged = cands
+      .withColumn("home", first(col("c")).over(wFirst))
+      .withColumn("h2",
+        min(when(col("c") =!= col("home"), col("d"))).over(wAll))
+    val wJs = Window.partitionBy("vec_id", "srk")
+      .orderBy(col("d"), col("c"))
+    val wRnp = Window.partitionBy("vec_id").orderBy(
+      (if (interleave) Seq(col("js"), col("srk"))
+      else Seq(col("d"), col("c"))): _*)
+    val extras = flagged
+      .filter(col("c") =!= col("home") && col("h2").isNotNull &&
+        col("d") * lit(epsDen) <= col("h2") * lit(epsNum))
+      .withColumn("js", row_number().over(wJs))
+      .withColumn("rnp", row_number().over(wRnp))
+      .filter(col("rnp") <= maxProbes - 1)
+      .selectExpr("vec_id", "rnp AS ord", "c")
+    // exactly ONE home row exists per vec_id: home is block 1's top-1
+    // (never truncated) and a child id lives in exactly one block —
+    // no dedup pass needed before the union
+    val probesDf = flagged.filter(col("c") === col("home"))
+      .selectExpr("vec_id", "0 AS ord", "c")
+      .unionByName(extras)
+      .groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(ord, c))), " +
+        "s -> s.c)").as("probes"))
+    val out = graft.ScratchCache.scratch(
+      v.selectExpr("vec_id", "embedding", "n2")
+        .join(probesDf.hint("SHUFFLE_HASH"), "vec_id")
+        .selectExpr("vec_id", "embedding", "n2",
+          "element_at(probes, 1) AS cell", "probes")
+        .repartition(col("cell")))
+    Seq(fnS, fnSK, fnTD).foreach(f =>
+      s.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out
   }
 
