@@ -150,6 +150,7 @@ object Bench10x {
       "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
       "q_ann_ivf_trained_probe3", "q_ann_ivf_trained_dist",
       "q_ann_ivf_trained_probe3_dist",
+      "q_ann_ivf_trained_l3", "q_ann_ivf_trained_l3_probe2",
       "q_ann_incremental_trained", "q_stream_ann_ingest", "q_ann_delete",
       "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
       "q_ann_lsh_adaptive", "q_dedup_semantic", "q_dedup_semantic_mp",

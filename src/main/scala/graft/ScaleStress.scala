@@ -65,6 +65,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_ann_ivf_trained", "q_ann_ivf_trained_probe2",
     "q_ann_ivf_trained_probe3", "q_ann_ivf_trained_dist",
     "q_ann_ivf_trained_probe3_dist",
+    "q_ann_ivf_trained_l3", "q_ann_ivf_trained_l3_probe2",
     "q_dedup_semantic_mp",
     "q_ann_incremental", "q_ann_incremental_trained",
     "q_stream_ann_ingest", "q_ann_delete",

@@ -132,7 +132,9 @@ object SimilarityQueries {
     * DISTRIBUTED codebook build is exactly what makes a bigger cap
     * affordable (driver holds ⌈√c⌉ ≤ 4096 supers ≈ 2 MB at the cap);
     * 2^24 cells keep constant occupancy to 2.1×10⁹ rows, past which
-    * the stated third routing level is the named next step. */
+    * the THIRD routing level — landed as [[trainedCellsL3]] /
+    * [[adaptiveCellsL3]] (cap 2^36, q_ann_ivf_trained_l3*) — is the
+    * documented crossover route. */
   private[graft] val CellCap = 1 << 24
   private[graft] def adaptiveCells(n: Long): Int =
     math.min(CellCap.toLong, math.max(NCells.toLong, (n + 124) / 125)).toInt
@@ -1947,11 +1949,11 @@ object SimilarityQueries {
     // engine's recommended semantic-dedup pass when retention (not
     // just removal) matters: same output contract as q_dedup_semantic
     // / q_dedup_semantic_mp, pair generation from the knob-ridden
-    // adaptive probes above. The probe3-based q_dedup_semantic_mp
-    // stays declared beside it as the scale-safe route (its codebook
-    // build takes the size switch; the adaptive builder rides the
-    // broadcast codebook — the dist composition for it is the stated
-    // follow-up in SURVEY).
+    // adaptive probes above. Both routes are now scale-safe: the
+    // adaptive builder takes the same driver-budget size switch as
+    // trainedCells (delegating to trainedAdaptiveCellsDist — probe
+    // arrays bit-identical, AdaptiveDistSpec + the stress switch
+    // gate), so this query's codebook state is bounded at any N.
     "q_dedup_semantic_adaptive" -> QueryDef(
       (s, d) => {
         val e = trainedAdaptiveCells(s, d, AdaptNSupers, AdaptMaxProbes,

@@ -38,9 +38,9 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     seeds.minBy { case (id, v) => (d2(x, v), id) }._1
 
   test("assignment matches an independent 2x2-beam three-level mirror") {
-    val eng = ops.SimilarityQueries.trainedCellsL3(spark, sf)
-      .selectExpr("vec_id", "cell").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eng = ops.SimilarityQueries.trainedCellsL3(spark, sf, probe2 = true)
+      .selectExpr("vec_id", "cell", "cell2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     try {
       val rows = Tables.embeddings(spark, sf)
         .selectExpr("vec_id", "embedding").collect()
@@ -72,15 +72,19 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
           .take(n).map(_._2)
       val beamK = ops.SimilarityQueries.L3SuperBeam
       rows.foreach { case (id, x) =>
-        val beams = for {
+        val beams = (for {
           g <- topN(grands, x, 2)
           s <- topN(supers.filter(p => superGrand(p._1) == g), x, beamK)
         } yield {
           val c = argmin(x, childs.filter(p => childSuper(p._1) == s))
           (d2(x, childVec(c)), c)
-        }
-        val c = beams.min._2
-        assert(eng(id) === c, s"vec_id $id: engine ${eng(id)}, mirror $c")
+        }).sorted
+        val c = beams.head._2
+        // the probe2 column is the beam's first leaf in a DIFFERENT
+        // cell (home fallback when the beam found only one)
+        val c2 = beams.find(_._2 != c).map(_._2).getOrElse(c)
+        assert(eng(id) === ((c, c2)),
+          s"vec_id $id: engine ${eng(id)}, mirror ($c, $c2)")
       }
     } finally ScratchCache.release()
   }
