@@ -187,7 +187,7 @@ case class ChildBlockArgmin(left: Expression, right: Expression)
   * [[SuperArgmin2Broadcast]] for the adaptive multi-probe family's
   * DISTRIBUTED route: a row's nSupers nearest supers in one scan,
   * exploded into the SHUFFLE_HASH join against the child blocks.
-  * Identical selection and tie law as the block-side [[ChildBlockTopK]]
+  * Identical selection and tie law as the block-side [[ChildBlockTopKD]]
   * (first-minimum insertion over ascending ids). Returns fewer than K
   * entries when the codebook has fewer supers. */
 case class SuperTopKBroadcast(k: Int,
@@ -248,7 +248,7 @@ case class SuperTopKBroadcast(k: Int,
 }
 
 /** TOP-K nearest (d2, id) PAIRS within a joined block — the
-  * distance-carrying sibling of [[ChildBlockTopK]], for reductions
+  * distance-carrying block top-K, for reductions
   * that must COMPARE candidates across blocks downstream (the
   * adaptive prober's home / margin-base / interleave law needs the
   * distances, not just the ids). Kept entries carry EXACT distances
@@ -312,124 +312,6 @@ case class ChildBlockTopKD(k: Int, left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ChildBlockTopKD =
-    copy(left = newLeft, right = newRight)
-}
-
-/** TOP-K nearest ids within a joined block, ordered by (d2, id) — the
-  * beam-width generalization of [[ChildBlockArgmin]] for multi-level
-  * descents: the three-level quantizer's super stage explodes this
-  * array so each beamed grand contributes its K nearest supers in ONE
-  * block scan (K identical argmin-exclude scans would pay K× the
-  * distance work). K is a plan-time constant riding the expression,
-  * not a column; insertion keeps first-minimum ties (a later equal-d
-  * id never displaces an earlier, and blocks arrive ascending by id),
-  * and the per-element early exit abandons a candidate once its
-  * partial sum exceeds the current K-th best. Returns fewer than K
-  * entries on a short block, empty on an empty one. */
-case class ChildBlockTopK(k: Int, left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_block_topk"
-
-  /** Executor-side probe; also the codegen entry point. */
-  def topk(qv: ArrayData, block: ArrayData): ArrayData = {
-    val x = qv.toLongArray()
-    val n = block.numElements()
-    val m = math.min(k, n)
-    val dists = Array.fill(m)(Long.MaxValue)
-    val ids = new Array[Long](m)
-    var filled = 0
-    var i = 0
-    while (i < n) {
-      val row = block.getStruct(i, 2)
-      val cv = row.getArray(1)
-      val bound = dists(m - 1)
-      var d = 0L
-      var j = 0
-      while (j < x.length && d < bound) {
-        val t = x(j) - cv.getLong(j)
-        d += t * t
-        j += 1
-      }
-      if (d < bound) {
-        // insertion position: after every entry with dist <= d (an
-        // existing equal-d entry has a smaller id — blocks ascend)
-        var p = filled
-        while (p > 0 && dists(p - 1) > d) p -= 1
-        var q = math.min(filled, m - 1)
-        while (q > p) { dists(q) = dists(q - 1); ids(q) = ids(q - 1); q -= 1 }
-        dists(p) = d
-        ids(p) = row.getLong(0)
-        if (filled < m) filled += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(ids, filled))
-  }
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    topk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBlockTopK", this,
-      classOf[ChildBlockTopK].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.topk($a, $b);")
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): ChildBlockTopK =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Minimum squared distance WITHIN a joined block — the companion of
-  * [[ChildBlockArgmin]] for beam-style descents that must COMPARE two
-  * blocks' winners (the three-level quantizer's beam-2: descend both
-  * nearest grands, keep the closer final child). Same scan, same
-  * early exit; returns Long.MaxValue on an empty block so a missing
-  * beam loses every comparison (the oracle's LEFT JOIN misses the
-  * same way). */
-case class ChildBlockMinD2(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_block_mind2"
-
-  /** Executor-side probe; also the codegen entry point. */
-  def mind2(qv: ArrayData, block: ArrayData): Long = {
-    val x = qv.toLongArray()
-    var bestD = Long.MaxValue
-    var i = 0
-    val n = block.numElements()
-    while (i < n) {
-      val row = block.getStruct(i, 2)
-      val cv = row.getArray(1)
-      var d = 0L
-      var j = 0
-      while (j < x.length && d < bestD) {
-        val t = x(j) - cv.getLong(j)
-        d += t * t
-        j += 1
-      }
-      if (d < bestD) bestD = d
-      i += 1
-    }
-    bestD
-  }
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    mind2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBlockMinD2", this,
-      classOf[ChildBlockMinD2].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.mind2($a, $b);")
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): ChildBlockMinD2 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -380,9 +380,18 @@ object SimilarityQueries {
     val wRnp = Window.partitionBy("vec_id").orderBy(
       (if (interleave) Seq(col("js"), col("srk"))
       else Seq(col("d"), col("c"))): _*)
+    // margin bound with the broadcast kernel's overflow guard: a huge
+    // epsNum sentinel (ProbeTune's no-margin M = 10^6) means "no
+    // margin", and h2 * epsNum would overflow Long — a hard
+    // ArithmeticException under Spark's default ANSI mode, and route
+    // divergence without it. maxH2 is precomputed driver-side; the
+    // CASE short-circuits so the multiply never runs past it.
+    val maxH2 = if (epsNum != 0) Long.MaxValue / epsNum else Long.MaxValue
+    val boundExpr = expr(s"CASE WHEN h2 > ${maxH2}L " +
+      s"THEN ${Long.MaxValue}L ELSE h2 * ${epsNum}L DIV ${epsDen}L END")
     val extras = flagged
       .filter(col("c") =!= col("home") && col("h2").isNotNull &&
-        col("d") * lit(epsDen) <= col("h2") * lit(epsNum))
+        col("d") <= boundExpr)
       .withColumn("js", row_number().over(wJs))
       .withColumn("rnp", row_number().over(wRnp))
       .filter(col("rnp") <= maxProbes - 1)
@@ -807,7 +816,7 @@ object SimilarityQueries {
     *  4. corpus rows descend grand → super → cell through SHUFFLE_HASH
     *     joins, each meeting a ≈ t-row block — BEAMED: both nearest
     *     grands, each contributing its [[L3SuperBeam]] nearest supers
-    *     in one [[graft.functions.ChildBlockTopK]] scan, closest leaf
+    *     in one [[graft.functions.ChildBlockTopKD]] scan, closest leaf
     *     child kept (ties to the smaller cid). A single descent
     *     measurably narrows (100× clustered: 0.49× of the two-level
     *     recall; see the beam comment in the body for the measured
@@ -866,22 +875,22 @@ object SimilarityQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnG,
       exprs => graft.functions.SuperArgminBroadcast(bcG, exprs(0)),
       "scala_udf")
-    val fnG2 = s"graft_grand_argmin2_$tag"
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnG2,
-      exprs => graft.functions.SuperArgmin2Broadcast(bcG, exprs(0)),
+    val fnGK = s"graft_grand_topk_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnGK,
+      exprs => graft.functions.SuperTopKBroadcast(2, bcG, exprs(0)),
       "scala_udf")
     val fnB = s"graft_block_argmin_$tag"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnB,
       exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
       "scala_udf")
-    val fnTK = s"graft_block_topk_$tag"
+    val fnTK = s"graft_block_topkd_$tag"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(fnTK,
-      exprs => graft.functions.ChildBlockTopK(L3SuperBeam,
+      exprs => graft.functions.ChildBlockTopKD(L3SuperBeam,
         exprs(0), exprs(1)),
       "scala_udf")
-    val fnD = s"graft_block_mind2_$tag"
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnD,
-      exprs => graft.functions.ChildBlockMinD2(exprs(0), exprs(1)),
+    val fnTK1 = s"graft_block_top1d_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnTK1,
+      exprs => graft.functions.ChildBlockTopKD(1, exprs(0), exprs(1)),
       "scala_udf")
     // coalesce(-1) on every kernel-valued join key: marks the key
     // non-nullable so the join's null-key elimination cannot plant an
@@ -905,7 +914,7 @@ object SimilarityQueries {
           .as("cblock")))
     // BEAMED descent: each row descends its TWO nearest grands, and
     // within each grand's super block its L3SuperBeam nearest supers
-    // (ONE ChildBlockTopK scan per grand, exploded), then keeps the
+    // (ONE ChildBlockTopKD scan per grand, exploded), then keeps the
     // closest of the ≤ 2·beam leaf children (sort_array over
     // struct(d2, cid) — exactly the (d2, id) tie order). A single
     // descent measurably narrows: on the 100× clustered corpus 12
@@ -922,18 +931,20 @@ object SimilarityQueries {
     // recursive subset invariant); the degenerate single-grand
     // codebook contributes one descent (the rg2 <> rg1 filter), like
     // the oracle's rn ≤ 2 window producing a single beam.
-    val r = v.selectExpr("vec_id", "qv",
-      s"coalesce($fnG(qv), -1L) AS rg1",
-      s"coalesce($fnG2(qv), -1L) AS rg2")
-    val rx = r.selectExpr("vec_id", "qv", "rg1 AS rg")
-      .unionAll(r.filter(col("rg2") =!= col("rg1"))
-        .selectExpr("vec_id", "qv", "rg2 AS rg"))
-    val picks = rx
+    // one grand-array scan per row (SuperTopKBroadcast(2) yields both
+    // beams at once; a single-grand codebook yields one), one super
+    // top-K scan per beamed block, and ONE leaf scan per beamed super
+    // (ChildBlockTopKD(1) returns the best (d, c) pair together) — the
+    // shipped plan now evaluates exactly the distances the measured
+    // l3_route_width formula counts
+    val picks = v.selectExpr("vec_id", "qv",
+        s"explode($fnGK(qv)) AS rg")
       .join(sblocks.hint("SHUFFLE_HASH"), col("rg") === col("sgrand"))
-      .selectExpr("vec_id", "qv", s"explode($fnTK(qv, sblock)) AS rs")
+      .selectExpr("vec_id", "qv", s"explode($fnTK(qv, sblock)) AS sp")
+      .selectExpr("vec_id", "qv", "sp.c AS rs")
       .join(cblocks.hint("SHUFFLE_HASH"), col("rs") === col("csuper"))
       .selectExpr("vec_id",
-        s"named_struct('d', $fnD(qv, cblock), 'c', $fnB(qv, cblock)) AS cand")
+        s"element_at($fnTK1(qv, cblock), 1) AS cand")
       .groupBy("vec_id")
       .agg(sort_array(collect_list(col("cand"))).as("cands"))
       .selectExpr(Seq("vec_id", "element_at(cands, 1).c AS cell") ++
@@ -951,7 +962,7 @@ object SimilarityQueries {
     val assigned = v.selectExpr("vec_id", "embedding", "n2")
       .join(picks.hint("SHUFFLE_HASH"), "vec_id")
     val out = graft.ScratchCache.scratch(assigned.repartition(col("cell")))
-    Seq(fnG, fnG2, fnB, fnTK, fnD).foreach(f =>
+    Seq(fnG, fnGK, fnB, fnTK, fnTK1).foreach(f =>
       s.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out

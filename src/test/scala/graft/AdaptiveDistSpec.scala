@@ -50,6 +50,26 @@ class AdaptiveDistSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     compare(interleave = true)
   }
 
+  test("the no-margin epsNum sentinel survives the dist route") {
+    // ProbeTune's margin-off point passes epsNum = 10^6; h2 * 10^6
+    // overflows Long on real quantized distances (~10^13), which the
+    // broadcast kernel guards by saturating the bound — the dist
+    // route's relational margin filter must apply the SAME guard or
+    // ANSI mode throws ArithmeticException (and non-ANSI silently
+    // strips every probe)
+    val m = 1000000L
+    val one = probesOf(trainedAdaptiveCells(spark, sf, 2, 3, m, 1L, true))
+    ScratchCache.release()
+    val dist = probesOf(trainedAdaptiveCellsDist(spark, sf, 2, 3, m, 1L,
+      interleave = true))
+    ScratchCache.release()
+    assert(dist.size === one.size)
+    one.foreach { case (id, p) =>
+      assert(dist(id) === p, s"vec_id $id differs under the sentinel")
+    }
+    assert(one.values.exists(_.length > 1), "sentinel produced no probes")
+  }
+
   test("distance-ordered probe arrays are bit-identical between routes") {
     compare(interleave = false)
   }
