@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.SparkException
+import org.apache.spark.{JobExecutionStatus, SparkContext, SparkException}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** All-or-nothing MULTI-sink commit — the vertex-group commit of the
@@ -60,47 +60,57 @@ object GroupCommit {
     val jobId = java.util.UUID.randomUUID().toString
     val moves = sinks.map(s =>
       (new Path(s.dest + ".__staging__" + jobId), new Path(s.dest)))
+    // every phase-1 Spark job runs under a commit-scoped job group so
+    // the rollback can name, cancel, and drain EXACTLY the tasks that
+    // might still be materializing files under a staging dir — the
+    // reference's abort path likewise kills the vertex's task attempts
+    // before the committer aborts the output
+    // (`tez-mapreduce/.../committer/MROutputCommitter.java` abortOutput,
+    // DAGImpl's TERMINATING → abort fan-out)
+    val sc = spark.sparkContext
+    val group = "graft-group-commit-" + jobId
     try {
       // phase 1 — long, data-proportional, nothing visible
       sinks.zip(moves).foreach { case (s, (staging, _)) =>
-        s.df.write.mode("overwrite").format(s.format).save(staging.toString)
+        withJobGroup(sc, group, s"group-commit $jobId → ${staging.getName}") {
+          s.df.write.mode("overwrite").format(s.format).save(staging.toString)
+        }
       }
       if (injectFailure.contains(FailPoint.BeforeManifest))
         throw new SparkException("injected failure before manifest")
     } catch {
       case e: Throwable =>
         // no manifest ⇒ the group never committed: roll back staging.
-        // A lingering task of the failed parallel write can still be
-        // materializing temp files under the dir, which makes one
-        // recursive delete racy (observed once in-suite: a staging dir
-        // survived its delete) — retry with backoff until the path is
-        // verifiably gone. Even an unreclaimed orphan is correct
-        // (readers never see `.__staging__` names; vacuum() collects
-        // it), so the retry is about leaving zero residue, not safety.
+        // A failed parallel write leaves ZOMBIE tasks (the job is
+        // already failed, but sibling task threads of the failing stage
+        // are still running) that can re-materialize `_temporary` files
+        // AFTER a recursive delete. That is a synchronization problem,
+        // not a timing one: cancel the commit's job group (interrupting
+        // task threads) and wait until the status tracker shows zero
+        // active tasks across the group's jobs BEFORE deleting. Only
+        // then is the delete race-free. Even an unreclaimed orphan
+        // would be correct (readers never see `.__staging__` names;
+        // vacuum() collects them) — the drain is about leaving zero
+        // residue deterministically.
+        try {
+          sc.cancelJobGroup(group)
+          awaitGroupQuiescent(sc, group, timeoutMs = 30000L)
+        } catch {
+          // a cancel/drain hiccup must not replace the ORIGINAL failure
+          case scala.util.control.NonFatal(drainErr) =>
+            System.err.println(s"[GroupCommit] drain of $group failed " +
+              s"(${drainErr.getClass.getSimpleName}: " +
+              s"${drainErr.getMessage}) — proceeding to rollback")
+        }
         moves.foreach { case (staging, _) =>
-          // best-effort: a transient FS error in exists/delete must not
-          // replace the ORIGINAL failure `e` below — rollback residue
-          // is already correct-by-design (readers never see
-          // `.__staging__` names; vacuum() collects orphans)
           try {
-            var tries = 0
-            var gone = !fs.exists(staging)
-            while (!gone && tries < 5) {
-              fs.delete(staging, true)
-              tries += 1
-              gone = !fs.exists(staging)
-              // no sleep after the final attempt (nothing left to retry),
-              // and an interrupt must not replace the original failure —
-              // restore the flag and stop retrying instead of throwing
-              if (!gone && tries < 5) {
-                try Thread.sleep(100L << tries)
-                catch {
-                  case _: InterruptedException =>
-                    Thread.currentThread().interrupt()
-                    gone = true
-                }
-              }
-            }
+            if (fs.exists(staging)) fs.delete(staging, true)
+            if (fs.exists(staging))
+              // post-quiescence this indicates an FS-level surprise, not
+              // a task race; the orphan is invisible to readers and
+              // vacuum() collects it
+              System.err.println(s"[GroupCommit] $staging survived " +
+                "rollback delete — orphan left for vacuum()")
           } catch {
             // NonFatal: an OOM/VM error mid-rollback must still surface
             case scala.util.control.NonFatal(fsErr) =>
@@ -133,6 +143,58 @@ object GroupCommit {
     }
     fs.delete(mFinal, false)
     jobId
+  }
+
+  /** Run `body` under a job group with interrupt-on-cancel, restoring
+    * whatever group the CALLER had set afterwards (commitGroup must not
+    * clobber an enclosing pipeline's job-group bookkeeping). */
+  private def withJobGroup[T](sc: SparkContext, group: String,
+      desc: String)(body: => T): T = {
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(group, desc, interruptOnCancel = true)
+    try body
+    finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
+  }
+
+  /** Block until the status tracker shows the job group fully drained:
+    * no group job RUNNING and zero active tasks across every stage of
+    * every group job. Task-end events post only after the task thread
+    * has finished its user code (including committer file writes), so
+    * two consecutive all-idle readings — the second guarding against
+    * listener-bus lag between a task's start event and our first poll —
+    * mean no task of the group can touch a staging dir afterwards. */
+  private def awaitGroupQuiescent(sc: SparkContext, group: String,
+      timeoutMs: Long): Unit = {
+    val tracker = sc.statusTracker
+    def activeWork(): Int =
+      tracker.getJobIdsForGroup(group).flatMap(tracker.getJobInfo(_))
+        .map { j =>
+          val stageTasks = j.stageIds()
+            .flatMap(tracker.getStageInfo(_)).map(_.numActiveTasks()).sum
+          stageTasks + (if (j.status() == JobExecutionStatus.RUNNING) 1 else 0)
+        }.sum
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var idleStreak = 0
+    while (idleStreak < 2 && System.nanoTime() < deadline) {
+      if (activeWork() == 0) idleStreak += 1 else idleStreak = 0
+      if (idleStreak < 2) {
+        try Thread.sleep(25L)
+        catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            return // caller treats an incomplete drain as best-effort
+        }
+      }
+    }
+    if (idleStreak < 2)
+      System.err.println(s"[GroupCommit] job group $group did not drain " +
+        s"within ${timeoutMs}ms — rollback proceeds; residue goes to vacuum()")
   }
 
   /** One staged→final move; idempotent so recovery can replay it. */

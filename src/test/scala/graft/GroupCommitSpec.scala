@@ -124,4 +124,43 @@ class GroupCommitSpec extends AnyFunSuite {
     assert(GroupCommit.vacuum(spark, root) == 0)
     assert(stagingDirs.isEmpty)
   }
+
+  test("rollback leaves zero residue under concurrent load (zombie-task race)") {
+    // The r10 full-suite flake: a sibling task of the failing write was
+    // still materializing `_temporary` files when the rollback's
+    // recursive delete ran, so the staging dir survived. The fix is a
+    // job-group cancel + status-tracker drain before the delete; this
+    // test recreates the load profile in-spec — repeated failing-sink
+    // rollbacks with MANY partitions (more sibling tasks in flight at
+    // failure time) while a background thread keeps the scheduler busy.
+    rmrf(new java.io.File(root))
+    @volatile var stop = false
+    val noise = new Thread(() => {
+      while (!stop)
+        spark.range(2000000).selectExpr("sum(id * 3 % 7)").collect()
+    })
+    noise.setDaemon(true)
+    noise.start()
+    try {
+      for (i <- 1 to 6) {
+        // 16 partitions; one poisoned row in partition 7 — the failing
+        // task dies mid-stage while 15 siblings are writing
+        val poisoned = Sink(
+          spark.range(0, 160000, 1, 16)
+            .selectExpr("IF(id = 75000, raise_error('boom'), id) AS id"),
+          finals(2))
+        intercept[Exception] {
+          GroupCommit.commitGroup(spark, root,
+            sinks().init :+ poisoned)
+        }
+        finals.foreach(p =>
+          assert(!exists(p), s"iter $i: partial output visible: $p"))
+        assert(stagingDirs.isEmpty,
+          s"iter $i: staging residue: ${stagingDirs.mkString(",")}")
+      }
+    } finally {
+      stop = true
+      noise.join(10000)
+    }
+  }
 }
