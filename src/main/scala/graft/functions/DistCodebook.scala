@@ -206,6 +206,11 @@ case class SuperTopKBroadcast(k: Int,
     val x = qv.toLongArray()
     val n = vecs.length
     val m = math.min(k, n)
+    // degenerate width (k <= 0, or an empty codebook): agree with the
+    // broadcast prober's graceful degradation instead of indexing m-1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
     val dists = Array.fill(m)(Long.MaxValue)
     val ids = new Array[Long](m)
     var filled = 0
@@ -269,6 +274,10 @@ case class ChildBlockTopKD(k: Int, left: Expression, right: Expression)
     val x = qv.toLongArray()
     val n = block.numElements()
     val m = math.min(k, n)
+    // degenerate width: same guard as SuperTopKBroadcast.topk
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
     val dists = Array.fill(m)(Long.MaxValue)
     val ids = new Array[Long](m)
     var filled = 0

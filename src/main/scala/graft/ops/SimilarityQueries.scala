@@ -928,9 +928,10 @@ object SimilarityQueries {
     // (vec_id, qv) spine rides the exploded joins and the full row
     // joins back once by id. Joins stay INNER: a grand always wins
     // its own super seed and a super its own child seed (the
-    // recursive subset invariant); the degenerate single-grand
-    // codebook contributes one descent (the rg2 <> rg1 filter), like
-    // the oracle's rn ≤ 2 window producing a single beam.
+    // recursive subset invariant); on a degenerate single-grand
+    // codebook SuperTopKBroadcast(2) returns a one-element distinct
+    // grand array, so the explode yields one descent — matching the
+    // oracle's rn ≤ 2 window producing a single beam.
     // one grand-array scan per row (SuperTopKBroadcast(2) yields both
     // beams at once; a single-grand codebook yields one), one super
     // top-K scan per beamed block, and ONE leaf scan per beamed super

@@ -151,4 +151,30 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"codebook must not broadcast: ${nodes.distinct.sorted}")
     } finally ScratchCache.release()
   }
+
+  test("top-K kernels degrade gracefully at k <= 0 (route parity with the broadcast prober)") {
+    // TwoLevelProbesBroadcast returns [home] at maxProbes <= 0; the
+    // block kernels must not crash on the same degenerate width —
+    // both routes of any switched builder have to agree at every
+    // config point, including the nonsensical ones
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val qv = new GenericArrayData(Array(1L, 2L))
+    val bcast = spark.sparkContext.broadcast(
+      (Array(10L, 20L), Array(Array(0L, 0L), Array(5L, 5L))))
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(null, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    for (k <- Seq(-1, 0)) {
+      assert(functions.SuperTopKBroadcast(k, bcast, lit)
+        .topk(qv).numElements() === 0, s"topk k=$k")
+      val block = new GenericArrayData(Array[Any](
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](10L, new GenericArrayData(Array(0L, 0L))))))
+      assert(functions.ChildBlockTopKD(k, lit, lit)
+        .topkd(qv, block).numElements() === 0, s"topkd k=$k")
+    }
+    // and a positive k on the same inputs still returns candidates
+    assert(functions.SuperTopKBroadcast(1, bcast, lit)
+      .topk(qv).numElements() === 1)
+  }
 }
