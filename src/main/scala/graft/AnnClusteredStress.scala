@@ -332,6 +332,26 @@ object AnnClusteredStress {
         math.abs(adpSwitched.count() - n)
       spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
       adp.unpersist()
+
+      // LSH SIZE SWITCH (r11): force the shared budget below this
+      // corpus's hot-seed count so lshRefined delegates to its DIST
+      // route (per-bucket supers broadcast, child seeds met as
+      // SHUFFLE_HASH blocks) — the (bucket, cell) frames must be
+      // bit-identical while the driver held only Σ_b ⌈√k_b⌉ rows;
+      // this was the last declared-query build with a
+      // growing-with-corpus driver collect (r10 weak finding #2)
+      spark.conf.set(ops.SimilarityQueries.MaxDriverSeedsKey, "1")
+      val lshSwitched = ops.SimilarityQueries.lshRefined(spark, dir, refCap)
+      val lshSwitchRoute = ops.SimilarityQueries.TrainedBuildStats.lastRoute
+      val lshSwitchSeeds =
+        ops.SimilarityQueries.TrainedBuildStats.lastDriverSeeds
+      val lshSwitchDiff = ref
+        .selectExpr("vec_id", "bucket AS lb1", "cell AS lc1")
+        .join(lshSwitched.selectExpr(
+          "vec_id", "bucket AS lb2", "cell AS lc2"), "vec_id")
+        .filter("lb1 <> lb2 OR lc1 <> lc2").count() +
+        math.abs(lshSwitched.count() - n)
+      spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
       def removalRecall(got: Set[(Long, Long)]): Double =
         NearDupLaw.removalRecall(ndTruth, got)
       val remAdp = removalRecall(ndAdp)
@@ -597,6 +617,9 @@ object AnnClusteredStress {
           s""""adp_switch_route":"$adpSwitchRoute",""" +
           f""""adp_switch_driver_seeds":$adpSwitchSeeds,""" +
           f""""adp_switch_probe_diff":$adpSwitchDiff,""" +
+          s""""lsh_switch_route":"$lshSwitchRoute",""" +
+          f""""lsh_switch_driver_seeds":$lshSwitchSeeds,""" +
+          f""""lsh_switch_cell_diff":$lshSwitchDiff,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -668,10 +691,13 @@ object AnnClusteredStress {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
       massOf("adp_switch_probe_diff").collect {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("lsh_switch_cell_diff").collect {
+        case (tag, d) if d != 0.0 => tag }.toSeq ++
       rows.collect {
         case r if !r.json.contains(""""switch_route":"dist"""") ||
           !r.json.contains(""""sem_switch_route":"dist"""") ||
-          !r.json.contains(""""adp_switch_route":"dist"""") => r.tag })
+          !r.json.contains(""""adp_switch_route":"dist"""") ||
+          !r.json.contains(""""lsh_switch_route":"lsh-dist"""") => r.tag })
       .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +

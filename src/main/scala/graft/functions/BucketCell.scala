@@ -84,3 +84,66 @@ case class BucketedArgminBroadcast(
       newLeft: Expression, newRight: Expression): BucketedArgminBroadcast =
     copy(left = newLeft, right = newRight)
 }
+
+/** Per-BUCKET nearest SUPER seed — the map-side half of lshRefined's
+  * DISTRIBUTED route (ops.SimilarityQueries.lshRefinedDistFrom). Where
+  * [[BucketedArgminBroadcast]] holds every child seed of every hot
+  * bucket on the driver (state ∝ hot-mass/cap — the growing-with-corpus
+  * collect the r10 review flagged), this kernel broadcasts ONLY the
+  * per-bucket SUPER seeds (Σ_b ⌈√k_b⌉ rows); the child seeds stay
+  * DataFrame blocks keyed by (bucket, super) and meet the routed rows
+  * in a SHUFFLE_HASH join, where [[ChildBlockArgmin]] finishes the
+  * second level — the same split [[SuperArgminBroadcast]] +
+  * child-blocks gives the trained-IVF builder past its driver budget.
+  *
+  * Tie law: super arrays are fed sorted ascending by id; the strict-`<`
+  * first-minimum scan keeps the smallest id on equal exact-integer
+  * squared-L2 — identical to [[BucketedArgminBroadcast]] and the DuckDB
+  * twin's `ROW_NUMBER() OVER (ORDER BY dist2, sid)`. Buckets absent
+  * from the map (cold — occupancy within the cap) return -1.
+  */
+case class BucketSuperArgminBroadcast(
+    supers: Broadcast[Map[Long, (Array[Long], Array[Array[Long]])]],
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_super"
+
+  @transient private lazy val books = supers.value
+
+  /** Executor-side probe; also the codegen entry point. */
+  def superOf(bucket: Long, v: ArrayData): Long = books.get(bucket) match {
+    case None => -1L
+    case Some((sids, vecs)) =>
+      val x = v.toLongArray()
+      var best = -1L
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < vecs.length) {
+        val c = vecs(i)
+        var d = 0L
+        var j = 0
+        while (j < x.length && d < bestD) {
+          val t = x(j) - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = sids(i) }
+        i += 1
+      }
+      best
+  }
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    superOf(b.asInstanceOf[Long], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftLshSuper", this,
+      classOf[BucketSuperArgminBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, (b, v) => s"${ev.value} = $ref.superOf($b, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BucketSuperArgminBroadcast =
+    copy(left = newLeft, right = newRight)
+}

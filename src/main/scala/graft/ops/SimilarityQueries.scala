@@ -1324,8 +1324,13 @@ object SimilarityQueries {
     * Returns (vec_id, embedding, n2, bucket, cell) scratch-cached and
     * pre-partitioned on the refined key. Driver-side state is bounded
     * by the SEED count (≈ hot-mass/cap — the trained-codebook pattern
-    * of [[trainedCells]]; past ~1000× fixture scale the codebook wants
-    * the same third routing level noted on [[adaptiveCells]]). `cap`
+    * of [[trainedCells]]); past the SAME driver budget as the trained
+    * family ([[MaxDriverSeedsKey]]) the build delegates to
+    * [[lshRefinedDistFrom]], which holds only the per-bucket SUPER
+    * seeds (Σ_b ⌈√k_b⌉) on the driver and keeps the child seeds as
+    * DataFrame blocks met in a SHUFFLE_HASH join — identical frames
+    * (LshDistSpec pins bit-equality; AnnClusteredStress forces the
+    * switch at scale under a route + zero-diff gate). `cap`
     * is the recall/cost knob: candidate count per probe ≈ cap, so
     * recall rises with it while candidate mass stays N·cap — the
     * declared query pins the fixture-tiny default under the oracle,
@@ -1343,6 +1348,13 @@ object SimilarityQueries {
         s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
     val hot = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > cap)
+    // exact child-seed count before anything collects: every cap-th
+    // member of each hot bucket ⇒ Σ_b ⌈bn_b/cap⌉ seeds
+    val seedCount = hot
+      .agg(coalesce(sum(expr(s"(bn + $cap - 1) DIV $cap")), lit(0L)))
+      .head().getLong(0)
+    if (seedCount > maxDriverSeeds(s))
+      return lshRefinedDistFrom(s, e, hot, cap)
     val w = Window.partitionBy("bucket").orderBy("vec_id")
     // seed rows: every cap-th member of each hot bucket, in vec_id rank
     // order — one window over the hot mass only, then a bounded collect
@@ -1351,6 +1363,8 @@ object SimilarityQueries {
       .filter((col("rn") - 1) % cap === 0)
       .selectExpr("bucket", "vec_id", "qv")
       .orderBy("bucket", "vec_id").collect()
+    TrainedBuildStats.lastRoute = "lsh-broadcast"
+    TrainedBuildStats.lastDriverSeeds = seedRows.length
     val books: Map[Long, (Array[Long], Array[Array[Long]],
         Array[Array[Long]], Array[Array[Array[Long]]])] =
       seedRows.groupBy(_.getLong(0)).map { case (bucket, rows) =>
@@ -1377,6 +1391,98 @@ object SimilarityQueries {
         .repartition(col("bucket"), col("cell")))
     s.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    out
+  }
+
+  /** DISTRIBUTED route of [[lshRefined]] — identical (bucket, cell)
+    * frames with the per-bucket sub-codebooks kept OUT of the driver:
+    * this was the last declared-query build whose driver state grew
+    * with the corpus (seed collect ∝ hot-mass/cap). Driver state here
+    * is the per-bucket SUPER seeds only (every ⌈√k_b⌉-th child seed
+    * ⇒ Σ_b ⌈√k_b⌉ rows), broadcast as a bucket-keyed map
+    * ([[graft.functions.BucketSuperArgminBroadcast]] routes each row
+    * to its in-bucket nearest super map-side); the child seeds stay a
+    * DataFrame grouped into (bucket, super) blocks that meet the
+    * routed rows in ONE SHUFFLE_HASH join, where
+    * [[graft.functions.ChildBlockArgmin]] finishes the second level —
+    * the [[trainedCellsDistFrom]] device applied per bucket. Seed
+    * SELECTION is replayed relationally with the broadcast route's
+    * exact rules (rank-stride children, j % sb supers with
+    * sb = min z: z² ≥ k capped at 256 — integer-adjusted so the
+    * relational sqrt can never drift off the driver-side scan), and
+    * the tie law is the shared one (ascending-id seed order +
+    * strict-< first-minimum), so both routes are bit-identical:
+    * LshDistSpec pins frame equality at the fixture and
+    * AnnClusteredStress forces the switch at every stress scale under
+    * a route + zero-diff gate. */
+  private def lshRefinedDistFrom(s: SparkSession, e: DataFrame,
+      hot: DataFrame, cap: Int): DataFrame = {
+    val hotB = ScratchCache.scratch(hot.select("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("vec_id")
+    val mem = e.join(hotB.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .withColumn("rn", row_number().over(w))
+    val seeds = ScratchCache.scratch(
+      mem.filter((col("rn") - 1) % cap === 0)
+        .selectExpr("bucket", "vec_id AS cid", "qv AS cv",
+          s"CAST((rn - 1) DIV $cap AS BIGINT) AS j"))
+    // per-bucket super stride sb = min z: z² ≥ k (capped 256) — the
+    // broadcast route's driver-side find(), integer-exact: FLOOR(SQRT)
+    // can be off by one ulp either way, so both neighbors are checked
+    val sbk = seeds.groupBy("bucket").agg(count(lit(1)).as("k"))
+      .withColumn("z0",
+        expr("CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sb", expr(
+        "LEAST(CASE WHEN z0 > 1 AND (z0 - 1) * (z0 - 1) >= k THEN z0 - 1 " +
+          "WHEN z0 * z0 >= k THEN z0 ELSE z0 + 1 END, 256L)"))
+      .select("bucket", "sb")
+    // the bounded collect: per-bucket supers, Σ_b ⌈√k_b⌉ rows
+    val superRows = seeds.join(sbk.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .filter(col("j") % col("sb") === 0)
+      .selectExpr("bucket", "cid", "cv")
+      .orderBy("bucket", "cid").collect()
+    TrainedBuildStats.lastRoute = "lsh-dist"
+    TrainedBuildStats.lastDriverSeeds = superRows.length
+    val superMap: Map[Long, (Array[Long], Array[Array[Long]])] =
+      superRows.groupBy(_.getLong(0)).map { case (b, rows) =>
+        // ascending sid order — the collect's ORDER BY; the kernel's
+        // strict-< scan then ties to the smallest id
+        b -> (rows.map(_.getLong(1)), rows.map(_.getSeq[Long](2).toArray))
+      }
+    val bcS = s.sparkContext.broadcast(superMap)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fnS = s"graft_lsh_super_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnS,
+      exprs => graft.functions.BucketSuperArgminBroadcast(
+        bcS, exprs(0), exprs(1)),
+      "scala_udf")
+    val fnA = s"graft_lsh_block_argmin_$tag"
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(fnA,
+      exprs => graft.functions.ChildBlockArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+    val blocks = ScratchCache.scratch(seeds
+      .selectExpr("bucket AS bbucket", "cid", "cv",
+        s"$fnS(bucket, cv) AS csuper")
+      .groupBy("bbucket", "csuper")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("block")))
+    // INNER join is total over the hot mass: a super is its own nearest
+    // super (supers ⊆ children of the same bucket), so every routed
+    // (bucket, rsuper) has a non-empty block
+    val hotCells = mem
+      .selectExpr("vec_id", "embedding", "n2", "bucket", "qv",
+        s"$fnS(bucket, qv) AS rsuper")
+      .join(blocks.hint("SHUFFLE_HASH"),
+        col("bucket") === col("bbucket") && col("rsuper") === col("csuper"))
+      .selectExpr("vec_id", "embedding", "n2", "bucket",
+        s"$fnA(qv, block) AS cell")
+    val cold = e.join(hotB.hint("SHUFFLE_HASH"), Seq("bucket"), "left_anti")
+      .selectExpr("vec_id", "embedding", "n2", "bucket",
+        "CAST(-1 AS BIGINT) AS cell")
+    val out = ScratchCache.scratch(hotCells.unionByName(cold)
+      .repartition(col("bucket"), col("cell")))
+    Seq(fnS, fnA).foreach(f =>
+      s.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     out
   }
 
