@@ -493,6 +493,22 @@ object AnnClusteredStress {
         2.0 * l3Supers / l3DriverSeeds +
         2.0 * l3Beam * l3Children / l3Supers
 
+      // the ANN FACADE (r11, q_ann_index_auto): force the cell cap so
+      // the route law picks the L3 arm on THIS corpus and assert the
+      // facade delivered exactly the L3 book's frame — the crossover a
+      // 3×10⁹-row user previously had to know to take by hand
+      spark.conf.set(ops.SimilarityQueries.AnnCellCapKey, "1")
+      val annAuto = ops.SimilarityQueries.annIndex(spark, dir,
+        probe2 = true)
+      val annAutoBook = ops.SimilarityQueries.AnnIndexStats.lastBook
+      val annAutoDiff = l3
+        .selectExpr("vec_id", "cell AS f1", "cell2 AS f21")
+        .join(annAuto.selectExpr(
+          "vec_id", "cell AS f2", "cell2 AS f22"), "vec_id")
+        .filter("f1 <> f2 OR f21 <> f22").count() +
+        math.abs(annAuto.count() - n)
+      spark.conf.unset(ops.SimilarityQueries.AnnCellCapKey)
+
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
       // now measured under the SAME density skew as the quantizers —
@@ -620,6 +636,8 @@ object AnnClusteredStress {
           s""""lsh_switch_route":"$lshSwitchRoute",""" +
           f""""lsh_switch_driver_seeds":$lshSwitchSeeds,""" +
           f""""lsh_switch_cell_diff":$lshSwitchDiff,""" +
+          s""""ann_auto_book":"$annAutoBook",""" +
+          f""""ann_auto_cell_diff":$annAutoDiff,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -693,11 +711,14 @@ object AnnClusteredStress {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
       massOf("lsh_switch_cell_diff").collect {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("ann_auto_cell_diff").collect {
+        case (tag, d) if d != 0.0 => tag }.toSeq ++
       rows.collect {
         case r if !r.json.contains(""""switch_route":"dist"""") ||
           !r.json.contains(""""sem_switch_route":"dist"""") ||
           !r.json.contains(""""adp_switch_route":"dist"""") ||
-          !r.json.contains(""""lsh_switch_route":"lsh-dist"""") => r.tag })
+          !r.json.contains(""""lsh_switch_route":"lsh-dist"""") ||
+          !r.json.contains(""""ann_auto_book":"l3"""") => r.tag })
       .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
