@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * decoded by partition-local batched workers.
   *
-  * The Spark-side mechanics here are real and tested — schema, partition
-  * sizing, batch shape, typed feature output. The actual media decode is
-  * STUBBED behind `decodeStub` (this container has no image/audio codecs):
-  * a deterministic fake that derives "features" from the bytes, so tests
-  * are reproducible. Swapping in a real decoder is a one-function change;
-  * everything around it (the expensive part at 100 TB) stays.
+  * The IMAGE path runs a REAL codec end to end (r11): [[synthPng]]
+  * encodes deterministic PNGs through JVM ImageIO (zero new deps —
+  * headless `javax.imageio` ships with the JDK), [[decodeImage]] reads
+  * them back partition-local, and the declared queries
+  * (q_multimodal_decode / q_multimodal_ingest_png) gate the round trip
+  * against a DuckDB oracle that computes the expected dims and channel
+  * sums from the generator's integer formulas — the codec must recover
+  * them exactly (PNG is lossless). Only the AUDIO path keeps the
+  * deterministic byte-arithmetic stub (`decodeStub` — this container
+  * has no audio codecs); swapping a real resampler in is the same
+  * one-function change the image path already took.
   *
   * Scale design:
   *  - payloads stay opaque `BinaryType` end to end — never stringified,
@@ -43,9 +48,103 @@ object BinaryPipeline {
     StructField("fake_height", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB decoder — deterministic fake features from payload bytes.
-    * Replace with a real codec (image resize / audio resample / video
-    * frame-sample) without touching the surrounding plumbing. */
+  // ImageIO on a display-less executor needs headless AWT; local-mode
+  // test JVMs inherit no -Djava.awt.headless, so default it here (a
+  // user-set value wins)
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
+
+  /** Typed output of the REAL image decode: dims + per-channel pixel
+    * sums — the fixed-width stats a curation filter consumes (aspect /
+    * brightness gates). */
+  val imageStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("r_sum", LongType, nullable = false),
+    StructField("g_sum", LongType, nullable = false),
+    StructField("b_sum", LongType, nullable = false)))
+
+  /** Deterministic PNG synthesis — the ENCODE side of the real-codec
+    * round trip. Dims and per-pixel RGB are integer formulas of
+    * (id, x, y), so the DuckDB oracle computes the expected stats with
+    * arithmetic while the engine must recover them from actual PNG
+    * bytes: any encode/decode defect (channel order, row stride,
+    * premultiplication, truncation) breaks the hash-exact compare. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 24).toInt
+    val h = 8 + (id % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val r = ((id + x + y) % 256).toInt
+        val g = ((id + 2 * x + 3 * y + 7) % 256).toInt
+        val b = ((3 * id + 5 * x + 11 * y + 13) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: ImageIO over the opaque payload → dims +
+    * channel sums. Partition-local; never sees the driver. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "decodeImage: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff
+        gs += (p >> 8) & 0xff
+        bs += p & 0xff
+        y += 1
+      }
+      x += 1
+    }
+    (w, h, rs, gs, bs)
+  }
+
+  /** PNG media table: one REAL payload per document id, encoded
+    * partition-local (the fixture set ships no media files; production
+    * replaces this table with its ingested corpus and everything
+    * downstream is unchanged). */
+  def mediaPng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthPng(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Partition-local batched REAL decode: binary in, typed stats out —
+    * the decodeFeatures shape with the codec genuine. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageStatSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rs, gs, bs) = decodeImage(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), w, h, rs, gs, bs)
+      }
+    }(enc)
+  }
+
+  /** STUB decoder — deterministic fake features from payload bytes;
+    * since r11 only the AUDIO path uses it (no audio codec in this
+    * container). Replace with a real resampler without touching the
+    * surrounding plumbing, as [[decodeImage]] did for images. */
   private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val feat = new Array[Float](8)
@@ -75,13 +174,14 @@ object BinaryPipeline {
     }
   }
 
-  /** Build a media table from `documents` (text bytes standing in for an
-    * image/audio payload — the fixture set carries no real media). */
+  /** Build a media table from `documents` (text bytes standing in for
+    * an AUDIO payload — the one modality still on the stub; images get
+    * real PNGs via [[mediaPng]]). */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
-        lit("image").as("kind"),
+        lit("audio").as("kind"),
         col("text").cast(BinaryType).as("payload"),
         col("source").as("meta_source"))
 
@@ -100,6 +200,27 @@ object BinaryPipeline {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_hash")
   }
+
+  /** 8-byte big-endian id framing for container transport — the
+    * in-band id the graft-binrec ingest path carries (binary-safe,
+    * unlike a text separator: PNG bytes are arbitrary). */
+  def frameId(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length + 8)
+    var i = 0
+    while (i < 8) { out(i) = ((id >>> (56 - 8 * i)) & 0xffL).toByte; i += 1 }
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  def unframeId(v: Array[Byte]): Long = {
+    var id = 0L
+    var i = 0
+    while (i < 8) { id = (id << 8) | (v(i) & 0xffL); i += 1 }
+    id
+  }
+
+  def unframePayload(v: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(v, 8, v.length)
 
   /** Partition-local batched decode: binary in, fixed-width features out. */
   def decodeFeatures(media: DataFrame): DataFrame = {

@@ -99,8 +99,77 @@ object MultimodalQueries {
            |ORDER BY sig""".stripMargin
       }),
 
-    "q_multimodal_ingest" -> ingestDef
+    "q_multimodal_ingest" -> ingestDef,
+
+    // REAL CODEC ROUND TRIP (r11): deterministic PNGs are ENCODED with
+    // JVM ImageIO (one payload per doc id, partition-local), carried as
+    // an opaque binary column, and DECODED back partition-local to
+    // dims + per-channel pixel sums. The oracle computes the EXPECTED
+    // stats from the generator's integer formulas — never touching a
+    // codec — so any encode/decode defect (channel order, row stride,
+    // truncation) breaks the hash-exact compare. PNG is lossless, so
+    // exact equality is the contract, not a tolerance. At 100 TB the
+    // per-row cost is the decode itself; payloads never shuffle (stats
+    // are computed where the bytes sit; only the fixed-width stats
+    // rows move into the ORDER BY).
+    "q_multimodal_decode" -> QueryDef(
+      (s, d) => graft.multimodal.BinaryPipeline
+        .imageStats(graft.multimodal.BinaryPipeline.mediaPng(s, d))
+        .orderBy("media_id"),
+      pngStatsSql),
+
+    // The real-codec INGEST: PNG payloads framed with an 8-byte
+    // big-endian id travel the splittable graft-binrec container
+    // (write → byte-range split read), then decode to stats — the full
+    // production media path (container → split → real decode) with
+    // ARBITRARY payload bytes exercising the container's sync-marker
+    // repair (the text-framed q_multimodal_ingest could not: '|'
+    // separators need ASCII). Same oracle: the round trip must be
+    // invisible.
+    "q_multimodal_ingest_png" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val out =
+          s"${graft.ProcScratch.base}/mm/png_${new java.io.File(d).getName}"
+        graft.multimodal.BinaryPipeline.mediaPng(s, d)
+          .select("media_id", "payload").as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) =>
+            Tuple1(graft.multimodal.BinaryPipeline.frameId(id, p))
+          })
+          .toDF("value")
+          .write.mode("overwrite").option("syncIntervalBytes", "2048")
+          .format("graft-binrec").save(out)
+        val media = s.read.format("graft-binrec")
+          .option("splitSize", "8192").load(out)
+          .select("value").as[Array[Byte]]
+          .mapPartitions(_.map(v =>
+            (graft.multimodal.BinaryPipeline.unframeId(v),
+              graft.multimodal.BinaryPipeline.unframePayload(v))))
+          .toDF("media_id", "payload")
+        graft.multimodal.BinaryPipeline.imageStats(media).orderBy("media_id")
+      },
+      pngStatsSql)
   )
+
+  /** DuckDB oracle of the PNG stats queries: the synthPng generator's
+    * integer formulas evaluated arithmetically — w = 8 + id%24,
+    * h = 8 + id%16, channel(x, y) = affine(id, x, y) % 256 — summed
+    * over the pixel grid with list folds. Shared by q_multimodal_decode
+    * and q_multimodal_ingest_png (the container round trip must be
+    * invisible). */
+  private def pngStatsSql: String = {
+    def chanSum(body: String): String =
+      "CAST(list_sum(flatten(list_transform(range(0, 8 + doc_id % 24), " +
+        s"x -> list_transform(range(0, 8 + doc_id % 16), y -> $body)))) " +
+        "AS BIGINT)"
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8 + doc_id % 24 AS INT) AS width,
+       |  CAST(8 + doc_id % 16 AS INT) AS height,
+       |  ${chanSum("(doc_id + x + y) % 256")} AS r_sum,
+       |  ${chanSum("(doc_id + 2*x + 3*y + 7) % 256")} AS g_sum,
+       |  ${chanSum("(3*doc_id + 5*x + 11*y + 13) % 256")} AS b_sum
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
 
   /** END-TO-END MULTIMODAL INGEST: media payloads travel through the
     * splittable binary container (graft-binrec write → byte-range

@@ -37,6 +37,37 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a.forall(r => r.getLong(2) == nChars(r.getLong(0))))
   }
+
+  test("REAL image codec: ImageIO decode recovers the generator's pixels exactly") {
+    // the declared queries gate this against DuckDB; here the law is
+    // pinned locally across ids (PNG is lossless — exact, no tolerance)
+    for (id <- Seq(0L, 1L, 42L, 499L, 123456789L)) {
+      val (w, h, rs, gs, bs) =
+        BinaryPipeline.decodeImage(BinaryPipeline.synthPng(id))
+      assert(w === 8 + (id % 24).toInt)
+      assert(h === 8 + (id % 16).toInt)
+      var (ers, egs, ebs) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        ers += (id + x + y) % 256
+        egs += (id + 2 * x + 3 * y + 7) % 256
+        ebs += (3 * id + 5 * x + 11 * y + 13) % 256
+      }
+      assert((rs, gs, bs) === ((ers, egs, ebs)), s"id=$id channel sums")
+    }
+    // a non-image payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      BinaryPipeline.decodeImage("not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("id framing is binary-safe and lossless") {
+    val payload = Array.tabulate(300)(i => (i * 31 % 256).toByte)
+    for (id <- Seq(0L, 1L, Long.MaxValue, 0x0102030405060708L)) {
+      val framed = BinaryPipeline.frameId(id, payload)
+      assert(BinaryPipeline.unframeId(framed) === id)
+      assert(BinaryPipeline.unframePayload(framed).toSeq === payload.toSeq)
+    }
+  }
 }
 
 /** Structured Streaming: batch/stream window parity on the fixture. */
