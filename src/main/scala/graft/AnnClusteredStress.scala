@@ -493,6 +493,23 @@ object AnnClusteredStress {
         2.0 * l3Supers / l3DriverSeeds +
         2.0 * l3Beam * l3Children / l3Supers
 
+      // L3 SERVED-INDEX parity (r11, q_ann_incremental_l3 /
+      // q_stream_ann_ingest_l3): the incremental-training book (LCG
+      // children + rank-strided supers/grands over the existing 90% of
+      // rows, arrivals frozen out) must keep every row through its
+      // inner joins and hold recall near the full L3 book — training
+      // on 9/10 of the corpus should cost little
+      val l3i = ops.SimilarityQueries.trainedCellsL3Inc(spark, dir,
+        "vec_id % 10 <> 0")
+      val l3iRowsLost = math.abs(l3i.count() - n)
+      val l3iQ = l3i.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
+          "cell AS probe")
+      val l3iCand = l3i.selectExpr("vec_id AS neighbor_id",
+        "embedding AS ce", "n2 AS cn2", "cell AS ccell")
+      val l3iGot = top3(l3iQ.join(l3iCand, col("probe") === col("ccell")))
+      val l3iR1 = (truth & l3iGot).size.toDouble / truth.size
+
       // the ANN FACADE (r11, q_ann_index_auto): force the cell cap so
       // the route law picks the L3 arm on THIS corpus and assert the
       // facade delivered exactly the L3 book's frame — the crossover a
@@ -638,6 +655,8 @@ object AnnClusteredStress {
           f""""lsh_switch_cell_diff":$lshSwitchDiff,""" +
           s""""ann_auto_book":"$annAutoBook",""" +
           f""""ann_auto_cell_diff":$annAutoDiff,""" +
+          f""""l3_inc_recall3_probe1":$l3iR1%.3f,""" +
+          f""""l3_inc_rows_lost":$l3iRowsLost,""" +
           f""""neardup_truth_pairs":${ndTruth.size},""" +
           f""""neardup_retention_lsh":$retLsh%.3f,""" +
           f""""neardup_retention_adaptive":$retRef%.3f,""" +
@@ -695,11 +714,19 @@ object AnnClusteredStress {
     // inner-join drop = broken subset invariant), and its coarser
     // routing must hold at least L3RecallShare of the two-level
     // probe1 recall on the same corpus at every scale
-    val l3Lost = massOf("l3_rows_lost").collect {
-      case (tag, d) if d != 0.0 => tag }.toSeq.sorted
+    val l3Lost = (massOf("l3_rows_lost").collect {
+      case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("l3_inc_rows_lost").collect {
+        case (tag, d) if d != 0.0 => s"$tag(inc)" }.toSeq).sorted
     val balR1ByTag = massOf("trained_recall3_probe1")
     val l3RecallBreach = massOf("l3_recall3_probe2").collect {
       case (tag, r) if r < L3RecallShare * balR1ByTag(tag) => tag }
+      .toSeq.sorted
+    // the served L3 book (trained on 9/10 of the rows) must hold the
+    // same recall share vs the FULL L3 book's probe1
+    val l3R1ByTag = massOf("l3_recall3_probe1")
+    val l3IncBreach = massOf("l3_inc_recall3_probe1").collect {
+      case (tag, r) if r < L3RecallShare * l3R1ByTag(tag) => tag }
       .toSeq.sorted
     // the r10 switch gate: at every scale the forced-budget build must
     // have actually taken the dist route AND agreed on every probe col
@@ -756,6 +783,8 @@ object AnnClusteredStress {
         s""""l3_rows_lost_nonzero":${l3Lost.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""l3_recall_below_share":${l3RecallBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""l3_inc_recall_below_share":${l3IncBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""switch_gate_breach":${switchBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +

@@ -861,11 +861,62 @@ object SimilarityQueries {
       probe2: Boolean = false): DataFrame = {
     val n = v.count()
     val (sc, ss, gs) = trainedStridesL3(n)
-    val grandSeeds = v.filter(expr(s"vec_id % $gs = 0"))
-      .selectExpr("vec_id", "qv").orderBy("vec_id").collect()
+    trainedCellsL3Build(s, v,
+      v.filter(expr(s"vec_id % $gs = 0")).selectExpr("vec_id", "qv"),
+      v.filter(expr(s"vec_id % $ss = 0")).selectExpr("vec_id", "qv"),
+      v.filter(expr(s"vec_id % $sc = 0")).selectExpr("vec_id", "qv"),
+      probe2)
+  }
+
+  /** INCREMENTAL-training L3 build — the served-index variant: the
+    * codebook trains on the sub-corpus `seedWhere` selects (the
+    * existing rows; arrivals must not shift a served book — the
+    * q_ann_incremental_trained contract, applied to the three-level
+    * family) while EVERY row still routes through it. Seed selection
+    * under a filter follows [[trainedCells]]' filtered-mode rule one
+    * level deeper: children by an LCG-MIXED stride (raw moduli are
+    * unsound under a correlated filter — measured on the two-level
+    * family), then RANK-strided supers and grands (every tb-th child,
+    * every tb-th super, tb = min z: z³ ≥ k) — rank 0 is always
+    * selected, so non-empty children guarantee non-empty supers AND
+    * grands, where an LCG modulus at the grand stride would select
+    * ~n/gs ≈ 2 rows and can go empty at fixture scale. The rank
+    * windows run over the ~k = ⌈n/125⌉ SEED rows only (never the
+    * corpus), the same O(c) the oracle's ROW_NUMBER chain sorts; the
+    * driver still holds only the ≈ k^(1/3) grands. */
+  private[graft] def trainedCellsL3Inc(s: SparkSession, d: String,
+      seedWhere: String, probe2: Boolean = false): DataFrame = {
+    val v = trainedVecs(s, d)
+    val sub = v.filter(expr(seedWhere))
+    val n = sub.count()
+    val c = adaptiveCellsL3(n)
+    val scInc = math.max(1L, n / c)
+    val childSrc = ScratchCache.scratch(sub.filter(expr(
+        s"(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648) " +
+          s"% $scInc = 0"))
+      .selectExpr("vec_id", "qv"))
+    val k = childSrc.count()
+    require(k > 0,
+      s"trainedCellsL3Inc: no child seeds (n=$n, sc=$scInc, " +
+        s"seedWhere=$seedWhere) — widen seedWhere")
+    val tb = (1 to 4096).find(z => z.toLong * z * z >= k).getOrElse(4096)
+    val wj = Window.orderBy("vec_id")
+    val superSrc = ScratchCache.scratch(childSrc
+      .withColumn("j", row_number().over(wj) - 1)
+      .filter(col("j") % tb === 0).selectExpr("vec_id", "qv"))
+    val grandSrc = superSrc
+      .withColumn("j2", row_number().over(wj) - 1)
+      .filter(col("j2") % tb === 0).selectExpr("vec_id", "qv")
+    trainedCellsL3Build(s, v, grandSrc, superSrc, childSrc, probe2)
+  }
+
+  private def trainedCellsL3Build(s: SparkSession, v: DataFrame,
+      grandSrc: DataFrame, superSrc: DataFrame, childSrc: DataFrame,
+      probe2: Boolean): DataFrame = {
+    val grandSeeds = grandSrc
+      .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    require(grandSeeds.nonEmpty,
-      s"trainedCellsL3: no grand seeds (n=$n, gs=$gs)")
+    require(grandSeeds.nonEmpty, "trainedCellsL3: no grand seeds")
     TrainedBuildStats.lastRoute = "dist3"
     TrainedBuildStats.lastDriverSeeds = grandSeeds.length
     val bcG = s.sparkContext.broadcast(
@@ -897,14 +948,14 @@ object SimilarityQueries {
     // isnotnull(kernel(...)) filter that re-evaluates the routing per
     // row (the r09 plan-audit catch on the two-level dist build)
     val sblocks = graft.ScratchCache.scratch(
-      v.filter(expr(s"vec_id % $ss = 0"))
+      superSrc
         .selectExpr("vec_id AS sid", "qv AS sv")
         .selectExpr("sid", "sv", s"coalesce($fnG(sv), -1L) AS sgrand")
         .groupBy("sgrand")
         .agg(sort_array(collect_list(struct(col("sid"), col("sv"))))
           .as("sblock")))
     val cblocks = graft.ScratchCache.scratch(
-      v.filter(expr(s"vec_id % $sc = 0"))
+      childSrc
         .selectExpr("vec_id AS cid", "qv AS cv")
         .selectExpr("cid", "cv", s"coalesce($fnG(cv), -1L) AS cgrand")
         .join(sblocks.hint("SHUFFLE_HASH"), col("cgrand") === col("sgrand"))
@@ -976,28 +1027,60 @@ object SimilarityQueries {
     * `ROW_NUMBER() OVER (ORDER BY dist2, id)` and the child/row
     * descents JOIN on the parent assignment — never a flat argmin —
     * exactly the tree the engine's blocks encode. */
-  private def duckTrainedL3Cte: String = {
+  private def duckTrainedL3Cte: String = duckTrainedL3CteW("TRUE")
+
+  /** [[duckTrainedL3Cte]] with the seed CTEs parameterized on a
+    * training filter `w` — the oracle twin of [[trainedCellsL3Inc]]'s
+    * filtered mode: knobs sized on the sub-corpus, children by the
+    * LCG-mixed stride, supers/grands by the tb-rank stride
+    * (tb = min z: z³ ≥ k). The descent chain below the seeds is
+    * byte-identical in both modes. */
+  private def duckTrainedL3CteW(w: String): String = {
     val d = DuckSql
     val q = d.quantVec("embedding", 1000000L)
     val cellsW = s"GREATEST(16, LEAST($CellCapL3, " +
-      "((SELECT count(*) FROM embeddings) + 124) // 125))"
-    s"""l3k AS (
-       |  SELECT sc, sc * ssm AS ss, sc * ssm * t AS gs FROM (
-       |    SELECT GREATEST(1, n // c) AS sc,
-       |      GREATEST(1, (c + t * t - 1) // (t * t)) AS ssm, t
-       |    FROM (SELECT ($cellsW) AS c,
-       |        (SELECT count(*) FROM embeddings) AS n,
-       |        (SELECT min(z) FROM (SELECT unnest(range(1, 4097)) AS z) tz
-       |          WHERE z * z * z >= ($cellsW)) AS t) l3k0) l3k1),
-       |l3v AS (SELECT vec_id, embedding,
-       |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
-       |  FROM embeddings),
-       |l3g AS (SELECT vec_id AS gid, qv AS gv FROM l3v, l3k
-       |  WHERE vec_id % gs = 0),
-       |l3s AS (SELECT vec_id AS sid, qv AS sv FROM l3v, l3k
-       |  WHERE vec_id % ss = 0),
-       |l3c AS (SELECT vec_id AS cid, qv AS cv FROM l3v, l3k
-       |  WHERE vec_id % sc = 0),
+      s"((SELECT count(*) FROM embeddings WHERE $w) + 124) // 125))"
+    val seedCtes = if (w == "TRUE")
+      s"""l3k AS (
+         |  SELECT sc, sc * ssm AS ss, sc * ssm * t AS gs FROM (
+         |    SELECT GREATEST(1, n // c) AS sc,
+         |      GREATEST(1, (c + t * t - 1) // (t * t)) AS ssm, t
+         |    FROM (SELECT ($cellsW) AS c,
+         |        (SELECT count(*) FROM embeddings) AS n,
+         |        (SELECT min(z) FROM (SELECT unnest(range(1, 4097)) AS z) tz
+         |          WHERE z * z * z >= ($cellsW)) AS t) l3k0) l3k1),
+         |l3v AS (SELECT vec_id, embedding,
+         |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
+         |  FROM embeddings),
+         |l3g AS (SELECT vec_id AS gid, qv AS gv FROM l3v, l3k
+         |  WHERE vec_id % gs = 0),
+         |l3s AS (SELECT vec_id AS sid, qv AS sv FROM l3v, l3k
+         |  WHERE vec_id % ss = 0),
+         |l3c AS (SELECT vec_id AS cid, qv AS cv FROM l3v, l3k
+         |  WHERE vec_id % sc = 0),""".stripMargin
+    else
+      s"""l3k AS (SELECT GREATEST(1, n // c) AS sc FROM (
+         |    SELECT ($cellsW) AS c,
+         |      (SELECT count(*) FROM embeddings WHERE $w) AS n) l3k0),
+         |l3v AS (SELECT vec_id, embedding,
+         |    ${d.dotDbl("embedding", "embedding")} AS n2, $q AS qv
+         |  FROM embeddings),
+         |l3c0 AS (SELECT vec_id AS cid, qv AS cv,
+         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+         |  FROM l3v, l3k
+         |  WHERE (((vec_id % 2147483648) * 1103515245 + 12345)
+         |      % 2147483648) % sc = 0 AND ($w)),
+         |l3c AS (SELECT cid, cv FROM l3c0),
+         |l3tb AS (SELECT COALESCE((SELECT min(z) FROM
+         |    (SELECT unnest(range(1, 4097)) AS z) tz
+         |    WHERE z * z * z >= (SELECT count(*) FROM l3c0)), 4096) AS tb),
+         |l3s0 AS (SELECT cid AS sid, cv AS sv,
+         |    ROW_NUMBER() OVER (ORDER BY cid) - 1 AS j2
+         |  FROM l3c0, l3tb WHERE j % tb = 0),
+         |l3s AS (SELECT sid, sv FROM l3s0),
+         |l3g AS (SELECT sid AS gid, sv AS gv FROM l3s0, l3tb
+         |  WHERE j2 % tb = 0),""".stripMargin
+    s"""$seedCtes
        |l3sg AS (SELECT sid, sv, gid AS sgrand FROM (
        |    SELECT s.sid, s.sv, g.gid, ROW_NUMBER() OVER (PARTITION BY s.sid
        |      ORDER BY ${d.dist2Big("s.sv", "g.gv")}, g.gid) AS rn
@@ -1262,6 +1345,22 @@ object SimilarityQueries {
   /** Oracle shared by q_ann_incremental_trained and q_stream_ann_ingest
     * — the streaming ingest's appended union must EQUAL the one-shot
     * batch probe (micro-batch composition is the claim under test). */
+  /** Oracle of the L3 incremental/serving family — frozen
+    * filtered-training book ([[duckTrainedL3CteW]]), arrivals probe
+    * existing rows only. Shared by q_ann_incremental_l3 and
+    * q_stream_ann_ingest_l3 (key-disjoint batches make the streamed
+    * union equal the one-shot query). */
+  private def duckIncrementalL3Sql: String =
+    s"""WITH ${duckTrainedL3CteW("vec_id % 10 <> 0")}
+       |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS arrival_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
+       |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+       |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
+
   private def duckIncrementalTrainedSql: String =
     s"""WITH ${duckTrainedEbCteW("vec_id % 10 <> 0")}
        |SELECT arrival_id, neighbor_id, cell, cosine, rn FROM (
@@ -2695,6 +2794,149 @@ object SimilarityQueries {
          |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
          |  FROM tprobes q JOIN ebl3p c ON q.cell = c.cell
          |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
+    // L3 SERVED-INDEX PARITY (r11): the 10⁹+-row regime the L3 book
+    // exists for gets the same serving surface the two-level book has.
+    // Incremental first — the codebook trains on the EXISTING corpus
+    // only ([[trainedCellsL3Inc]]: LCG-mixed child seeds + rank-strided
+    // supers/grands, the filtered-training rule one level deeper);
+    // arrivals route through the frozen book and probe only existing
+    // rows. Per-batch cost ∝ batch size, identical serving contract to
+    // q_ann_incremental_trained.
+    "q_ann_incremental_l3" -> QueryDef(
+      (s, d) => {
+        val e = trainedCellsL3Inc(s, d, "vec_id % 10 <> 0")
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .selectExpr("vec_id AS arrival_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+            "n2 AS cn2", "cell")
+        val w = Window.partitionBy("arrival_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .selectExpr("arrival_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("arrival_id", "rn")
+      },
+      duckIncrementalL3Sql),
+
+    // STREAMING ingest on the served L3 index — q_stream_ann_ingest's
+    // micro-batch semantics (served table partitioned by cell, arrival
+    // file stream, per-batch home-cell-pruned probe, append) with the
+    // THREE-level book underneath. Arrival batches are key-disjoint,
+    // so the appended union equals the one-shot batch query: same
+    // oracle as q_ann_incremental_l3.
+    "q_stream_ann_ingest_l3" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/stream_ann_l3/$tag"
+        val watch = s"$root/_arrivals"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val e = trainedCellsL3Inc(s, d, "vec_id % 10 <> 0")
+        e.filter(col("vec_id") % 10 =!= 0)
+          .select("vec_id", "embedding", "n2", "cell")
+          .write.partitionBy("cell").parquet(s"$root/corpus")
+        val arrivals = e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding", "n2", "cell").persist()
+        (0 until 3).foreach { i =>
+          val tmp = s"$root/_arr_stage/$i"
+          arrivals.filter(expr(s"(vec_id div 10) % 3 = $i")).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
+          fs.rename(part,
+            new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
+        }
+        arrivals.unpersist()
+        val arrSchema = s.read.parquet(watch).schema
+        val q = s.readStream.schema(arrSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+          .writeStream
+          .option("checkpointLocation", s"$root/_checkpoint")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cells = batch.select("cell").distinct()
+              .collect().map(_.getLong(0))
+            val corpus = s.read.parquet(s"$root/corpus")
+              .withColumn("cell", col("cell").cast("long"))
+              .filter(col("cell").isin(cells: _*))
+              .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+                "n2 AS cn2", "cell")
+            val probes = batch.selectExpr("vec_id AS arrival_id",
+              "embedding AS qe", "n2 AS qn2", "cell")
+            val w = Window.partitionBy("arrival_id")
+              .orderBy(col("cosine").desc, col("neighbor_id"))
+            probes.join(corpus, Seq("cell"))
+              .selectExpr("arrival_id", "neighbor_id", "cell",
+                "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= 3)
+              .write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out").orderBy("arrival_id", "rn")
+      },
+      duckIncrementalL3Sql),
+
+    // DELETES on the served L3 index — q_ann_delete's contract
+    // (versioned KeyedTable, anti-join mergeDelta, manifest-aware
+    // compact; post-delete probe ≡ probe of a never-inserted corpus,
+    // the FAISS remove_ids semantics) with the three-level book: the
+    // full-corpus codebook stays frozen (deletion drops rows, it does
+    // not retrain), so the oracle computes the full-corpus L3 cells
+    // with the search restricted to survivors.
+    "q_ann_delete_l3" -> QueryDef(
+      (s, d) => {
+        val tag = new java.io.File(d).getName
+        val root = s"${graft.ProcScratch.base}/ann_delete_l3/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val e = trainedCellsL3(s, d)
+        graft.sources.KeyedTable.write(s, root, "annidx",
+          e.select("vec_id", "embedding", "n2", "cell"), "vec_id", 8)
+        val deletes = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+        graft.sources.KeyedTable.mergeDelta(s, root, "annidx",
+          deletes, "vec_id") { (cur, ch) =>
+          cur.join(ch.select("vec_id"), Seq("vec_id"), "left_anti")
+        }
+        graft.sources.KeyedTable.compact(s, root, "annidx", "vec_id", 100000L)
+        val idx = graft.sources.KeyedTable.read(s, root, "annidx")
+        val q = idx.filter(col("vec_id") % 10 === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "cell")
+        val c = idx.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        q.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedL3Cte
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
+         |    AND c.vec_id % 7 <> 0
          |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 
     // Trained IVF with nprobe=2 — the recall knob on the CLUSTERED-corpus
