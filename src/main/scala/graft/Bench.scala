@@ -18,9 +18,44 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Fixed-work single-thread spin — the ambient-load microprobe
+    * (r11, r10 verdict item 6): 3×10⁸ LCG steps take a fixed number
+    * of cycles, so the measured seconds move 1:1 with co-tenant CPU
+    * pressure. Median of 3 runs; recorded at suite start AND end so a
+    * round-over-round total comparison can cite measured host noise
+    * instead of inferring it from diff scope (the r10 1.19× ambient
+    * shift). The JIT cannot elide the loop: the accumulator escapes
+    * through the stderr guard. */
+  private def spinProbe(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var h = 1234567891011L
+      var i = 0
+      while (i < 300000000) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      if (h == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(once(), once(), once()).sorted.apply(1)
+  }
+
+  /** 1/5/15-minute load averages from /proc/loadavg ("-1" triple off
+    * Linux). */
+  private def loadAvg(): String =
+    try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Path.of("/proc/loadavg"))
+        .trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "[-1,-1,-1]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
+    val spinStart = spinProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -247,8 +282,17 @@ object Bench {
           } catch { case _: Throwable => "[]" }
         }.getOrElse("[]")
       }
+    // ambient-load record (r11): end-of-suite loadavg + the same
+    // fixed-work spin — stage_trend.py annotates round-over-round
+    // totals with the spin ratio so host noise is measured, not
+    // inferred from diff scope
+    val loadEnd = loadAvg()
+    val spinEnd = spinProbe()
+    val hostJson = f"""{"cpus":$cpus,"loadavg_start":$loadStart,""" +
+      f""""loadavg_end":$loadEnd,"spin_s_start":$spinStart%.3f,""" +
+      f""""spin_s_end":$spinEnd%.3f}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"skew_isolated":$skewIsoJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"skew_isolated":$skewIsoJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"host":$hostJson,"sf":"$sfDir"}"""
     Seq("BASELINE.md", "/root/repo/BASELINE.md")
       .map(new java.io.File(_)).find(_.exists())
       .map(_.getAbsoluteFile.getParentFile).foreach { repo =>

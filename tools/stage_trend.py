@@ -37,6 +37,30 @@ def main(old_path, new_path):
           f"added: {sorted(set(nq) - set(oq))}  "
           f"removed: {sorted(set(oq) - set(nq))}")
 
+    # ambient-load annotation (r11): the fixed-work spin probe moves
+    # 1:1 with co-tenant CPU pressure, so the spin ratio is the
+    # measured host-noise factor behind any uniform wall-time shift —
+    # cite it before reading per-query drift as regression.
+    oh, nh = old.get("host", {}), new.get("host", {})
+    if oh and nh:
+        o_spin = (oh.get("spin_s_start", 0) + oh.get("spin_s_end", 0)) / 2
+        n_spin = (nh.get("spin_s_start", 0) + nh.get("spin_s_end", 0)) / 2
+        if o_spin > 0 and n_spin > 0:
+            ratio = n_spin / o_spin
+            ot = sum(v for v in oq.values() if v > 0)
+            nt = sum(v for v in nq.values() if v > 0)
+            print(f"host load: spin probe {o_spin:.3f}s -> {n_spin:.3f}s "
+                  f"(x{ratio:.2f}); loadavg "
+                  f"{oh.get('loadavg_start')} -> {nh.get('loadavg_start')}; "
+                  f"suite total {ot:.1f}s -> {nt:.1f}s "
+                  f"(x{nt / ot:.2f} raw, x{nt / ot / ratio:.2f} "
+                  f"load-normalized)")
+    elif nh:
+        print(f"host load (new run only): spin "
+              f"{nh.get('spin_s_start')}s/{nh.get('spin_s_end')}s, "
+              f"loadavg {nh.get('loadavg_start')} -> "
+              f"{nh.get('loadavg_end')}")
+
     regressions = []
     for q in shared:
         if q in os_ and q in ns_:
