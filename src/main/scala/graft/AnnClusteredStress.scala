@@ -401,6 +401,24 @@ object AnnClusteredStress {
       }
       val pqErrFixed = adcRelErr(16)
       val pqErrAdaptive = if (kPq == 16) pqErrFixed else adcRelErr(kPq)
+      // RESIDUAL PQ on the trained-256 book (r11, q_ann_ivfpq_res256
+      // vs q_ann_ivfpq_trained256): within a cell r_q − r_x = q − x,
+      // so both paths estimate the SAME true distance — ADC rel-err
+      // measured on the identical sampled pairs; residuals concentrate
+      // around the cell centroid, so the same 256 codes should explain
+      // MORE of what the coarse quantizer did not (gated not-worse)
+      def relErr256(frame: DataFrame): Double =
+        ops.SimilarityQueries.pq256Est(spark, frame)
+          .join(pqTrue, Seq("query_id", "vec_id"))
+          .selectExpr("avg(abs(est_d2 - d2) / greatest(d2, 1)) AS e")
+          .head().getDouble(0)
+      val err256Raw = relErr256(vq)
+      val vr256 = vq
+        .join(vq.selectExpr("vec_id AS cell", "v AS cv")
+          .hint("SHUFFLE_HASH"), Seq("cell"))
+        .selectExpr("vec_id", "zip_with(v, cv, (a, b) -> a - b) AS v",
+          "cell")
+      val err256Res = relErr256(vr256)
       pqQcell.unpersist(); pqTrue.unpersist()
 
       // the DISTRIBUTED codebook build (q_ann_ivf_trained_dist): same
@@ -671,7 +689,9 @@ object AnnClusteredStress {
           f""""removal_recall_probe3":$remMp3%.3f,""" +
           f""""pq_codes_adaptive":$kPq,""" +
           f""""pq_adc_relerr_fixed":$pqErrFixed%.4f,""" +
-          f""""pq_adc_relerr_adaptive":$pqErrAdaptive%.4f}""")
+          f""""pq_adc_relerr_adaptive":$pqErrAdaptive%.4f,""" +
+          f""""pq256_adc_relerr_raw":$err256Raw%.4f,""" +
+          f""""pq256_adc_relerr_res":$err256Res%.4f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -708,6 +728,10 @@ object AnnClusteredStress {
     val errF = massOf("pq_adc_relerr_fixed")
     val pqBreach = massOf("pq_adc_relerr_adaptive").collect {
       case (tag, e) if e > errF(tag) => tag }.toSeq.sorted
+    // residual-256 must not quantize worse than raw-256 on the same book
+    val err256RawByTag = massOf("pq256_adc_relerr_raw")
+    val pqRes256Breach = massOf("pq256_adc_relerr_res").collect {
+      case (tag, e) if e > err256RawByTag(tag) => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     // the L3 gates: the three-level build must keep every row (an
@@ -774,6 +798,8 @@ object AnnClusteredStress {
         s""""removal_recall_below_floor":${remBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""pq_adaptive_worse":${pqBreach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""pq_res256_worse":${pqRes256Breach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""retention_below_floor":${retBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +

@@ -2024,6 +2024,115 @@ object SimilarityQueries {
        |$pqOracleTail""".stripMargin
   }
 
+  /** The 256-code bounded-sample PQ ESTIMATOR over a (vec_id, v, cell)
+    * frame — the body shared by q_ann_ivfpq_trained256 (raw quantized
+    * vectors) and q_ann_ivfpq_res256 (residuals wrt the trained coarse
+    * seed), and measured head-to-head in AnnClusteredStress. Returns
+    * (query_id, vec_id, est_d2) for the PqQueries sampled queries;
+    * [[pq256TopK]] adds the declared queries' top-K window. */
+  private[graft] def pq256Est(s: SparkSession, v0: DataFrame): DataFrame = {
+    val v = ScratchCache.scratch(v0)
+    val n = v.count()
+    val st = math.max(1L, (n + PqTrainCap - 1) / PqTrainCap)
+    val seedRows = v.filter(col("vec_id") < PqCodes256)
+      .select("vec_id", "v").collect().sortBy(_.getLong(0))
+    val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
+      (r.getLong(0).toInt,
+        r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
+    }
+    // ONE Lloyd round on the bounded sample. Assignment runs
+    // through the flat broadcast-argmin KERNEL (SuperArgminBroadcast
+    // — identical (d2, ascending-id) first-min law as the literal
+    // pqCidExpr and the oracle's a1 ROW_NUMBER), not a 256-entry
+    // literal expression: at k=256 the literal form is a ~40 KB
+    // Catalyst tree per subspace whose compile alone dominated the
+    // fixture wall (measured 12.7 s vs 3.1 s in DuckDB before the
+    // swap).
+    val sample = v.filter(expr(s"vec_id % $st = 0"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val seedFns = (0 until PqSubSpaces).map { ss =>
+      val sv = seeds(ss)
+      val bcS = s.sparkContext.broadcast(
+        (sv.map(_._1.toLong).toArray, sv.map(_._2.toArray).toArray))
+      val fn = s"graft_pq256_seed_${ss}_$tag"
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+        exprs => graft.functions.SuperArgminBroadcast(bcS, exprs(0)),
+        "scala_udf")
+      fn
+    }
+    val perSs = (0 until PqSubSpaces).map { ss =>
+      sample.selectExpr(
+          s"CAST(coalesce(${seedFns(ss)}(" +
+            s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)), -1L) " +
+            "AS INT) AS cid",
+          s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
+        .select(lit(ss).as("ss"), col("cid"),
+          posexplode(col("vs")).as(Seq("dim", "x")))
+    }
+    val c1 = perSs.reduce(_ unionByName _)
+      .groupBy("ss", "cid", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .selectExpr("ss", "cid", "dim", "sx div n AS c")
+      .collect()
+    val bookMap = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
+      ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    val book: Int => Seq[(Int, Seq[Long])] = bookMap(_)
+    // TWO-LEVEL routed encode: one broadcast book per subspace,
+    // same rank-strided supers + shared tie law as every trained
+    // codebook in this file (functions.Codebook)
+    val fns = (0 until PqSubSpaces).map { ss =>
+      val children = book(ss)
+        .map { case (cid, c) => cid.toLong -> c.toArray }.toArray
+      val sb = (1 to 256).find(z => z * z >= children.length)
+        .getOrElse(256)
+      val supers = children.zipWithIndex.collect {
+        case (c, j) if j % sb == 0 => c
+      }
+      val bc = s.sparkContext.broadcast(
+        graft.functions.Codebook.group(children, supers))
+      val fn = s"graft_pq256_${ss}_$tag"
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+        exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
+        "scala_udf")
+      fn
+    }
+    val codeCols = (0 until PqSubSpaces).map(ss =>
+      s"CAST(${fns(ss)}(slice(v, ${ss * PqSubDims + 1}, $PqSubDims)) " +
+        s"AS INT) AS code$ss")
+    val stackArgs = (0 until PqSubSpaces)
+      .map(ss => s"$ss, code$ss").mkString(", ")
+    val codes = v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
+      .select(col("vec_id"), col("cell"),
+        expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
+    val qdist = pqQdist(s, v, book)
+      .join(v.filter(col("vec_id") < PqQueries)
+        .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+    val est = codes.join(broadcast(qdist),
+        codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
+          codes("cell") === qdist("qcell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd2").as("est_d2"))
+    (seedFns ++ fns).foreach(f =>
+      s.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    est
+  }
+
+  /** Declared-query tail of the 256-code family: per-query top-K by
+    * (est_d2, neighbor_id). */
+  private def pq256TopK(est: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("est_d2").asc, col("vec_id").asc)
+    est.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // Brute-force cosine near-duplicate pairs.
     "q_dedup_embedding" -> QueryDef(
@@ -3277,109 +3386,62 @@ object SimilarityQueries {
     // q_ann_ivfpq_trained's ADC shape: same-cell candidates, 4
     // byte-code lookups each, broadcast lookup table.
     "q_ann_ivfpq_trained256" -> QueryDef(
-      (s, d) => {
-        val v = ScratchCache.scratch(trainedCells(s, d)
-          .selectExpr("vec_id",
-            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
-        val n = v.count()
-        val st = math.max(1L, (n + PqTrainCap - 1) / PqTrainCap)
-        val seedRows = v.filter(col("vec_id") < PqCodes256)
-          .select("vec_id", "v").collect().sortBy(_.getLong(0))
-        val seeds: Int => Seq[(Int, Seq[Long])] = ss => seedRows.toSeq.map { r =>
-          (r.getLong(0).toInt,
-            r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
-        }
-        // ONE Lloyd round on the bounded sample. Assignment runs
-        // through the flat broadcast-argmin KERNEL (SuperArgminBroadcast
-        // — identical (d2, ascending-id) first-min law as the literal
-        // pqCidExpr and the oracle's a1 ROW_NUMBER), not a 256-entry
-        // literal expression: at k=256 the literal form is a ~40 KB
-        // Catalyst tree per subspace whose compile alone dominated the
-        // fixture wall (measured 12.7 s vs 3.1 s in DuckDB before the
-        // swap).
-        val sample = v.filter(expr(s"vec_id % $st = 0"))
-        val tag = java.util.UUID.randomUUID().toString.take(8)
-        val seedFns = (0 until PqSubSpaces).map { ss =>
-          val sv = seeds(ss)
-          val bcS = s.sparkContext.broadcast(
-            (sv.map(_._1.toLong).toArray, sv.map(_._2.toArray).toArray))
-          val fn = s"graft_pq256_seed_${ss}_$tag"
-          s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
-            exprs => graft.functions.SuperArgminBroadcast(bcS, exprs(0)),
-            "scala_udf")
-          fn
-        }
-        val perSs = (0 until PqSubSpaces).map { ss =>
-          sample.selectExpr(
-              s"CAST(coalesce(${seedFns(ss)}(" +
-                s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims)), -1L) " +
-                "AS INT) AS cid",
-              s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
-            .select(lit(ss).as("ss"), col("cid"),
-              posexplode(col("vs")).as(Seq("dim", "x")))
-        }
-        val c1 = perSs.reduce(_ unionByName _)
-          .groupBy("ss", "cid", "dim")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-          .selectExpr("ss", "cid", "dim", "sx div n AS c")
-          .collect()
-        val bookMap = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
-          ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
-            cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
-          }.toSeq.sortBy(_._1)
-        }
-        val book: Int => Seq[(Int, Seq[Long])] = bookMap(_)
-        // TWO-LEVEL routed encode: one broadcast book per subspace,
-        // same rank-strided supers + shared tie law as every trained
-        // codebook in this file (functions.Codebook)
-        val fns = (0 until PqSubSpaces).map { ss =>
-          val children = book(ss)
-            .map { case (cid, c) => cid.toLong -> c.toArray }.toArray
-          val sb = (1 to 256).find(z => z * z >= children.length)
-            .getOrElse(256)
-          val supers = children.zipWithIndex.collect {
-            case (c, j) if j % sb == 0 => c
-          }
-          val bc = s.sparkContext.broadcast(
-            graft.functions.Codebook.group(children, supers))
-          val fn = s"graft_pq256_${ss}_$tag"
-          s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
-            exprs => graft.functions.TwoLevelArgminBroadcast(bc, exprs(0)),
-            "scala_udf")
-          fn
-        }
-        val codeCols = (0 until PqSubSpaces).map(ss =>
-          s"CAST(${fns(ss)}(slice(v, ${ss * PqSubDims + 1}, $PqSubDims)) " +
-            s"AS INT) AS code$ss")
-        val stackArgs = (0 until PqSubSpaces)
-          .map(ss => s"$ss, code$ss").mkString(", ")
-        val codes = v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
-          .select(col("vec_id"), col("cell"),
-            expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
-        val qdist = pqQdist(s, v, book)
-          .join(v.filter(col("vec_id") < PqQueries)
-            .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
-        val est = codes.join(broadcast(qdist),
-            codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
-              codes("cell") === qdist("qcell"))
-          .filter(col("query_id") =!= col("vec_id"))
-          .groupBy("query_id", "vec_id")
-          .agg(sum("qd2").as("est_d2"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("est_d2").asc, col("vec_id").asc)
-        val out = est.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= TopK)
-          .selectExpr("query_id", "vec_id AS neighbor_id", "est_d2", "rn")
-          .orderBy("query_id", "rn")
-        (seedFns ++ fns).foreach(f =>
-          s.sessionState.functionRegistry.dropFunction(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
-        out
-      },
+      (s, d) => pq256TopK(pq256Est(s, trainedCells(s, d)
+        .selectExpr("vec_id",
+          s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))),
       s"""WITH $duckTrainedEbCte,
          |v AS (
          |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
          |  FROM embeddings),
+         |$pqOracleTail256,
+         |est AS (
+         |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+         |  FROM codes k
+         |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+         |  JOIN eb ck ON ck.vec_id = k.vec_id
+         |  JOIN eb cq ON cq.vec_id = q.query_id
+         |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+         |  GROUP BY q.query_id, k.vec_id)
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // RESIDUAL encoding on the TRAINED-256 book (r11) — the FAISS
+    // production shape complete: IndexIVFPQ quantizes r = x −
+    // centroid(cell(x)) over the TRAINED coarse quantizer at k=256
+    // (Jégou et al. TPAMI'11 §IV; q_ann_ivfpq_res proved residuals on
+    // the fixture-fixed hash book, q_ann_ivfpq_trained256 proved the
+    // bounded-sample 256-code encode — this composes them). The
+    // trained coarse centroid IS the cell's seed vector (cell ids are
+    // corpus vec_ids), so the residual is one self-join on cell and
+    // stays a pure-BIGINT frame; within a cell r_q − r_x = q − x, so
+    // the ADC estimate targets the same true distance as the
+    // non-residual path and the two are directly comparable —
+    // AnnClusteredStress measures the rel-err cut at 10×/100× under a
+    // not-worse gate. Estimator, sample-bounded Lloyd round, two-level
+    // routed encode, and broadcast lookup are byte-shared ([[pq256Est]]).
+    "q_ann_ivfpq_res256" -> QueryDef(
+      (s, d) => {
+        val e = ScratchCache.scratch(trainedCells(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS qv", "cell"))
+        val vr = e
+          .join(e.selectExpr("vec_id AS cell", "qv AS cv")
+            .hint("SHUFFLE_HASH"), Seq("cell"))
+          .selectExpr("vec_id", "zip_with(qv, cv, (a, b) -> a - b) AS v",
+            "cell")
+        pq256TopK(pq256Est(s, vr))
+      },
+      s"""WITH $duckTrainedEbCte,
+         |v AS (
+         |  SELECT e.vec_id,
+         |    ${DuckSql.zipSubBig(
+            DuckSql.quantVec("e.embedding", 1000000L),
+            DuckSql.quantVec("t.embedding", 1000000L))} AS v
+         |  FROM eb e JOIN eb t ON t.vec_id = e.cell),
          |$pqOracleTail256,
          |est AS (
          |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
