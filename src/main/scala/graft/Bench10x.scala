@@ -152,7 +152,9 @@ object Bench10x {
       "q_ann_ivf_trained_probe3_dist",
       "q_ann_ivf_trained_l3", "q_ann_ivf_trained_l3_probe2",
       "q_ann_incremental_trained", "q_stream_ann_ingest", "q_ann_delete",
-      "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
+      "q_ann_incremental_l3", "q_stream_ann_ingest_l3", "q_ann_delete_l3",
+      "q_ann_index_auto", "q_ann_index_auto_l3",
+      "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256", "q_ann_ivfpq_res256",
       "q_ann_lsh_adaptive", "q_dedup_semantic", "q_dedup_semantic_mp",
       "q_dedup_embedding_probe2", "q_dedup_embedding_probe3",
       "q_dedup_embedding_adaptive", "q_dedup_semantic_adaptive")

@@ -69,8 +69,15 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_dedup_semantic_mp",
     "q_ann_incremental", "q_ann_incremental_trained",
     "q_stream_ann_ingest", "q_ann_delete",
+    // r11: the L3 serving surface, the facade, and the residual-256
+    // path scale-gated beside the books they ride
+    "q_ann_incremental_l3", "q_stream_ann_ingest_l3", "q_ann_delete_l3",
+    "q_ann_index_auto", "q_ann_index_auto_l3",
     "q_ann_ivfpq", "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
+    "q_ann_ivfpq_res256",
     "q_kmeans",
+    // r11: the real-codec multimodal path (decode cost ∝ rows)
+    "q_multimodal_decode", "q_multimodal_ingest_png",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
     "q_heavy_hitters", "q_contamination",
