@@ -26,7 +26,7 @@ object Bench {
     * instead of inferring it from diff scope (the r10 1.19× ambient
     * shift). The JIT cannot elide the loop: the accumulator escapes
     * through the stderr guard. */
-  private def spinProbe(): Double = {
+  private[graft] def spinProbe(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var h = 1234567891011L
@@ -43,7 +43,7 @@ object Bench {
 
   /** 1/5/15-minute load averages from /proc/loadavg ("-1" triple off
     * Linux). */
-  private def loadAvg(): String =
+  private[graft] def loadAvg(): String =
     try {
       val parts = java.nio.file.Files
         .readString(java.nio.file.Path.of("/proc/loadavg"))

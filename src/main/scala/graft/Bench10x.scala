@@ -54,6 +54,12 @@ object Bench10x {
     val baseDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ambient-load record (r11, same device as Bench): co-tenant waves
+    // on this host shift 10× wall times uniformly 1.1-1.4×, which reads
+    // as phantom 2× breaches — the artifact must carry the measured
+    // interference so a breach list can be judged against it
+    val loadStart = Bench.loadAvg()
+    val spinStart = Bench.spinProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -168,12 +174,17 @@ object Bench10x {
 
     val total =
       if (errors.nonEmpty) -1.0 else defaultTotal + clusteredTotal
+    val loadEnd = Bench.loadAvg()
+    val spinEnd = Bench.spinProbe()
     val line =
       f"""{"metric":"total_10x","value":$total%.1f,"unit":"sec","factor":$Factor,""" +
         defaultJson + "," +
         s""""errors":${errors.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""clustered":{$clusteredJson},""" +
+        f""""host":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
+        f""""loadavg_end":$loadEnd,"spin_s_start":$spinStart%.3f,""" +
+        f""""spin_s_end":$spinEnd%.3f},""" +
         f""""base_sf":"$baseDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Path.of("/root/repo/BENCH_10x.json"), line)
