@@ -564,9 +564,8 @@ object AnnClusteredStress {
       // the route law picks the L3 arm on THIS corpus and assert the
       // facade delivered exactly the L3 book's frame — the crossover a
       // 3×10⁹-row user previously had to know to take by hand
-      spark.conf.set(ops.SimilarityQueries.AnnCellCapKey, "1")
       val annAuto = ops.SimilarityQueries.annIndex(spark, dir,
-        probe2 = true)
+        probe2 = true, cap = Some(1L))
       val annAutoBook = ops.SimilarityQueries.AnnIndexStats.lastBook
       val annAutoDiff = l3
         .selectExpr("vec_id", "cell AS f1", "cell2 AS f21")
@@ -574,7 +573,6 @@ object AnnClusteredStress {
           "vec_id", "cell AS f2", "cell2 AS f22"), "vec_id")
         .filter("f1 <> f2 OR f21 <> f22").count() +
         math.abs(annAuto.count() - n)
-      spark.conf.unset(ops.SimilarityQueries.AnnCellCapKey)
 
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,

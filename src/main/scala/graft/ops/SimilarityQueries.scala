@@ -900,14 +900,34 @@ object SimilarityQueries {
       s"trainedCellsL3Inc: no child seeds (n=$n, sc=$scInc, " +
         s"seedWhere=$seedWhere) — widen seedWhere")
     val tb = (1 to 4096).find(z => z.toLong * z * z >= k).getOrElse(4096)
-    val wj = Window.orderBy("vec_id")
-    val superSrc = ScratchCache.scratch(childSrc
-      .withColumn("j", row_number().over(wj) - 1)
-      .filter(col("j") % tb === 0).selectExpr("vec_id", "qv"))
-    val grandSrc = superSrc
-      .withColumn("j2", row_number().over(wj) - 1)
-      .filter(col("j2") % tb === 0).selectExpr("vec_id", "qv")
+    val superSrc = ScratchCache.scratch(
+      rankStride(s, childSrc, tb).selectExpr("vec_id", "qv"))
+    val grandSrc = rankStride(s, superSrc, tb).selectExpr("vec_id", "qv")
     trainedCellsL3Build(s, v, grandSrc, superSrc, childSrc, probe2)
+  }
+
+  /** Every tb-th row of `seeds(vec_id, qv)` by vec_id-rank, DERIVED
+    * DISTRIBUTIVELY: range-sort + per-partition counts and offsets
+    * (the standard zipWithIndex device) instead of a no-partition
+    * Window.orderBy, which funnels all k = ⌈n/125⌉ seed rows through
+    * ONE task — at the 10⁹+-row regime the L3 book exists for, that
+    * is a single-task O(k) stage, the same growing-with-corpus
+    * single-point class the r10/r11 driver-collect work removed
+    * (ADVICE r11). Rank 0 is always kept, so the recursive
+    * non-emptiness invariant is untouched, and the rank law is
+    * byte-identical to the oracle's ROW_NUMBER () OVER (ORDER BY
+    * vec_id) − 1 (vec_ids are distinct → the sort is total). */
+  private def rankStride(s: SparkSession, seeds: DataFrame,
+      tb: Int): DataFrame = {
+    val sorted = seeds.orderBy("vec_id")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "j", org.apache.spark.sql.types.LongType, nullable = false))
+    // zipWithIndex = one count job over partition sizes + a
+    // per-partition offset map; the global order is the range sort's
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, j) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ j) }
+    s.createDataFrame(indexed, schema).filter(col("j") % tb === 0)
   }
 
   private def trainedCellsL3Build(s: SparkSession, v: DataFrame,
@@ -1268,10 +1288,16 @@ object SimilarityQueries {
     * Downstream of the build, both books' frames join/serve
     * identically (trainedAnnSearch, the KeyedTable ingest/delete
     * surface). Driver state and join shape follow the routed book's
-    * documented bounds. */
+    * documented bounds.
+    *
+    * `cap` overrides the two-level cell cap for THIS call only —
+    * forced-route tests/stress pass it explicitly so they no longer
+    * race on shared session conf (ADVICE r11: a concurrent caller of
+    * the facade would silently inherit a set-then-unset conf key).
+    * The conf key remains the DEFAULT source only. */
   private[graft] def annIndex(s: SparkSession, d: String,
-      probe2: Boolean = false): DataFrame = {
-    val book = annBook(corpusN(s, d), annCellCap(s))
+      probe2: Boolean = false, cap: Option[Long] = None): DataFrame = {
+    val book = annBook(corpusN(s, d), cap.getOrElse(annCellCap(s)))
     val base =
       if (book == "l3") trainedCellsL3(s, d, probe2)
       else trainedCells(s, d, probe2)
@@ -2823,19 +2849,16 @@ object SimilarityQueries {
       (s, d) => trainedAnnSearch(annIndex(s, d)),
       duckTrainedAnnSql),
 
-    // The facade's L3 arm under the oracle: the cell-cap override
-    // forces the route the law takes past 2.1×10⁹ rows, and the
-    // search must match the three-level hierarchical-argmin oracle —
-    // the same search text as q_ann_ivf_trained, re-based on the book
-    // the facade actually routed to. Proves the crossover is safe at
+    // The facade's L3 arm under the oracle: the explicit cell-cap
+    // argument forces the route the law takes past 2.1×10⁹ rows
+    // (no shared-conf mutation — ADVICE r11), and the search must
+    // match the three-level hierarchical-argmin oracle — the same
+    // search text as q_ann_ivf_trained, re-based on the book the
+    // facade actually routed to. Proves the crossover is safe at
     // fixture scale END TO END (facade → L3 build → search → oracle),
     // not just route-asserted.
     "q_ann_index_auto_l3" -> QueryDef(
-      (s, d) => {
-        s.conf.set(AnnCellCapKey, "1")
-        try trainedAnnSearch(annIndex(s, d))
-        finally s.conf.unset(AnnCellCapKey)
-      },
+      (s, d) => trainedAnnSearch(annIndex(s, d, cap = Some(1L))),
       s"""WITH $duckTrainedL3Cte
          |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,

@@ -88,37 +88,52 @@ object GroupCommit {
         // not a timing one: cancel the commit's job group (interrupting
         // task threads) and wait until the status tracker shows zero
         // active tasks across the group's jobs BEFORE deleting. Only
-        // then is the delete race-free. Even an unreclaimed orphan
-        // would be correct (readers never see `.__staging__` names;
-        // vacuum() collects them) — the drain is about leaving zero
-        // residue deterministically.
-        try {
-          sc.cancelJobGroup(group)
-          awaitGroupQuiescent(sc, group, timeoutMs = 30000L)
-        } catch {
-          // a cancel/drain hiccup must not replace the ORIGINAL failure
-          case scala.util.control.NonFatal(drainErr) =>
-            System.err.println(s"[GroupCommit] drain of $group failed " +
-              s"(${drainErr.getClass.getSimpleName}: " +
-              s"${drainErr.getMessage}) — proceeding to rollback")
-        }
-        moves.foreach { case (staging, _) =>
+        // then is the delete race-free, and a single delete pass leaves
+        // zero residue. If the drain TIMES OUT (or stage info was
+        // evicted from the status store), a still-writing zombie could
+        // re-materialize files after a single delete, so that path falls
+        // back to a bounded delete-retry sweep. Either way an
+        // unreclaimed orphan would still be correct (readers never see
+        // `.__staging__` names; vacuum() collects them).
+        val drained =
           try {
-            if (fs.exists(staging)) fs.delete(staging, true)
-            if (fs.exists(staging))
-              // post-quiescence this indicates an FS-level surprise, not
-              // a task race; the orphan is invisible to readers and
-              // vacuum() collects it
-              System.err.println(s"[GroupCommit] $staging survived " +
-                "rollback delete — orphan left for vacuum()")
+            sc.cancelJobGroup(group)
+            awaitGroupQuiescent(sc, group, timeoutMs = 30000L)
           } catch {
-            // NonFatal: an OOM/VM error mid-rollback must still surface
-            case scala.util.control.NonFatal(fsErr) =>
-              System.err.println(s"[GroupCommit] rollback of $staging " +
-                s"failed (${fsErr.getClass.getSimpleName}: " +
-                s"${fsErr.getMessage}) — orphan left for vacuum()")
+            // a cancel/drain hiccup must not replace the ORIGINAL failure
+            case scala.util.control.NonFatal(drainErr) =>
+              System.err.println(s"[GroupCommit] drain of $group failed " +
+                s"(${drainErr.getClass.getSimpleName}: " +
+                s"${drainErr.getMessage}) — proceeding to rollback")
+              false
           }
+        // post-drain: one pass suffices. Post-TIMEOUT: bounded retry
+        // sweep (zombies re-materializing between passes get reclaimed;
+        // anything that survives all passes goes to vacuum()).
+        val passes = if (drained) 1 else 5
+        var pass = 0
+        var residue = true
+        while (pass < passes && residue) {
+          if (pass > 0) Thread.sleep(200L * pass)
+          residue = false
+          moves.foreach { case (staging, _) =>
+            try {
+              if (fs.exists(staging)) fs.delete(staging, true)
+              if (fs.exists(staging)) residue = true
+            } catch {
+              // NonFatal: an OOM/VM error mid-rollback must still surface
+              case scala.util.control.NonFatal(fsErr) =>
+                System.err.println(s"[GroupCommit] rollback of $staging " +
+                  s"failed (${fsErr.getClass.getSimpleName}: " +
+                  s"${fsErr.getMessage})")
+                residue = true
+            }
+          }
+          pass += 1
         }
+        if (residue)
+          System.err.println(s"[GroupCommit] staging residue survived " +
+            s"$pass rollback pass(es) — orphan left for vacuum()")
         throw e
     }
     // phase 2 — THE commit point: temp write + atomic rename
@@ -168,9 +183,12 @@ object GroupCommit {
     * has finished its user code (including committer file writes), so
     * two consecutive all-idle readings — the second guarding against
     * listener-bus lag between a task's start event and our first poll —
-    * mean no task of the group can touch a staging dir afterwards. */
+    * mean no task of the group can touch a staging dir afterwards.
+    * Returns true iff the double-idle reading was observed (a timeout
+    * or interrupt returns false and the caller falls back to a bounded
+    * delete-retry sweep). */
   private def awaitGroupQuiescent(sc: SparkContext, group: String,
-      timeoutMs: Long): Unit = {
+      timeoutMs: Long): Boolean = {
     val tracker = sc.statusTracker
     def activeWork(): Int =
       tracker.getJobIdsForGroup(group).flatMap(tracker.getJobInfo(_))
@@ -188,13 +206,15 @@ object GroupCommit {
         catch {
           case _: InterruptedException =>
             Thread.currentThread().interrupt()
-            return // caller treats an incomplete drain as best-effort
+            return false // caller falls back to the retry sweep
         }
       }
     }
     if (idleStreak < 2)
       System.err.println(s"[GroupCommit] job group $group did not drain " +
-        s"within ${timeoutMs}ms — rollback proceeds; residue goes to vacuum()")
+        s"within ${timeoutMs}ms — rollback falls back to retry sweep; " +
+        "any residue goes to vacuum()")
+    idleStreak >= 2
   }
 
   /** One staged→final move; idempotent so recovery can replay it. */

@@ -54,9 +54,10 @@ class AnnFacadeSpec extends AnyFunSuite {
   }
 
   test("forced cap routes the L3 book, frame-identical, same columns") {
-    spark.conf.set(AnnCellCapKey, "1")
+    // the cap rides the CALL, not session conf (ADVICE r11): a
+    // concurrent facade caller must not inherit this test's override
     try {
-      val auto = annIndex(spark, sf, probe2 = true)
+      val auto = annIndex(spark, sf, probe2 = true, cap = Some(1L))
       assert(AnnIndexStats.lastBook === "l3")
       assert(auto.columns.toSeq ===
         Seq("vec_id", "embedding", "n2", "cell", "cell2"),
@@ -70,8 +71,17 @@ class AnnFacadeSpec extends AnyFunSuite {
       assert(got === l3)
       assert(got.nonEmpty)
     } finally {
-      spark.conf.unset(AnnCellCapKey)
       ScratchCache.release()
     }
+  }
+
+  test("explicit cap does not disturb the conf-keyed default route") {
+    // the parameter must be call-scoped: after a forced-L3 call the
+    // very next default call still routes by the conf/law default
+    annIndex(spark, sf, cap = Some(1L)).select("cell").head()
+    ScratchCache.release()
+    annIndex(spark, sf).select("cell").head()
+    assert(AnnIndexStats.lastBook === "two-level")
+    ScratchCache.release()
   }
 }

@@ -49,12 +49,22 @@ def main(old_path, new_path):
             ratio = n_spin / o_spin
             ot = sum(v for v in oq.values() if v > 0)
             nt = sum(v for v in nq.values() if v > 0)
-            print(f"host load: spin probe {o_spin:.3f}s -> {n_spin:.3f}s "
-                  f"(x{ratio:.2f}); loadavg "
-                  f"{oh.get('loadavg_start')} -> {nh.get('loadavg_start')}; "
-                  f"suite total {ot:.1f}s -> {nt:.1f}s "
-                  f"(x{nt / ot:.2f} raw, x{nt / ot / ratio:.2f} "
-                  f"load-normalized)")
+            # ot == 0 (all-error or empty old run) has no meaningful
+            # suite-total ratio — print the load line without it
+            if ot > 0:
+                print(f"host load: spin probe {o_spin:.3f}s -> {n_spin:.3f}s "
+                      f"(x{ratio:.2f}); loadavg "
+                      f"{oh.get('loadavg_start')} -> "
+                      f"{nh.get('loadavg_start')}; "
+                      f"suite total {ot:.1f}s -> {nt:.1f}s "
+                      f"(x{nt / ot:.2f} raw, x{nt / ot / ratio:.2f} "
+                      f"load-normalized)")
+            else:
+                print(f"host load: spin probe {o_spin:.3f}s -> {n_spin:.3f}s "
+                      f"(x{ratio:.2f}); loadavg "
+                      f"{oh.get('loadavg_start')} -> "
+                      f"{nh.get('loadavg_start')}; "
+                      f"old-run positive total is 0 — no suite ratio")
     elif nh:
         print(f"host load (new run only): spin "
               f"{nh.get('spin_s_start')}s/{nh.get('spin_s_end')}s, "
