@@ -76,8 +76,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     "q_ann_ivfpq", "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
     "q_ann_ivfpq_res256",
     "q_kmeans",
-    // r11: the real-codec multimodal path (decode cost ∝ rows)
-    "q_multimodal_decode", "q_multimodal_ingest_png",
+    // r11/r12: the real-codec multimodal paths (decode cost ∝ rows)
+    "q_multimodal_decode", "q_multimodal_ingest_png", "q_multimodal_audio",
     // training-data prep, curation + text (documents)
     "q_seq_pack", "q_inverted_index", "q_tfidf", "q_bm25",
     "q_heavy_hitters", "q_contamination",

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * (q_multimodal_decode / q_multimodal_ingest_png) gate the round trip
   * against a DuckDB oracle that computes the expected dims and channel
   * sums from the generator's integer formulas — the codec must recover
-  * them exactly (PNG is lossless). Only the AUDIO path keeps the
-  * deterministic byte-arithmetic stub (`decodeStub` — this container
-  * has no audio codecs); swapping a real resampler in is the same
-  * one-function change the image path already took.
+  * them exactly (PNG is lossless). The AUDIO path got the identical
+  * treatment in r12 (the last stub in the repo): [[synthWav]] encodes
+  * deterministic 16-bit PCM WAVs through `javax.sound.sampled`
+  * (JDK-bundled, zero deps), [[decodeAudio]] reads format + samples
+  * back partition-local, and q_multimodal_audio gates rate / channel /
+  * frame-count / amplitude-sum recovery against the generator's
+  * arithmetic in DuckDB — PCM is lossless, equality exact.
   *
   * Scale design:
   *  - payloads stay opaque `BinaryType` end to end — never stringified,
@@ -39,14 +42,6 @@ object BinaryPipeline {
     StructField("kind", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = false),
     StructField("meta_source", StringType, nullable = true)))
-
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
   // ImageIO on a display-less executor needs headless AWT; local-mode
   // test JVMs inherit no -Djava.awt.headless, so default it here (a
@@ -141,21 +136,107 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** STUB decoder — deterministic fake features from payload bytes;
-    * since r11 only the AUDIO path uses it (no audio codec in this
-    * container). Replace with a real resampler without touching the
-    * surrounding plumbing, as [[decodeImage]] did for images. */
-  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val n = payload.length
-    val feat = new Array[Float](8)
-    var h = 7L
+  /** Typed output of the REAL audio decode: container format fields +
+    * amplitude sums — the fixed-width stats an audio-curation filter
+    * consumes (silence / clipping / duration gates). `amp_sum` is the
+    * signed sample sum, `amp_abs_sum` the absolute one; both are exact
+    * integers (16-bit PCM), so the oracle compare is hash-exact. */
+  val audioStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("amp_abs_sum", LongType, nullable = false)))
+
+  /** Deterministic WAV synthesis — the ENCODE side of the real audio
+    * round trip ([[synthPng]]'s treatment applied to sound): rate,
+    * channel count, frame count, and every 16-bit sample are integer
+    * formulas of (id, frame, channel), so the DuckDB oracle computes
+    * the expected stats arithmetically while the engine must recover
+    * them from actual RIFF/WAVE bytes through the JDK codec. Any
+    * header, endianness, interleave, or sign defect breaks the
+    * hash-exact compare. */
+  def synthWav(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 4).toInt * 4000
+    val channels = 1 + (id % 2).toInt
+    val nFrames = 64 + (id % 192).toInt
+    val data = new Array[Byte](nFrames * channels * 2)
     var i = 0
-    while (i < n) {
-      h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
-      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+    while (i < nFrames) {
+      var ch = 0
+      while (ch < channels) {
+        val s = ((id * 7 + i.toLong * 31 + ch.toLong * 101 + 13) % 65536L
+          - 32768L).toInt
+        val off = (i * channels + ch) * 2
+        data(off) = (s & 0xff).toByte         // PCM WAVE is little-endian
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+        ch += 1
+      }
       i += 1
     }
-    (n % 640, n % 480, feat.map(f => f + (h % 97) / 97.0f))
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` over the opaque payload →
+    * (rate, channels, frames, signed amp sum, absolute amp sum).
+    * Partition-local; never sees the driver. Handles either endianness
+    * and fails loudly on non-PCM-16 payloads instead of guessing. */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+        s"decodeAudio: expected 16-bit signed PCM, got $fmt")
+      val channels = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate)
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length.toLong / (2L * channels)
+      var sum = 0L; var abs = 0L
+      var k = 0
+      while (k + 1 < bytes.length) {
+        val s =
+          if (fmt.isBigEndian) (bytes(k) << 8) | (bytes(k + 1) & 0xff)
+          else (bytes(k + 1) << 8) | (bytes(k) & 0xff)
+        sum += s
+        abs += math.abs(s)
+        k += 2
+      }
+      (rate, channels, nFrames, sum, abs)
+    } finally ais.close()
+  }
+
+  /** WAV media table: one REAL payload per document id, encoded
+    * partition-local ([[mediaPng]]'s shape for the audio modality). */
+  def mediaWav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWav(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Partition-local batched REAL audio decode: binary in, typed stats
+    * out (the [[imageStats]] shape for sound). */
+  def audioStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioStatSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, nf, sum, abs) =
+          decodeAudio(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), rate, ch, nf, sum, abs)
+      }
+    }(enc)
   }
 
   /** STUB frame sampler: n evenly-spaced "frames" (byte slices) hashed
@@ -174,14 +255,16 @@ object BinaryPipeline {
     }
   }
 
-  /** Build a media table from `documents` (text bytes standing in for
-    * an AUDIO payload — the one modality still on the stub; images get
-    * real PNGs via [[mediaPng]]). */
+  /** Build a media table from `documents` — text bytes as an OPAQUE
+    * payload for the modality-agnostic plumbing (frame sampling /
+    * signature dedup, whose byte-slice hash oracle needs replicable
+    * bytes). The real codecs get their own tables: [[mediaPng]]
+    * (images), [[mediaWav]] (audio). */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
-        lit("audio").as("kind"),
+        lit("text").as("kind"),
         col("text").cast(BinaryType).as("payload"),
         col("source").as("meta_source"))
 
@@ -221,17 +304,4 @@ object BinaryPipeline {
 
   def unframePayload(v: Array[Byte]): Array[Byte] =
     java.util.Arrays.copyOfRange(v, 8, v.length)
-
-  /** Partition-local batched decode: binary in, fixed-width features out. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val enc = RowEncoder.encoderFor(featureSchema)
-    media.select("media_id", "kind", "payload").mapPartitions { rows =>
-      // one-time per-partition worker init would go here (codec/model load)
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, feat) = decodeStub(payload)
-        Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, feat.toSeq)
-      }
-    }(enc)
-  }
 }

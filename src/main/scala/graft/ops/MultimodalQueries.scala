@@ -126,6 +126,23 @@ object MultimodalQueries {
     // repair (the text-framed q_multimodal_ingest could not: '|'
     // separators need ASCII). Same oracle: the round trip must be
     // invisible.
+    // REAL AUDIO ROUND TRIP (r12 — the repo's last stub replaced):
+    // deterministic 16-bit PCM WAVs are ENCODED with the JDK's
+    // javax.sound.sampled (one payload per doc id, partition-local),
+    // carried as an opaque binary column, and DECODED back
+    // partition-local to rate / channels / frame count / amplitude
+    // sums. The oracle computes the EXPECTED stats from the
+    // generator's integer formulas — never touching a codec — so any
+    // header, endianness, interleave, or sign defect breaks the
+    // hash-exact compare. PCM is lossless: exact equality, no
+    // tolerance. Same scale shape as q_multimodal_decode: payloads
+    // never shuffle; only fixed-width stats rows enter the ORDER BY.
+    "q_multimodal_audio" -> QueryDef(
+      (s, d) => graft.multimodal.BinaryPipeline
+        .audioStats(graft.multimodal.BinaryPipeline.mediaWav(s, d))
+        .orderBy("media_id"),
+      wavStatsSql),
+
     "q_multimodal_ingest_png" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -168,6 +185,27 @@ object MultimodalQueries {
        |  ${chanSum("(doc_id + x + y) % 256")} AS r_sum,
        |  ${chanSum("(doc_id + 2*x + 3*y + 7) % 256")} AS g_sum,
        |  ${chanSum("(3*doc_id + 5*x + 11*y + 13) % 256")} AS b_sum
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** DuckDB oracle of q_multimodal_audio: the synthWav generator's
+    * integer formulas evaluated arithmetically — rate = 8000 +
+    * (id%4)·4000, channels = 1 + id%2, frames = 64 + id%192,
+    * sample(i, ch) = (7·id + 31·i + 101·ch + 13) % 65536 − 32768 —
+    * summed over the (frame, channel) grid with list folds, mirroring
+    * pngStatsSql's device for the pixel grid. */
+  private def wavStatsSql: String = {
+    def ampSum(body: String): String =
+      "CAST(list_sum(flatten(list_transform(range(0, 64 + doc_id % 192), " +
+        "i -> list_transform(range(0, 1 + doc_id % 2), " +
+        s"ch -> $body)))) AS BIGINT)"
+    val sample = "((doc_id * 7 + i * 31 + ch * 101 + 13) % 65536 - 32768)"
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       |  CAST(1 + doc_id % 2 AS INT) AS channels,
+       |  CAST(64 + doc_id % 192 AS BIGINT) AS n_frames,
+       |  ${ampSum(sample)} AS amp_sum,
+       |  ${ampSum(s"abs($sample)")} AS amp_abs_sum
        |FROM documents ORDER BY media_id""".stripMargin
   }
 

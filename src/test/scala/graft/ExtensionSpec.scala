@@ -10,13 +10,13 @@ import graft.streaming.EventStream
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("decode pipeline produces fixed-width typed features") {
-    val media = BinaryPipeline.mediaFromDocuments(spark, sf).repartition(4)
-    val feats = BinaryPipeline.decodeFeatures(media)
-    assert(feats.schema == BinaryPipeline.featureSchema)
-    val rows = feats.collect()
+  test("decode pipeline produces fixed-width typed stats (real audio)") {
+    val media = BinaryPipeline.mediaWav(spark, sf).repartition(4)
+    val stats = BinaryPipeline.audioStats(media)
+    assert(stats.schema == BinaryPipeline.audioStatSchema)
+    val rows = stats.collect()
     assert(rows.length == 500)
-    assert(rows.forall(_.getSeq[Float](5).length == 8))
+    assert(rows.forall(r => r.getLong(3) == 64 + r.getLong(0) % 192))
   }
 
   test("frame sampling yields n frames per media row") {
@@ -26,16 +26,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() == 0)
   }
 
-  test("decode is deterministic and payload-length-faithful") {
-    val media = BinaryPipeline.mediaFromDocuments(spark, sf)
-    val a = BinaryPipeline.decodeFeatures(media).orderBy("media_id").collect()
-    val b = BinaryPipeline.decodeFeatures(media.repartition(7))
+  test("decode is deterministic across partitionings") {
+    val media = BinaryPipeline.mediaWav(spark, sf)
+    val a = BinaryPipeline.audioStats(media).orderBy("media_id").collect()
+    val b = BinaryPipeline.audioStats(media.repartition(7))
       .orderBy("media_id").collect()
     assert(a.sameElements(b), "decode must not depend on partitioning")
-    val nChars = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "n_chars").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a.forall(r => r.getLong(2) == nChars(r.getLong(0))))
+  }
+
+  test("REAL audio codec: PCM decode recovers the generator's samples exactly") {
+    // the declared query gates this against DuckDB; here the law is
+    // pinned locally across ids (PCM is lossless — exact, no tolerance)
+    for (id <- Seq(0L, 1L, 42L, 499L, 123456789L)) {
+      val (rate, ch, nf, sum, abs) =
+        BinaryPipeline.decodeAudio(BinaryPipeline.synthWav(id))
+      assert(rate === 8000 + (id % 4).toInt * 4000)
+      assert(ch === 1 + (id % 2).toInt)
+      assert(nf === 64 + id % 192)
+      var (esum, eabs) = (0L, 0L)
+      for (i <- 0L until nf; c <- 0 until ch) {
+        val s = (id * 7 + i * 31 + c * 101 + 13) % 65536 - 32768
+        esum += s
+        eabs += math.abs(s)
+      }
+      assert((sum, abs) === ((esum, eabs)), s"id=$id amplitude sums")
+    }
+    // a non-audio payload fails loudly, not silently
+    intercept[Exception] {
+      BinaryPipeline.decodeAudio("not a wav".getBytes("UTF-8"))
+    }
   }
 
   test("REAL image codec: ImageIO decode recovers the generator's pixels exactly") {
