@@ -574,6 +574,25 @@ object AnnClusteredStress {
         .filter("f1 <> f2 OR f21 <> f22").count() +
         math.abs(annAuto.count() - n)
 
+      // the facade SERVING arm (r12, q_ann_ingest_auto_l3): adding a
+      // batch routes by the same law — force the cap and assert the
+      // facade's ingest probe is row-identical to the per-book body
+      // over the SAME inc build (l3i above). A nonzero diff means the
+      // facade's route or its frozen-book contract drifted from the
+      // declared per-book serving query.
+      val annIng = ops.SimilarityQueries.annIngest(spark, dir,
+        cap = Some(1L))
+      val annIngBook = ops.SimilarityQueries.AnnIndexStats.lastBook
+      val annIngRef = ops.SimilarityQueries.servedIngestProbe(l3i)
+      val cmpCols = Seq("arrival_id", "neighbor_id", "rn")
+      val annIngDiff =
+        annIng.select(cmpCols.head, cmpCols.tail: _*)
+          .exceptAll(annIngRef.select(cmpCols.head, cmpCols.tail: _*))
+          .count() +
+        annIngRef.select(cmpCols.head, cmpCols.tail: _*)
+          .exceptAll(annIng.select(cmpCols.head, cmpCols.tail: _*))
+          .count()
+
       // the SemDeDup blocker (q_dedup_semantic's k-means at adaptiveSemK,
       // first-K data seeds + Lloyd rounds): the r07 verdict's #1 item,
       // now measured under the SAME density skew as the quantizers —
@@ -703,6 +722,8 @@ object AnnClusteredStress {
           f""""lsh_switch_cell_diff":$lshSwitchDiff,""" +
           s""""ann_auto_book":"$annAutoBook",""" +
           f""""ann_auto_cell_diff":$annAutoDiff,""" +
+          s""""ann_auto_ingest_book":"$annIngBook",""" +
+          f""""ann_auto_ingest_diff":$annIngDiff,""" +
           f""""l3_inc_recall3_probe1":$l3iR1%.3f,""" +
           f""""l3_incsel_recall3_probe1":$l3iTR1%.3f,""" +
           f""""l3_inc_rows_lost":$l3iRowsLost,""" +
@@ -811,12 +832,15 @@ object AnnClusteredStress {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
       massOf("ann_auto_cell_diff").collect {
         case (tag, d) if d != 0.0 => tag }.toSeq ++
+      massOf("ann_auto_ingest_diff").collect {
+        case (tag, d) if d != 0.0 => tag }.toSeq ++
       rows.collect {
         case r if !r.json.contains(""""switch_route":"dist"""") ||
           !r.json.contains(""""sem_switch_route":"dist"""") ||
           !r.json.contains(""""adp_switch_route":"dist"""") ||
           !r.json.contains(""""lsh_switch_route":"lsh-dist"""") ||
-          !r.json.contains(""""ann_auto_book":"l3"""") => r.tag })
+          !r.json.contains(""""ann_auto_book":"l3"""") ||
+          !r.json.contains(""""ann_auto_ingest_book":"l3"""") => r.tag })
       .distinct.sorted
     val out =
       s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +

@@ -73,6 +73,8 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     // path scale-gated beside the books they ride
     "q_ann_incremental_l3", "q_stream_ann_ingest_l3", "q_ann_delete_l3",
     "q_ann_index_auto", "q_ann_index_auto_l3",
+    // r12: the facade SERVING arms (ingest/delete route by the law)
+    "q_ann_ingest_auto_l3", "q_ann_delete_auto_l3",
     "q_ann_ivfpq", "q_ann_ivfpq_trained", "q_ann_ivfpq_trained256",
     "q_ann_ivfpq_res256",
     "q_kmeans",

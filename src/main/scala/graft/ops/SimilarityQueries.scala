@@ -1307,6 +1307,102 @@ object SimilarityQueries {
     base.select(cols.map(col): _*)
   }
 
+  /** [[annIndex]] with FILTERED TRAINING — the served-index build
+    * through the facade (r12): the codebook trains only on the rows
+    * `seedWhere` selects (arrivals must never shift a served book)
+    * while every row still routes through it. Same route law, same
+    * normalized surface; the per-book incremental bodies
+    * ([[trainedCells]]' seedWhere mode / [[trainedCellsL3Inc]]) are
+    * REUSED, not re-derived, so the facade can never drift from the
+    * declared per-book queries. */
+  private[graft] def annIndexInc(s: SparkSession, d: String,
+      seedWhere: String, cap: Option[Long] = None): DataFrame = {
+    val book = annBook(corpusN(s, d), cap.getOrElse(annCellCap(s)))
+    val base =
+      if (book == "l3") trainedCellsL3Inc(s, d, seedWhere)
+      else trainedCells(s, d, seedWhere = seedWhere)
+    AnnIndexStats.lastBook = book
+    base.select("vec_id", "embedding", "n2", "cell")
+  }
+
+  /** The served-index INGEST probe shared by every incremental
+    * declared query — two-level, L3, and the facade arms: arrivals
+    * (vec_id % 10 = 0) probe ONLY existing rows through the frozen
+    * book's home cells, per-arrival top-3. One body so the per-book
+    * routes and the facade can never drift apart. */
+  private[graft] def servedIngestProbe(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .selectExpr("vec_id AS arrival_id", "embedding AS qe",
+        "n2 AS qn2", "cell")
+    val c = e.filter(col("vec_id") % 10 =!= 0)
+      .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+        "n2 AS cn2", "cell")
+    val w = Window.partitionBy("arrival_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .selectExpr("arrival_id", "neighbor_id", "cell",
+        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("arrival_id", "rn")
+  }
+
+  /** The served-index DELETE body shared by q_ann_delete,
+    * q_ann_delete_l3 and the facade arms: the index lives as a
+    * versioned KeyedTable, a delete batch (vec_id % 7 = 0) lands via
+    * anti-join mergeDelta (O(delta·fanout) file rewrites), compact
+    * coalesces survivors, and the post-delete probe (vec_id % 10 = 0
+    * queries, top-3 over survivors) must equal the probe of a corpus
+    * the deleted rows were never inserted into — the FAISS remove_ids
+    * contract; the book stays frozen (deletion drops rows, it does
+    * not retrain). */
+  private def servedDeleteProbe(s: SparkSession, root: String,
+      e: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.KeyedTable.write(s, root, "annidx",
+      e.select("vec_id", "embedding", "n2", "cell"), "vec_id", 8)
+    val deletes = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    graft.sources.KeyedTable.mergeDelta(s, root, "annidx",
+      deletes, "vec_id") { (cur, ch) =>
+      cur.join(ch.select("vec_id"), Seq("vec_id"), "left_anti")
+    }
+    graft.sources.KeyedTable.compact(s, root, "annidx", "vec_id", 100000L)
+    val idx = graft.sources.KeyedTable.read(s, root, "annidx")
+    val q = idx.filter(col("vec_id") % 10 === 0)
+      .selectExpr("vec_id AS query_id", "embedding AS qe",
+        "n2 AS qn2", "cell")
+    val c = idx.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+      "n2 AS cn2", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", "cell",
+        "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("query_id", "rn")
+  }
+
+  /** FACADE-LEVEL INGEST (r12, the r11 verdict's item 4): the serving
+    * surface follows [[annBook]]'s law exactly like the build does —
+    * a user never chooses a book to add a batch. Arrivals
+    * (vec_id % 10 = 0) are excluded from training and probe the
+    * existing rows through the routed frozen book. */
+  private[graft] def annIngest(s: SparkSession, d: String,
+      cap: Option[Long] = None): DataFrame =
+    servedIngestProbe(annIndexInc(s, d, "vec_id % 10 <> 0", cap))
+
+  /** FACADE-LEVEL DELETE: [[annIndex]]'s routed book served from a
+    * KeyedTable with the shared delete/probe body. `root` is the
+    * caller's scratch/table location (each declared query uses its
+    * own so runs never clobber each other). */
+  private[graft] def annDelete(s: SparkSession, d: String, root: String,
+      cap: Option[Long] = None): DataFrame =
+    servedDeleteProbe(s, root, annIndex(s, d, cap = cap))
+
   private def trainedAnnSearch(e: DataFrame): DataFrame = {
     val q = e.selectExpr("vec_id AS query_id", "embedding AS qe",
       "n2 AS qn2", "cell")
@@ -1397,6 +1493,36 @@ object SimilarityQueries {
        |  FROM eb q JOIN eb c ON q.cell = c.cell
        |  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
        |) WHERE rn <= 3 ORDER BY arrival_id, rn""".stripMargin
+
+  /** Oracles of the served-index DELETE family — full-corpus book
+    * (deletion never retrains), search restricted to the vec_id % 7
+    * survivors. Shared by the per-book declared queries and the
+    * facade arms (q_ann_delete/_auto on the two-level book;
+    * q_ann_delete_l3/_auto_l3 on the three-level one). */
+  private def duckDeleteTrainedSql: String =
+    s"""WITH $duckTrainedEbCte
+       |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
+       |    AND c.vec_id % 7 <> 0
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  private def duckDeleteL3Sql: String =
+    s"""WITH $duckTrainedL3Cte
+       |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    ${duckCos("q", "c")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+       |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
+       |    AND c.vec_id % 7 <> 0
+       |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
   /** The same knobs as inline DuckDB SQL over the embeddings view —
     * pure integer arithmetic, so both engines agree at every N. */
@@ -2608,24 +2734,25 @@ object SimilarityQueries {
     // write-time partitioned by cell at 100 TB exactly as q_ann_ivf's
     // serving note describes (IvfWriteSpec proves the pruning).
     "q_ann_incremental_trained" -> QueryDef(
-      (s, d) => {
-        val e = trainedCells(s, d, seedWhere = "vec_id % 10 <> 0")
-        val q = e.filter(col("vec_id") % 10 === 0)
-          .selectExpr("vec_id AS arrival_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-        val c = e.filter(col("vec_id") % 10 =!= 0)
-          .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-            "n2 AS cn2", "cell")
-        val w = Window.partitionBy("arrival_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        q.join(c, Seq("cell"))
-          .selectExpr("arrival_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("arrival_id", "rn")
-      },
+      (s, d) => servedIngestProbe(
+        trainedCells(s, d, seedWhere = "vec_id % 10 <> 0")),
       duckIncrementalTrainedSql),
+
+    // The facade INGEST arms (r12): adding a batch follows the same
+    // route law as building — annIngest reuses the per-book
+    // incremental bodies (trainedCells' seedWhere mode /
+    // trainedCellsL3Inc) and the SHARED servedIngestProbe, so at
+    // fixture scale the default arm IS q_ann_incremental_trained
+    // through the facade (identical oracle) and the forced-cap arm IS
+    // q_ann_incremental_l3 (the q_ann_index_auto_l3 device applied to
+    // serving). AnnClusteredStress gates the forced route under
+    // ann_auto_ingest_*.
+    "q_ann_ingest_auto" -> QueryDef(
+      (s, d) => annIngest(s, d),
+      duckIncrementalTrainedSql),
+    "q_ann_ingest_auto_l3" -> QueryDef(
+      (s, d) => annIngest(s, d, cap = Some(1L)),
+      duckIncrementalL3Sql),
 
     // STREAMING ANN ingest on the served trained index — the
     // production write path of the clustered-corpus family, now under
@@ -2719,47 +2846,27 @@ object SimilarityQueries {
     // codebook, search restricted to surviving rows. AnnDeleteSpec
     // additionally pins the file-pruning evidence and version history.
     "q_ann_delete" -> QueryDef(
-      (s, d) => {
-        val tag = new java.io.File(d).getName
-        val root = s"${graft.ProcScratch.base}/ann_delete/$tag"
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val e = trainedCells(s, d)
-        graft.sources.KeyedTable.write(s, root, "annidx",
-          e.select("vec_id", "embedding", "n2", "cell"), "vec_id", 8)
-        val deletes = e.filter(col("vec_id") % 7 === 0).select("vec_id")
-        graft.sources.KeyedTable.mergeDelta(s, root, "annidx",
-          deletes, "vec_id") { (cur, ch) =>
-          cur.join(ch.select("vec_id"), Seq("vec_id"), "left_anti")
-        }
-        graft.sources.KeyedTable.compact(s, root, "annidx", "vec_id", 100000L)
-        val idx = graft.sources.KeyedTable.read(s, root, "annidx")
-        val q = idx.filter(col("vec_id") % 10 === 0)
-          .selectExpr("vec_id AS query_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-        val c = idx.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-          "n2 AS cn2", "cell")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        q.join(c, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .selectExpr("query_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("query_id", "rn")
-      },
-      s"""WITH $duckTrainedEbCte
-         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-         |    ${duckCos("q", "c")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-         |  FROM eb q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
-         |    AND c.vec_id % 7 <> 0
-         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+      (s, d) => servedDeleteProbe(s,
+        s"${graft.ProcScratch.base}/ann_delete/${new java.io.File(d).getName}",
+        trainedCells(s, d)),
+      duckDeleteTrainedSql),
+
+    // The facade DELETE arms (r12): removing a batch follows the same
+    // route law as building — annDelete = annIndex (the routed book)
+    // + the SHARED servedDeleteProbe (KeyedTable, anti-join
+    // mergeDelta, compact, post-delete probe). Default arm ≡
+    // q_ann_delete through the facade (identical oracle); forced-cap
+    // arm ≡ q_ann_delete_l3. Stress rows under ann_auto_delete_*.
+    "q_ann_delete_auto" -> QueryDef(
+      (s, d) => annDelete(s, d,
+        s"${graft.ProcScratch.base}/ann_delete_auto/" +
+          new java.io.File(d).getName),
+      duckDeleteTrainedSql),
+    "q_ann_delete_auto_l3" -> QueryDef(
+      (s, d) => annDelete(s, d,
+        s"${graft.ProcScratch.base}/ann_delete_auto_l3/" +
+          new java.io.File(d).getName, cap = Some(1L)),
+      duckDeleteL3Sql),
 
     // IVF-flat ANN: coarse-quantize into Voronoi cells, then search
     // only within the query's cell. The other linear-scale path next to
@@ -2937,23 +3044,8 @@ object SimilarityQueries {
     // rows. Per-batch cost ∝ batch size, identical serving contract to
     // q_ann_incremental_trained.
     "q_ann_incremental_l3" -> QueryDef(
-      (s, d) => {
-        val e = trainedCellsL3Inc(s, d, "vec_id % 10 <> 0")
-        val q = e.filter(col("vec_id") % 10 === 0)
-          .selectExpr("vec_id AS arrival_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-        val c = e.filter(col("vec_id") % 10 =!= 0)
-          .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-            "n2 AS cn2", "cell")
-        val w = Window.partitionBy("arrival_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        q.join(c, Seq("cell"))
-          .selectExpr("arrival_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("arrival_id", "rn")
-      },
+      (s, d) => servedIngestProbe(
+        trainedCellsL3Inc(s, d, "vec_id % 10 <> 0")),
       duckIncrementalL3Sql),
 
     // STREAMING ingest on the served L3 index — q_stream_ann_ingest's
@@ -3028,48 +3120,11 @@ object SimilarityQueries {
     // not retrain), so the oracle computes the full-corpus L3 cells
     // with the search restricted to survivors.
     "q_ann_delete_l3" -> QueryDef(
-      (s, d) => {
-        val tag = new java.io.File(d).getName
-        val root = s"${graft.ProcScratch.base}/ann_delete_l3/$tag"
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val e = trainedCellsL3(s, d)
-        graft.sources.KeyedTable.write(s, root, "annidx",
-          e.select("vec_id", "embedding", "n2", "cell"), "vec_id", 8)
-        val deletes = e.filter(col("vec_id") % 7 === 0).select("vec_id")
-        graft.sources.KeyedTable.mergeDelta(s, root, "annidx",
-          deletes, "vec_id") { (cur, ch) =>
-          cur.join(ch.select("vec_id"), Seq("vec_id"), "left_anti")
-        }
-        graft.sources.KeyedTable.compact(s, root, "annidx", "vec_id", 100000L)
-        val idx = graft.sources.KeyedTable.read(s, root, "annidx")
-        val q = idx.filter(col("vec_id") % 10 === 0)
-          .selectExpr("vec_id AS query_id", "embedding AS qe",
-            "n2 AS qn2", "cell")
-        val c = idx.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
-          "n2 AS cn2", "cell")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        q.join(c, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .selectExpr("query_id", "neighbor_id", "cell",
-            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy("query_id", "rn")
-      },
-      s"""WITH $duckTrainedL3Cte
-         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-         |    ${duckCos("q", "c")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
-         |  FROM ebl3 q JOIN ebl3 c ON q.cell = c.cell
-         |    AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id % 10 = 0 AND q.vec_id % 7 <> 0
-         |    AND c.vec_id % 7 <> 0
-         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+      (s, d) => servedDeleteProbe(s,
+        s"${graft.ProcScratch.base}/ann_delete_l3/" +
+          new java.io.File(d).getName,
+        trainedCellsL3(s, d)),
+      duckDeleteL3Sql),
 
     // Trained IVF with nprobe=2 — the recall knob on the CLUSTERED-corpus
     // path: each query probes its home trained cell AND the best child of

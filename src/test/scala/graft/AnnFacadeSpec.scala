@@ -75,6 +75,37 @@ class AnnFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("facade serving: ingest routes by the law and reuses the per-book body") {
+    // default arm ≡ the two-level incremental body; forced arm ≡ the
+    // L3 one — row-identical, because annIngest shares
+    // servedIngestProbe and the per-book inc builds rather than
+    // re-deriving them
+    val auto = annIngest(spark, sf)
+      .select("arrival_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(AnnIndexStats.lastBook === "two-level")
+    ScratchCache.release()
+    val manual = servedIngestProbe(
+      trainedCells(spark, sf, seedWhere = "vec_id % 10 <> 0"))
+      .select("arrival_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ScratchCache.release()
+    assert(auto === manual)
+    assert(auto.nonEmpty)
+    val autoL3 = annIngest(spark, sf, cap = Some(1L))
+      .select("arrival_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(AnnIndexStats.lastBook === "l3")
+    ScratchCache.release()
+    val manualL3 = servedIngestProbe(
+      trainedCellsL3Inc(spark, sf, "vec_id % 10 <> 0"))
+      .select("arrival_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ScratchCache.release()
+    assert(autoL3 === manualL3)
+    assert(autoL3.nonEmpty)
+  }
+
   test("explicit cap does not disturb the conf-keyed default route") {
     // the parameter must be call-scoped: after a forced-L3 call the
     // very next default call still routes by the conf/law default
