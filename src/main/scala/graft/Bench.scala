@@ -288,11 +288,48 @@ object Bench {
     // inferred from diff scope
     val loadEnd = loadAvg()
     val spinEnd = spinProbe()
+    // LOAD-NORMALIZED TOTAL (r12, the r11 verdict's item 5): the spin
+    // probe's fixed workload moves 1:1 with co-tenant pressure, so
+    // total · spin_ref / spin_now is the suite total the REFERENCE
+    // host level would have measured. spin_ref follows the
+    // first-recorded protocol: it is inherited from the previous
+    // committed BENCH_DETAIL.json (seeded once from the first host
+    // record ever written — the r11 run's ambient level) and never
+    // rewritten, so every round's normalized value shares one anchor
+    // instead of chaining ratios. Raw stays the headline; normalized
+    // rides beside it so round-over-round comparisons stop needing
+    // prose defense.
+    val spinNow = (spinStart + spinEnd) / 2
+    val spinRef: Double =
+      (try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        Seq("BENCH_DETAIL.json", "/root/repo/BENCH_DETAIL.json")
+          .map(new java.io.File(_)).find(_.exists())
+          .flatMap { f =>
+            val h = JsonMethods.parse(
+              java.nio.file.Files.readString(f.toPath)) \ "host"
+            def num(v: JValue): Option[Double] = v match {
+              case JDouble(x) => Some(x)
+              case JInt(x) => Some(x.toDouble)
+              case JLong(x) => Some(x.toDouble)
+              case _ => None
+            }
+            num(h \ "spin_ref").orElse {
+              for {
+                a <- num(h \ "spin_s_start")
+                b <- num(h \ "spin_s_end")
+              } yield (a + b) / 2
+            }
+          }
+      } catch { case _: Throwable => None }).getOrElse(spinNow)
+    val totalNorm =
+      if (total > 0 && spinNow > 0) total * spinRef / spinNow else -1.0
     val hostJson = f"""{"cpus":$cpus,"loadavg_start":$loadStart,""" +
       f""""loadavg_end":$loadEnd,"spin_s_start":$spinStart%.3f,""" +
-      f""""spin_s_end":$spinEnd%.3f}"""
+      f""""spin_s_end":$spinEnd%.3f,"spin_ref":$spinRef%.3f}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"skew_isolated":$skewIsoJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"host":$hostJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_load_normalized":$totalNorm,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remeasureJson,"skew":$skewJson,"skew_isolated":$skewIsoJson,"stages":$stagesJson,"critical_path":$criticalJson,"sweep":$sweepJson,"trend_regressions":$trendJson,"host":$hostJson,"sf":"$sfDir"}"""
     Seq("BASELINE.md", "/root/repo/BASELINE.md")
       .map(new java.io.File(_)).find(_.exists())
       .map(_.getAbsoluteFile.getParentFile).foreach { repo =>
@@ -312,7 +349,8 @@ object Bench {
     // per-query map in the committed BENCH_DETAIL.json.
     val budget = 1500 // line budget; + ~80 chars of sbt epilogue < 2000
     val slowest = reported.toSeq.filter(_._2 >= 0).sortBy(-_._2)
-    val fixed = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fixed = s"""{"metric":"total","value":$total,""" +
+      f""""value_load_normalized":$totalNorm%.1f,"unit":"sec",""" +
       s""""queries":{},"queries_omitted":000,""" +
       s""""queries_total":${reported.size},"errors":$errJson,""" +
       s""""remeasured_n":${remeasured.size},""" +
@@ -323,7 +361,8 @@ object Bench {
       val e = f""""$q":$t%.2f"""
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    println(s"""{"metric":"total","value":$total,""" +
+      f""""value_load_normalized":$totalNorm%.1f,"unit":"sec",""" +
       s""""queries":${entries.mkString("{", ",", "}")},""" +
       s""""queries_omitted":${reported.size - entries.size},""" +
       s""""queries_total":${reported.size},"errors":$errJson,""" +
