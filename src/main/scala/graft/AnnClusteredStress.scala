@@ -77,6 +77,12 @@ object AnnClusteredStress {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outJson = args.lift(2).getOrElse("/root/repo/SCALE_clustered_ann.json")
+    // optional 4th arg: generator mode — "clustered" (default) or
+    // "clustered_vocabrich" (r12: the combined arm, vocab-rich
+    // documents beside the clustered embeddings, so the retention
+    // table can be recomputed on the corpus whose TEXT side carries no
+    // 31-word-vocabulary entropy bound)
+    val mode = args.lift(3).getOrElse("clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,10 +98,10 @@ object AnnClusteredStress {
     val root = s"${ProcScratch.base}/clustered_ann"
     val dir1 = s"$root/sf1x"
     val dirN = s"$root/sf${factor}x"
-    println(s"[ann-clustered] generating mode=clustered 1x at $dir1 and " +
+    println(s"[ann-clustered] generating mode=$mode 1x at $dir1 and " +
       s"${factor}x at $dirN from $baseDir")
-    ScaleStress.generate(spark, baseDir, dir1, 1, mode = "clustered")
-    ScaleStress.generate(spark, baseDir, dirN, factor, mode = "clustered")
+    ScaleStress.generate(spark, baseDir, dir1, 1, mode = mode)
+    ScaleStress.generate(spark, baseDir, dirN, factor, mode = mode)
 
     val rows = Seq(("1x", dir1), (s"${factor}x", dirN)).map { case (tag, dir) =>
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -120,7 +126,7 @@ object AnnClusteredStress {
       // recall@3 on a ~100-query sample vs brute-force ground truth
       val qstep = math.max(1L, n / 100)
       val q = assigned
-        .filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        .filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cell",
           s"CAST(graft_ivf_cell_h2(embedding, $sc, $mc) AS INT) AS cell2")
@@ -159,11 +165,11 @@ object AnnClusteredStress {
       val (balUsed, balMax, balMed) =
         (bCounts.length, bCounts.last, bCounts(bCounts.length / 2))
       val balSq = bCounts.map(x => x.toDouble * x).sum
-      val balQ = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val balQ = bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cell AS probe").persist()
       val balQ2 = balQ.unionByName(
-        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
             "cell2 AS probe"))
       val balCand = bal.selectExpr("vec_id AS neighbor_id",
@@ -176,7 +182,7 @@ object AnnClusteredStress {
       // nprobe=3 (q_ann_ivf_trained_probe3): + the home super's
       // second-best child — recall must order probe3 ≥ probe2 ≥ probe1
       val balQ3 = balQ2.unionByName(
-        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
             "cell3 AS probe"))
       val balGot3 = top3(balQ3.join(balCand, col("probe") === col("ccell"))
@@ -199,7 +205,7 @@ object AnnClusteredStress {
       val (refUsed, refMax, refMed) =
         (rCounts.length, rCounts.last, rCounts(rCounts.length / 2))
       val refSq = rCounts.map(x => x.toDouble * x).sum
-      val refQ = ref.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val refQ = ref.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "bucket AS pbucket", "cell AS pcell")
       val refCand = ref.selectExpr("vec_id AS neighbor_id",
@@ -221,7 +227,7 @@ object AnnClusteredStress {
       // Truth from the sampled queries only (bounded: |sample|·N pairs).
       def ndPairs(joined: DataFrame): Set[(Long, Long)] =
         NearDupLaw.pairs(joined) // the SHARED law (see NearDupLaw)
-      val qnd = assigned.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val qnd = assigned.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "bucket AS pbucket")
       val candB = assigned.selectExpr("vec_id AS neighbor_id",
@@ -229,12 +235,12 @@ object AnnClusteredStress {
       val ndTruth = ndPairs(
         qnd.drop("pbucket").crossJoin(candB.drop("cbucket")))
       val ndLsh = ndPairs(qnd.join(candB, col("pbucket") === col("cbucket")))
-      val refQnd = ref.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val refQnd = ref.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "bucket AS pbucket", "cell AS pcell")
       val ndRef = ndPairs(refQnd.join(refCand,
         col("pbucket") === col("cbucket") && col("pcell") === col("ccell")))
-      val balQnd = bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val balQnd = bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cell AS probe")
       val ndBal = ndPairs(balQnd.join(balCand, col("probe") === col("ccell")))
@@ -248,7 +254,7 @@ object AnnClusteredStress {
       // declared query's real join size: Σ occ(cell) + Σ_{cell2≠cell}
       // occ(cell2) — bounded by 2× the single-probe mass.
       val balQnd2 = balQnd.unionByName(
-        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .filter(col("cell2") =!= col("cell"))
           .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
             "cell2 AS probe"))
@@ -271,7 +277,7 @@ object AnnClusteredStress {
       // THREE-probe (q_dedup_embedding_probe3): + the home super's
       // second-best child (cell3) — the INTRA-super seam
       val balQnd3 = balQnd2.unionByName(
-        bal.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        bal.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .filter(col("cell3") =!= col("cell"))
           .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
             "cell3 AS probe"))
@@ -300,7 +306,7 @@ object AnnClusteredStress {
       val adpMass = adp.selectExpr("explode(probes) AS cell")
         .join(broadcast(cnt), "cell")
         .agg(coalesce(sum("bn"), lit(0L))).head.getLong(0).toDouble
-      val adpQ = adp.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val adpQ = adp.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
       val adpGot1 = adpQ.selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "explode(probes) AS probe")
         .join(adp.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -489,7 +495,7 @@ object AnnClusteredStress {
       val (l3Used, l3Max, l3Med) =
         (l3Counts.length, l3Counts.last, l3Counts(l3Counts.length / 2))
       val l3Sq = l3Counts.map(x => x.toDouble * x).sum
-      val l3Q = l3.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val l3Q = l3.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cell AS probe")
       val l3Cand = l3.selectExpr("vec_id AS neighbor_id",
@@ -500,7 +506,7 @@ object AnnClusteredStress {
       // runner-up cell, probe-side only — the recall compensation the
       // share gate rides on
       val l3Q2 = l3Q.unionByName(
-        l3.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        l3.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .selectExpr("vec_id AS query_id", "embedding AS qe",
             "n2 AS qn2", "cell2 AS probe"))
       val l3Got2 = top3(l3Q2.join(l3Cand, col("probe") === col("ccell"))
@@ -530,7 +536,7 @@ object AnnClusteredStress {
       // inner joins and hold recall near the full L3 book — training
       // on 9/10 of the corpus should cost little
       def l3Recall(book: DataFrame): Double = {
-        val bq = book.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+        val bq = book.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
           .selectExpr("vec_id AS query_id", "embedding AS qe",
             "n2 AS qn2", "cell AS probe")
         val bc = book.selectExpr("vec_id AS neighbor_id",
@@ -615,7 +621,7 @@ object AnnClusteredStress {
       val (semUsed, semMax, semMed) =
         (semCounts.length, semCounts.last, semCounts(semCounts.length / 2))
       val semSq = semCounts.map(x => x.toDouble * x).sum
-      val semQnd = semAll.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val semQnd = semAll.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2",
           "cluster AS pcl")
       val semCand = semAll.selectExpr("vec_id AS neighbor_id",
@@ -843,7 +849,7 @@ object AnnClusteredStress {
           !r.json.contains(""""ann_auto_ingest_book":"l3"""") => r.tag })
       .distinct.sorted
     val out =
-      s"""{"base_sf":"$baseDir","factor":$factor,"mode":"clustered",""" +
+      s"""{"base_sf":"$baseDir","factor":$factor,"mode":"$mode",""" +
         rows.map(r => s""""${r.tag}":${r.json}""").mkString("", ",", ",") +
         f""""cell_pair_mass_ratio":$massRatio%.2f,""" +
         f""""trained_pair_mass_ratio":$balRatio%.2f,""" +

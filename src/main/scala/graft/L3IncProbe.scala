@@ -40,7 +40,7 @@ object L3IncProbe {
         "graft_vec_dot(embedding, embedding) AS n2").persist()
     val n = e.count()
     val qstep = math.max(1L, n / 100)
-    val q = e.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+    val q = e.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
       .selectExpr("vec_id AS query_id", "embedding AS qe", "n2 AS qn2")
       .persist()
     val cand = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
@@ -63,7 +63,7 @@ object L3IncProbe {
       val cells = b.select("cell").distinct().count()
       val occ = b.groupBy("cell").count().select("count")
         .collect().map(_.getLong(0)).sorted
-      val bq = b.filter(pmod(col("vec_id"), lit(qstep)) === 0)
+      val bq = b.filter(pmod(hash(col("vec_id"), lit(77)), lit(qstep)) === 0)
         .selectExpr("vec_id AS query_id", "embedding AS qe",
           "n2 AS qn2", "cell AS probe")
       val bc = b.selectExpr("vec_id AS neighbor_id", "embedding AS ce",

@@ -93,6 +93,21 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     * fixture id range; payload mutations are deterministic functions
     * of the replica index only (no RNG — resumable, reproducible).
     *
+    * Replica offsets are PRIME (r12 — the r11 honest finding's root
+    * fix): the old k·10^7 offset made every modulus m dividing 10^7
+    * (the trained child stride 125, the ~100-query probe stride, the
+    * vec_id%10 arrival split …) select the SAME base rows in every
+    * replica — at factor 100 all 100 recall-probe queries were
+    * replicas of base row 0 and every one of them was itself a child
+    * seed of the raw-modulus L3 book, which is why modulus-seeded
+    * recall ROSE with scale (graft.L3IncProbe: 0.78 vs 0.117 for the
+    * identical selection law without the resonance). A prime offset P
+    * is coprime to every stride m < P, so b ≡ −kP (mod m) walks a
+    * DIFFERENT base residue per replica: modulus-selected samples
+    * (seeds, probes, arrival splits) become ordinary samples of the
+    * corpus. The per-row geometric scramble below removes the
+    * complementary payload symmetry.
+    *
     * `mode = "vocabrich"` additionally RENAMES each document's words by
     * a per-doc bucket (word → word + hash(word, bucket) digits, bucket
     * = hash(doc_id) mod 16): within a bucket the renaming is a pure
@@ -103,7 +118,12 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
     * 48-bit signatures → superlinear bucket joins, the r06 caveat on
     * q_dedup_simhash) disappears without touching the banding under
     * test. Applied at EVERY replica including the 1× baseline, so the
-    * ratio compares the same rich corpus at two volumes. */
+    * ratio compares the same rich corpus at two volumes.
+    *
+    * Modes COMPOSE by substring (r12): `clustered_vocabrich` applies
+    * the clustered embedding geometry AND the vocab-rich document
+    * renaming — the combined arm the r11 verdict's item 6 asks the
+    * clustered ANN stress to measure. */
   private def mutate(name: String, df: DataFrame, k: Int,
       mode: String = "default"): DataFrame =
     name match {
@@ -125,10 +145,10 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
             r = r.grouped(2).map(p => p.reverse).mkString
           r
         }
-        val base = df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        val base = df.withColumn("doc_id", col("doc_id") + lit(k * 10000019L))
           .withColumn("text",
             translate(col("text"), lower + upper, rot(lower) + rot(upper)))
-        if (mode != "vocabrich") base
+        if (!mode.contains("vocabrich")) base
         else base.withColumn("text", expr(
           "array_join(transform(split(text, ' '), w -> concat(w, " +
             "CAST(pmod(hash(w, CAST(pmod(hash(doc_id), 16) AS INT)), 997)" +
@@ -152,7 +172,7 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
           if (p == 0) shifted
           else s"transform($shifted, (x, j) -> CASE WHEN " +
             s"(($p >> (j % 8)) & 1) = 1 THEN -x ELSE x END)"
-        val base = df.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        val base = df.withColumn("vec_id", col("vec_id") + lit(k * 10000019L))
           .withColumn("embedding",
             if (s == 0 && p == 0) col("embedding") else expr(mutated))
         // `mode = "clustered"`: plant DENSITY-SKEWED clusters — the r07
@@ -164,23 +184,48 @@ object ScaleStress extends AdaptiveSparkPlanHelper {
         // hash-derived pseudo-random direction (anchors mutually
         // ~orthogonal), ADDED at comparable magnitude to the unit
         // vector, so within-cluster cosine lands ~0.4 (clustered, not
-        // degenerate) and the original embedding supplies the spread.
+        // degenerate) and the spread component supplies the scatter.
         // Deterministic in (vec_id, j) only; applied at every replica
         // including the 1× baseline, so ratios compare the same
         // clustered corpus at two volumes.
-        if (mode != "clustered") base
-        else base.withColumn("embedding", expr(
-          "transform(embedding, (x, j) -> CAST(x + " +
-            "(CAST(pmod(hash(CAST(floor(sqrt(CAST(pmod(hash(vec_id), 256)" +
-            " AS DOUBLE))) AS INT), j, 42), 1000) AS DOUBLE) / 1000.0" +
-            " - 0.5) * 0.35 AS FLOAT))"))
+        //
+        // r12 DECORRELATION (the r11 honest finding): the spread used
+        // to be the per-REPLICA orthogonal transform of the base row,
+        // so a factor-N corpus was N geometric copies of the same
+        // 2000-row base — vec_id-modulus seeds (and the query sample,
+        // whose stride divides the 10^7 replica offset) landed on the
+        // SAME base origs in every replica, and every modulus-seeded
+        // recall number rode that symmetry (full L3 book 0.78 vs 0.117
+        // for the identical selection law without the resonance, at
+        // identical cells/occupancy — graft.L3IncProbe). The replica
+        // id now enters the payload GEOMETRY: each row's spread is
+        // scrambled by a PER-ROW orthogonal map (cyclic shift by
+        // hash(vec_id) mod dim composed with per-(vec_id, j) sign
+        // flips — norm-preserving, so cluster magnitudes are
+        // untouched), making two replicas of the same base row
+        // geometrically unrelated points of their clusters. Modulus
+        // seed sets are now ordinary samples of the cluster mass, and
+        // the truth set stops carrying cross-replica twins.
+        if (!mode.contains("clustered")) base
+        else base
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> CAST(" +
+              s"element_at(embedding, CAST(1 + pmod(j + pmod(hash(vec_id)," +
+              s" $dim), $dim) AS INT)) * " +
+              "CASE WHEN pmod(hash(vec_id, j, 9), 2) = 1" +
+              " THEN -1.0 ELSE 1.0 END AS FLOAT))"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, j) -> CAST(x + " +
+              "(CAST(pmod(hash(CAST(floor(sqrt(CAST(pmod(hash(vec_id), 256)" +
+              " AS DOUBLE))) AS INT), j, 42), 1000) AS DOUBLE) / 1000.0" +
+              " - 0.5) * 0.35 AS FLOAT))"))
       case "events" =>
-        df.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
-          .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+        df.withColumn("event_id", col("event_id") + lit(k * 1000000007L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000003L))
       case "lineitem" =>
-        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
-          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000000L))
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000007L))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000019L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000003L))
       case _ => df
     }
 
