@@ -844,7 +844,17 @@ object AnnClusteredStress {
         case r if !r.json.contains(""""switch_route":"dist"""") ||
           !r.json.contains(""""sem_switch_route":"dist"""") ||
           !r.json.contains(""""adp_switch_route":"dist"""") ||
-          !r.json.contains(""""lsh_switch_route":"lsh-dist"""") ||
+          // VACUOUS PASS (r12): on a corpus with NO hot buckets
+          // (seedCount = 0 — the decorrelated 1× geometry spreads the
+          // planted clusters below the refinement cap) the dist route
+          // is unreachable by the engine's own law (seedCount > budget
+          // is false for every budget) AND meaningless — both routes
+          // are the identity assignment, and the diff row already
+          // gates their equality. The switch gate therefore accepts
+          // lsh-broadcast ONLY in the zero-seed case.
+          !(r.json.contains(""""lsh_switch_route":"lsh-dist"""") ||
+            (r.json.contains(""""lsh_switch_route":"lsh-broadcast"""") &&
+              r.json.contains(""""lsh_switch_driver_seeds":0"""))) ||
           !r.json.contains(""""ann_auto_book":"l3"""") ||
           !r.json.contains(""""ann_auto_ingest_book":"l3"""") => r.tag })
       .distinct.sorted
