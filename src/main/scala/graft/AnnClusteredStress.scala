@@ -34,41 +34,47 @@ import org.apache.spark.sql.functions._
 object AnnClusteredStress {
 
   /** Minimum acceptable multi-probe near-dup retention at ANY measured
-    * scale — the r09 floor, pinned from the measured 100× clustered
-    * point (the r08 measurements had no floor: single-probe trained
-    * cells bottomed out at 0.057 and nothing gated it). The truth set
-    * grows quadratically in cluster mass while any bounded blocker
-    * spends ~constant candidates per row, so the floor is deliberately
-    * a FLOOR, not a target — breaching it means the blocking key lost
-    * its value as a dedup device, not that a ratio drifted. */
-  private val RetentionFloor = 0.10
+    * scale. RE-PINNED r12 on the DECORRELATED corpus (prime replica
+    * offsets + per-row geometric scramble + hash-drawn probe sample —
+    * the r11 finding's fix): the old 0.10 floor was calibrated on the
+    * symmetric corpus, whose truth set carried cross-replica twins
+    * that any geometry-faithful blocker catches for free (probe3
+    * measured 0.151@100× there vs 0.032 on the decorrelated corpus at
+    * IDENTICAL occupancy and pair mass). Pair-level retention of any
+    * bounded blocker falls as truth mass grows quadratically in
+    * cluster mass — the scale-stable decision gate is REMOVAL recall
+    * below (measured 1.000 at every point, floor 0.95); this floor is
+    * the collapse alarm under the decorrelated measured points
+    * 0.913/0.342/0.032 at 1×/10×/100×. */
+  private val RetentionFloor = 0.02
 
-  /** Floors for the r10 ADAPTIVE knob row: its measured 100× clustered
-    * retention is 0.210 (vs probe3's 0.151), so its floor sits at 0.15
-    * — above the probe3 gate, below the measured point. REMOVAL recall
-    * — the dedup decision metric (any one found partner removes the
-    * row) — measured 1.000 at every grid point of ProbeTune's
-    * frontier, so its floor is a tight 0.95: a breach means the
+  /** Floor for the r10 ADAPTIVE knob row — re-pinned r12 with the
+    * same re-base (decorrelated measured points 0.968/0.471/0.091 at
+    * 1×/10×/100× vs 0.209@100× on the symmetric corpus). REMOVAL
+    * recall — the dedup decision metric (any one found partner
+    * removes the row) — measured 1.000 at every grid point on BOTH
+    * corpora, so its floor stays a tight 0.95: a breach means the
     * blocker stopped finding even ONE partner for rows that have
     * hundreds, i.e. the key collapsed. */
-  private val AdaptiveRetentionFloor = 0.15
+  private val AdaptiveRetentionFloor = 0.06
   private val RemovalRecallFloor = 0.95
 
   /** The three-level route (with its nprobe=2 knob — the beam's
     * runner-up cell, probe-side only) must hold at least this share of
     * the TWO-level probe1 recall on the same corpus — the measured
     * cost of the coarser grand→super→cell routing (the cap escape
-    * valve must not pay for state in recall). The 100× clustered
-    * point is the binding one — everywhere else the L3 BEATS the
-    * two-level book (1×/10×/30×: 0.57/0.32/0.26 vs 0.44/0.26/0.21).
-    * The measured 100× ladder that set the shipped beam: single
-    * descent 0.49×, grand beam-2 0.55×, super beam 2/3/4 →
-    * 0.67×/0.75×/0.82× probe1, 0.85× with probe2 — and doubling the
-    * GRAND count measured WORSE (narrower super blocks), which is why
-    * the beam rides the super stage. */
+    * valve must not pay for state in recall). On the DECORRELATED
+    * corpus (r12) the L3 book matches or beats the two-level book at
+    * every measured factor (probe1 1×/10×/100×: 0.559/0.229/0.061 vs
+    * 0.513/0.216/0.067; the gate arm l3_probe2 0.699/0.363/0.093),
+    * so the 0.80 share is comfortably clear — kept as the alarm that
+    * the beamed descent has stopped compensating the coarser
+    * assignment. */
   private val L3RecallShare = 0.80
   /** Exclusion-cost share for the served L3 book vs its selection-law
-    * control (r11 re-base; worst measured point 0.74 at 100x). */
+    * control (r11 re-base; r12 decorrelated measured shares
+    * 0.89/1.01/1.26 at 1×/10×/100× — training on 90% of rows costs
+    * nothing once the corpus symmetry is gone). */
   private val L3IncShare = 0.70
 
   private final case class ScaleRow(tag: String, n: Long, json: String)
@@ -549,20 +555,18 @@ object AnnClusteredStress {
       val l3iRowsLost = math.abs(l3i.count() - n)
       val l3iR1 = l3Recall(l3i)
       // the SELECTION-LAW CONTROL: the inc scheme (LCG children +
-      // rank-strided supers/grands) with NO row exclusion. The r11
-      // L3IncProbe measurement that re-based this gate: at 100× the
-      // modulus book scores 0.780 while this control scores 0.117 with
-      // IDENTICAL grand count (12), cell count, and occupancy — and
-      // the modulus book's recall JUMPS with scale (0.32→0.78) while
-      // the random-sample control declines monotonically. The modulus
-      // seeds resonate with THIS CORPUS's replica symmetry (factor-N =
-      // N mutated copies of the same base rows; vec_id % sc lands on
-      // the same base origs in every replica), a structure no real
-      // corpus has — so the fair gate for the SERVING feature is the
-      // exclusion cost vs this control, and the scheme-vs-scheme gap
-      // is recorded beside it with this analysis (next-round item:
-      // decorrelate the stress generator's replica ids so modulus
-      // seeds stop riding the symmetry).
+      // rank-strided supers/grands) with NO row exclusion — the gate
+      // measures the serving feature itself (the exclusion cost), not
+      // scheme-vs-scheme differences. History: on the pre-r12
+      // SYMMETRIC corpus the raw-modulus full book scored 0.780@100×
+      // vs 0.117 for this control at identical occupancy, because the
+      // composite k·10^7 replica offsets AND the stride-drawn probe
+      // sample resonated with the seed strides (at factor 100 every
+      // probe query WAS a child seed). r12 decorrelated all three
+      // (prime offsets, per-row geometric scramble, hash-drawn
+      // probes); the books now agree at every factor and decline
+      // monotonically (L3IncProbe 10×: 0.229/0.229/0.232; 100×:
+      // 0.061/0.074/0.093 for full/control/inc).
       val l3iT = ops.SimilarityQueries.trainedCellsL3Inc(spark, dir, "TRUE")
       val l3iTR1 = l3Recall(l3iT)
 
