@@ -149,6 +149,32 @@ object BinaryPipeline {
     StructField("amp_sum", LongType, nullable = false),
     StructField("amp_abs_sum", LongType, nullable = false)))
 
+  /** Once-per-JVM audio codec providers. AudioSystem.write /
+    * getAudioInputStream dispatch through JDK13Services.getProviders,
+    * which SYNCHRONIZES on a class-level lock — a per-row call under
+    * 32 executor threads serializes the whole stage (caught by the
+    * r12 100× ScaleStress run: loadavg ~1 on a 32-core box, every
+    * worker BLOCKED on the JSSecurityManager monitor). The fix is the
+    * standard worker-init pattern this file already documents: load
+    * the SAME SPI providers once per JVM via ServiceLoader, then call
+    * them lock-free per row. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileWriter on this JVM"))
+  }
+  private lazy val audioReaders
+      : Vector[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toVector
+  }
+
   /** Deterministic WAV synthesis — the ENCODE side of the real audio
     * round trip ([[synthPng]]'s treatment applied to sound): rate,
     * channel count, frame count, and every 16-bit sample are integer
@@ -180,18 +206,26 @@ object BinaryPipeline {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
   /** REAL audio decode: `javax.sound.sampled` over the opaque payload →
     * (rate, channels, frames, signed amp sum, absolute amp sum).
     * Partition-local; never sees the driver. Handles either endianness
-    * and fails loudly on non-PCM-16 payloads instead of guessing. */
+    * and fails loudly on non-PCM-16 payloads instead of guessing.
+    * Provider dispatch replays AudioSystem.getAudioInputStream's law
+    * (first reader that accepts the bytes) over the JVM-cached
+    * provider list — per-row calls take no global lock. */
   def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      "decodeAudio: payload is not a decodable audio stream"))
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding ==
