@@ -325,6 +325,18 @@ object AnnClusteredStress {
       val ndAdp = ndPairs(
         adpGot1.select(mpCols.map(col): _*)
           .unionByName(adpGot2.select(mpCols.map(col): _*)))
+      // adaptive-nprobe SEARCH recall (r12, q_ann_ivf_trained_adaptive):
+      // the same margin-law probe set on the top-3 search, measured on
+      // the same truth BESIDE the fixed probe1/2/3 chain — what the
+      // knob buys the search surface at its stated candidate-mass
+      // point (the adaptive set contains the home cell, so this is
+      // ≥ trained_recall3_probe1 by construction; the interesting gap
+      // is vs probe3 at the high factors where boundary queries spend
+      // the cap)
+      val adpRecall = {
+        val got = top3(adpGot1.dropDuplicates("query_id", "neighbor_id"))
+        (truth & got).size.toDouble / truth.size
+      }
 
       // adaptive SIZE SWITCH: force the shared budget below this
       // corpus's c so trainedAdaptiveCells delegates to its DIST
@@ -746,6 +758,7 @@ object AnnClusteredStress {
           f""""neardup_retention_multi_probe3":$retMp3%.3f,""" +
           f""""adaptive_probe_pair_mass":$adpMass%.0f,""" +
           f""""adaptive_probe_mass_vs_single":${adpMass / balSq}%.2f,""" +
+          f""""trained_recall3_adaptive":$adpRecall%.3f,""" +
           f""""neardup_retention_adaptive_probe":$retAdp%.3f,""" +
           f""""removal_recall_adaptive":$remAdp%.3f,""" +
           f""""removal_recall_probe3":$remMp3%.3f,""" +
@@ -830,6 +843,14 @@ object AnnClusteredStress {
     val l3IncBreach = massOf("l3_inc_recall3_probe1").collect {
       case (tag, r) if r < L3IncShare * l3IncTByTag(tag) => tag }
       .toSeq.sorted
+    // the adaptive SEARCH gate (r12): the margin-law probe set always
+    // contains the home cell, so its top-3 recall can never measure
+    // below probe1's on the same truth — a breach is a broken probe
+    // array or join, not a quality judgement (small epsilon: both
+    // recalls are ratios of the same ≤ ~300-pair truth set, so exact
+    // ≥ holds; the slack covers only float printing)
+    val adpSearchBreach = massOf("trained_recall3_adaptive").collect {
+      case (tag, r) if r < balR1ByTag(tag) - 0.0005 => tag }.toSeq.sorted
     // the r10 switch gate: at every scale the forced-budget build must
     // have actually taken the dist route AND agreed on every probe col
     val switchBreach = (massOf("switch_probe_diff").collect {
@@ -909,6 +930,8 @@ object AnnClusteredStress {
           .mkString("[", ",", "]")},""" +
         s""""l3_inc_recall_below_share":${l3IncBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
+        s""""adaptive_search_below_probe1":${adpSearchBreach
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""switch_gate_breach":${switchBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         f""""linear_bound":${factor * 1.5}%.1f}"""

@@ -2945,6 +2945,53 @@ object SimilarityQueries {
       (s, d) => trainedAnnSearch(trainedCellsDist(s, d)),
       duckTrainedAnnSql),
 
+    // ADAPTIVE-nprobe ANN SEARCH — the target-retention knob
+    // ([[trainedAdaptiveCells]], r10's dedup-side margin law) applied
+    // to the top-k SEARCH surface, closing the family's last fixed-
+    // probe gap: q_dedup_embedding_adaptive spends probes where pairs
+    // are lost, this query spends the same probes where neighbors are
+    // lost. Each query probes the child cells of its 3 nearest supers
+    // within the integer margin d2·den ≤ hd2·num (interior queries
+    // spend ONE probe, boundary queries up to the maxProbes cap), then
+    // exact-rescores candidates met in the hash-partitioned cell join —
+    // FAISS's adaptive-nprobe recipe with a STATED per-query mass
+    // budget instead of a corpus-blind fixed nprobe. On the
+    // decorrelated 100× clustered corpus the fixed chain measures
+    // 0.067/0.067/0.122 (probe1/2/3, SCALE_r12_clustered_ann_100x);
+    // the adaptive row beside them (`trained_recall3_adaptive`)
+    // measures what the margin law buys at the 4.3×-single mass point.
+    // Candidate keys stay (cell) — write-time partitioning and the
+    // scale story are q_ann_ivf_trained's; the probe array is bounded
+    // by maxProbes at ANY corpus size and the build takes the same
+    // driver-budget dist switch as every trained builder.
+    "q_ann_ivf_trained_adaptive" -> QueryDef(
+      (s, d) => {
+        val e = trainedAdaptiveCells(s, d, AdaptNSupers, AdaptMaxProbes,
+          AdaptEpsNum, AdaptEpsDen, interleave = true)
+        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "explode(probes) AS cell")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckAdaptiveProbesCte
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM aprobes q JOIN eb c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
     // The ANN FACADE (r11): one entry point, book picked by the cell
     // law ([[annBook]] — two-level while ⌈N/125⌉ fits the 2^24 cap,
     // three-level past it), probe columns normalized so callers never
