@@ -504,7 +504,7 @@ object AnnClusteredStress {
       // 3*c^(1/3). Rows lost must be ZERO (the inner joins drop rows
       // only if the recursive subset invariant breaks — gated).
       val l3 = ops.SimilarityQueries.trainedCellsL3(spark, dir,
-        probe2 = true)
+        probe2 = true, adaptive = true)
       val l3DriverSeeds =
         ops.SimilarityQueries.TrainedBuildStats.lastDriverSeeds
       val l3RowsLost = math.abs(l3.count() - n)
@@ -530,6 +530,19 @@ object AnnClusteredStress {
       val l3Got2 = top3(l3Q2.join(l3Cand, col("probe") === col("ccell"))
         .dropDuplicates("query_id", "neighbor_id"))
       val l3R2 = (truth & l3Got2).size.toDouble / truth.size
+      // the ADAPTIVE-nprobe knob on the L3 book (r12,
+      // q_ann_ivf_trained_l3_adaptive): the margin law over the beam's
+      // already-scanned leaves — measured beside the fixed probe1/2
+      // rows on the same truth, gated ≥ probe1 (home-cell superset)
+      val l3AdpRecall = {
+        val q = l3.filter(pmod(hash(col("vec_id"), lit(77)),
+            lit(qstep)) === 0)
+          .selectExpr("vec_id AS query_id", "embedding AS qe",
+            "n2 AS qn2", "explode(probes) AS probe")
+        val got = top3(q.join(l3Cand, col("probe") === col("ccell"))
+          .dropDuplicates("query_id", "neighbor_id"))
+        (truth & got).size.toDouble / truth.size
+      }
       val (l3sc, l3ss, l3gs) = ops.SimilarityQueries.trainedStridesL3(n)
       val l3Supers =
         assigned.filter(pmod(col("vec_id"), lit(l3ss)) === 0).count()
@@ -728,6 +741,7 @@ object AnnClusteredStress {
           f""""l3_mass_per_row":${l3Sq / n}%.1f,""" +
           f""""l3_recall3_probe1":$l3R1%.3f,""" +
           f""""l3_recall3_probe2":$l3R2%.3f,""" +
+          f""""l3_recall3_adaptive":$l3AdpRecall%.3f,""" +
           f""""l3_driver_seeds":$l3DriverSeeds,""" +
           f""""l3_supers":$l3Supers,"l3_children":$l3Children,""" +
           f""""l3_rows_lost":$l3RowsLost,""" +
@@ -849,8 +863,12 @@ object AnnClusteredStress {
     // array or join, not a quality judgement (small epsilon: both
     // recalls are ratios of the same ≤ ~300-pair truth set, so exact
     // ≥ holds; the slack covers only float printing)
-    val adpSearchBreach = massOf("trained_recall3_adaptive").collect {
-      case (tag, r) if r < balR1ByTag(tag) - 0.0005 => tag }.toSeq.sorted
+    val l3R1ByTag = massOf("l3_recall3_probe1")
+    val adpSearchBreach = (massOf("trained_recall3_adaptive").collect {
+      case (tag, r) if r < balR1ByTag(tag) - 0.0005 => tag }.toSeq ++
+      massOf("l3_recall3_adaptive").collect {
+        case (tag, r) if r < l3R1ByTag(tag) - 0.0005 => s"$tag(l3)" }
+        .toSeq).sorted
     // the r10 switch gate: at every scale the forced-budget build must
     // have actually taken the dist route AND agreed on every probe col
     val switchBreach = (massOf("switch_probe_diff").collect {

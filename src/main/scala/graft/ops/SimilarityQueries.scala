@@ -854,18 +854,18 @@ object SimilarityQueries {
   private[graft] val L3SuperBeam = 4
 
   private[graft] def trainedCellsL3(s: SparkSession, d: String,
-      probe2: Boolean = false): DataFrame =
-    trainedCellsL3From(s, trainedVecs(s, d), probe2)
+      probe2: Boolean = false, adaptive: Boolean = false): DataFrame =
+    trainedCellsL3From(s, trainedVecs(s, d), probe2, adaptive)
 
   private def trainedCellsL3From(s: SparkSession, v: DataFrame,
-      probe2: Boolean = false): DataFrame = {
+      probe2: Boolean = false, adaptive: Boolean = false): DataFrame = {
     val n = v.count()
     val (sc, ss, gs) = trainedStridesL3(n)
     trainedCellsL3Build(s, v,
       v.filter(expr(s"vec_id % $gs = 0")).selectExpr("vec_id", "qv"),
       v.filter(expr(s"vec_id % $ss = 0")).selectExpr("vec_id", "qv"),
       v.filter(expr(s"vec_id % $sc = 0")).selectExpr("vec_id", "qv"),
-      probe2)
+      probe2, adaptive)
   }
 
   /** INCREMENTAL-training L3 build — the served-index variant: the
@@ -932,7 +932,7 @@ object SimilarityQueries {
 
   private def trainedCellsL3Build(s: SparkSession, v: DataFrame,
       grandSrc: DataFrame, superSrc: DataFrame, childSrc: DataFrame,
-      probe2: Boolean): DataFrame = {
+      probe2: Boolean, adaptive: Boolean = false): DataFrame = {
     val grandSeeds = grandSrc
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
@@ -1027,6 +1027,22 @@ object SimilarityQueries {
         // the probeUnion fallback shape
         (if (probe2) Seq("coalesce(try_element_at(cands, 2).c, " +
           "element_at(cands, 1).c) AS cell2")
+        else Nil) ++
+        // the ADAPTIVE-nprobe knob on the L3 book (r12): the margin
+        // law over the ≤ 2·beam leaves the descent ALREADY scanned —
+        // home first, then non-home candidates within the integer
+        // margin d·den ≤ hd2·num of the nearest alternative (cands is
+        // (d, cid)-sorted, so cands[2].d IS hd2), capped at the same
+        // AdaptMaxProbes budget as the two-level law. Zero extra
+        // routing work: unlike the two-level kernel (which pools ALL
+        // children of the nearest supers) the candidate pool here is
+        // the beam's leaf set — the L3 structure's honest analog.
+        (if (adaptive) Seq(
+          "concat(array(element_at(cands, 1).c), " +
+            "transform(slice(filter(slice(cands, 2, size(cands) - 1), " +
+            s"x -> x.d * $AdaptEpsDen <= " +
+            s"try_element_at(cands, 2).d * $AdaptEpsNum), " +
+            s"1, ${AdaptMaxProbes - 1}), x -> x.c)) AS probes")
         else Nil): _*)
     // join-back pinned SHUFFLE_HASH: picks is one row per corpus row —
     // broadcastable at the fixture only, so letting AQE pick a BHJ here
@@ -1155,6 +1171,36 @@ object SimilarityQueries {
        |    COALESCE(x.cid, e.cell) AS cell2
        |  FROM ebl3 e LEFT JOIN (SELECT vec_id, cid FROM l3rk WHERE rn = 2) x
        |  USING (vec_id))""".stripMargin
+
+  /** [[duckTrainedL3Cte]] extended with the ADAPTIVE margin-law probe
+    * set over the beam's leaf candidates — ends in `l3aprobes(vec_id,
+    * embedding, n2, cell)`, one row per probe, the exploded shape the
+    * search join consumes: home always, then non-home beam leaves
+    * within the integer margin cd2·den ≤ h2·num (h2 = nearest
+    * non-home leaf distance) ordered by (cd2, cid) and capped at
+    * AdaptMaxProbes − 1 — byte-identical to the engine's filter/slice
+    * over the (d, cid)-sorted cands array. */
+  private def duckTrainedL3AdpCte: String =
+    s"""$duckTrainedL3Cte,
+       |l3ad AS (SELECT vec_id, cid, min(cd2) AS cd2 FROM l3rc
+       |  GROUP BY vec_id, cid),
+       |l3ahd AS (SELECT r.vec_id, min(r.cd2) AS h2
+       |  FROM l3ad r JOIN ebl3 e ON e.vec_id = r.vec_id
+       |  WHERE r.cid <> e.cell GROUP BY r.vec_id),
+       |l3aq AS (SELECT vec_id, cid FROM (
+       |    SELECT r.vec_id, r.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY r.cd2, r.cid) AS rnp
+       |    FROM l3ad r JOIN ebl3 e ON e.vec_id = r.vec_id
+       |    JOIN l3ahd t ON t.vec_id = r.vec_id
+       |    WHERE r.cid <> e.cell
+       |      AND r.cd2 * $AdaptEpsDen <= t.h2 * $AdaptEpsNum) tq
+       |  WHERE rnp <= ${AdaptMaxProbes - 1}),
+       |l3aprobes AS (
+       |  SELECT vec_id, embedding, n2, cell FROM ebl3
+       |  UNION ALL
+       |  SELECT e.vec_id, e.embedding, e.n2, q.cid AS cell
+       |  FROM l3aq q JOIN ebl3 e ON e.vec_id = q.vec_id)""".stripMargin
 
   /** Knob defaults of the ADAPTIVE multi-probe blocker — chosen from
     * graft.ProbeTune's measured retention-vs-mass frontier on the 100×
@@ -3079,6 +3125,45 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
          |  FROM tprobes q JOIN ebl3p c ON q.cell = c.cell
+         |    AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
+
+    // The ADAPTIVE-nprobe knob on the THREE-LEVEL book (r12) — the
+    // margin law of q_ann_ivf_trained_adaptive applied where the L3
+    // structure already paid for it: the beamed descent scans ≤ 2·beam
+    // leaf candidates per row, and the adaptive probe set is exactly
+    // the leaves within the integer margin of the nearest alternative
+    // (capped at the shared AdaptMaxProbes budget) — so unlike the
+    // two-level kernel this knob costs ZERO extra routing distance
+    // evaluations, only the probe-side fan-out. Both books now expose
+    // the same adaptive surface: interior rows one probe, boundary
+    // rows up to the cap, recall measured beside the fixed chain at
+    // every clustered scale (`l3_recall3_adaptive`, gated ≥ the L3
+    // probe1 by the home-cell superset invariant).
+    "q_ann_ivf_trained_l3_adaptive" -> QueryDef(
+      (s, d) => {
+        val e = trainedCellsL3(s, d, adaptive = true)
+        val probes = e.selectExpr("vec_id AS query_id", "embedding AS qe",
+          "n2 AS qn2", "explode(probes) AS cell")
+        val c = e.selectExpr("vec_id AS neighbor_id", "embedding AS ce",
+          "n2 AS cn2", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        probes.join(c, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id", "cell",
+            "(graft_vec_dot(qe, ce) / sqrt(qn2 * cn2)) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("query_id", "rn")
+      },
+      s"""WITH $duckTrainedL3AdpCte
+         |SELECT query_id, neighbor_id, cell, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell,
+         |    ${duckCos("q", "c")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rn
+         |  FROM l3aprobes q JOIN ebl3 c ON q.cell = c.cell
          |    AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
 

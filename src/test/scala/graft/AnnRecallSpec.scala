@@ -114,6 +114,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rta >= 0.45, f"adaptive search recall collapsed: $rta%.3f " +
       "(measured 0.503)")
 
+    // the L3 book's adaptive knob (r12): the margin law over the
+    // beam's already-scanned leaves — same home-cell superset
+    // contract vs the L3 probe1
+    val pl = pairs("q_ann_ivf_trained_l3")
+    val pla = pairs("q_ann_ivf_trained_l3_adaptive")
+    val rl = (truth & pl).size.toDouble / truth.size
+    val rla = (truth & pla).size.toDouble / truth.size
+    info(f"recall@3 ivf_trained_l3=$rl%.3f l3_adaptive=$rla%.3f")
+    assert(rla >= rl, "L3 adaptive probes must not lose recall vs probe1")
+    // measured 0.487 vs the L3 probe1's 0.212 — more than double, at
+    // ZERO extra routing cost (the margin law reuses the beam's
+    // already-scanned leaves); floor just below the deterministic value
+    assert(rla >= 0.44, f"L3 adaptive search recall collapsed: " +
+      f"$rla%.3f (measured 0.487)")
+
     // the DISTRIBUTED codebook build must be indistinguishable here:
     // identical cells ⇒ identical pairs, not merely similar recall
     val ptd = pairs("q_ann_ivf_trained_dist")

@@ -38,9 +38,11 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     seeds.minBy { case (id, v) => (d2(x, v), id) }._1
 
   test("assignment matches an independent 2x2-beam three-level mirror") {
-    val eng = ops.SimilarityQueries.trainedCellsL3(spark, sf, probe2 = true)
-      .selectExpr("vec_id", "cell", "cell2").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val eng = ops.SimilarityQueries.trainedCellsL3(spark, sf,
+        probe2 = true, adaptive = true)
+      .selectExpr("vec_id", "cell", "cell2", "probes").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
     try {
       val rows = Tables.embeddings(spark, sf)
         .selectExpr("vec_id", "embedding").collect()
@@ -83,8 +85,19 @@ class Trained3Spec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         // the probe2 column is the beam's first leaf in a DIFFERENT
         // cell (home fallback when the beam found only one)
         val c2 = beams.find(_._2 != c).map(_._2).getOrElse(c)
-        assert(eng(id) === ((c, c2)),
-          s"vec_id $id: engine ${eng(id)}, mirror ($c, $c2)")
+        // the ADAPTIVE probe array (r12): home, then non-home beam
+        // leaves within the integer margin d2·den ≤ hd2·num of the
+        // nearest alternative, (d2, cid)-ordered, capped — the same
+        // law the engine's filter/slice over cands encodes
+        val nonHome = beams.filter(_._2 != c)
+        val probes = Seq(c) ++ nonHome.headOption.toSeq.flatMap { h =>
+          nonHome.filter(p =>
+              p._1 * ops.SimilarityQueries.AdaptEpsDen <=
+                h._1 * ops.SimilarityQueries.AdaptEpsNum)
+            .take(ops.SimilarityQueries.AdaptMaxProbes - 1).map(_._2)
+        }
+        assert(eng(id) === ((c, c2, probes)),
+          s"vec_id $id: engine ${eng(id)}, mirror ($c, $c2, $probes)")
       }
     } finally ScratchCache.release()
   }
