@@ -358,6 +358,12 @@ object AnnClusteredStress {
         .filter("p1 <> p2").count() +
         math.abs(adpSwitched.count() - n)
       spark.conf.unset(ops.SimilarityQueries.MaxDriverSeedsKey)
+      // the 20 PQ queries' margin-law probe rows, kept past adp's
+      // lifetime for the full-composition recall rows below
+      val pqProbes = adp.filter(col("vec_id") < 20)
+        .selectExpr("vec_id AS query_id", "explode(probes) AS qcell")
+        .persist()
+      pqProbes.count()
       adp.unpersist()
 
       // LSH SIZE SWITCH (r11): force the shared budget below this
@@ -434,12 +440,69 @@ object AnnClusteredStress {
       // measured on the identical sampled pairs; residuals concentrate
       // around the cell centroid, so the same 256 codes should explain
       // MORE of what the coarse quantizer did not (gated not-worse)
-      def relErr256(frame: DataFrame): Double =
-        ops.SimilarityQueries.pq256Est(spark, frame)
-          .join(pqTrue, Seq("query_id", "vec_id"))
+      def relErr256Of(est: DataFrame): Double =
+        est.join(pqTrue, Seq("query_id", "vec_id"))
           .selectExpr("avg(abs(est_d2 - d2) / greatest(d2, 1)) AS e")
           .head().getDouble(0)
-      val err256Raw = relErr256(vq)
+      def relErr256(frame: DataFrame): Double =
+        relErr256Of(ops.SimilarityQueries.pq256Est(spark, frame))
+      val est256Raw = ops.SimilarityQueries.pq256Est(spark, vq).persist()
+      val err256Raw = relErr256Of(est256Raw)
+      // the EXACT RE-RANK stage (r12, q_ann_ivfpq_rerank): ADC orders
+      // the cell's candidates, the top-RerankR shortlist is re-scored
+      // with the exact integer d2, final top-5 by the exact distance.
+      // Measured as top-5 recall against the exact same-cell truth
+      // (pqTrue, the frame the rel-err rows already share): the
+      // re-ranked top-5 may never recall less than the raw ADC top-5
+      // at the same candidate mass (gate pq_rerank_below_adc) — ADC
+      // error moves from the returned ORDERING to shortlist
+      // membership only
+      def top5Pairs(ranked: DataFrame, byCol: String): Set[(Long, Long)] = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col(byCol).asc, col("vec_id").asc)
+        ranked.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).select("query_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val pqTruth5 = top5Pairs(pqTrue, "d2")
+      val pqAdc5 = top5Pairs(est256Raw, "est_d2")
+      val pqRerank5 = {
+        val ws = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        val short = est256Raw.withColumn("sr", row_number().over(ws))
+          .filter(col("sr") <= ops.SimilarityQueries.RerankR)
+          .select("query_id", "vec_id")
+        top5Pairs(short.join(pqTrue, Seq("query_id", "vec_id")), "d2")
+      }
+      val pqRecallAdc = (pqAdc5 & pqTruth5).size.toDouble / pqTruth5.size
+      val pqRecallRerank =
+        (pqRerank5 & pqTruth5).size.toDouble / pqTruth5.size
+      // FULL-corpus recall of the composed serving queries (r12,
+      // q_ann_ivfpq_rerank / q_ann_ivfpq_adaptive): the truth here is
+      // the exact top-5 over ALL candidates — the user-facing number,
+      // where cell exclusion costs recall — measured for the same-cell
+      // composition and for the margin-law adaptive probe set on the
+      // identical truth. No gate: adaptive-vs-home is a measurement
+      // (probes widen the candidate pool; nothing forbids ADC noise
+      // from reordering a bigger pool), the invariant gate lives on
+      // pq_rerank_below_adc above.
+      val pqFullTrue = vq.selectExpr("vec_id", "v AS cv")
+        .join(broadcast(pqQcell.select("query_id", "qv")),
+          col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${graft.oracle.SparkSql.dist2Big("qv", "cv")} AS d2")
+      val pqTruthFull = top5Pairs(pqFullTrue, "d2")
+      def compRecall5(df: DataFrame): Double = {
+        val got = df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & pqTruthFull).size.toDouble / pqTruthFull.size
+      }
+      val pqRerankFull =
+        compRecall5(ops.SimilarityQueries.pqRerankTopK(vq, est256Raw))
+      val pqAdaptiveFull = compRecall5(ops.SimilarityQueries.pqRerankTopK(
+        vq, ops.SimilarityQueries.pq256Est(spark, vq, Some(pqProbes))))
+      pqProbes.unpersist()
+      est256Raw.unpersist()
       // residual wrt the cell MEAN (the declared query's law): a seed
       // vector is itself a noisy member — seed-residuals measured
       // WORSE than raw here (0.212 vs 0.189 at 1×, the r11 finding
@@ -780,7 +843,11 @@ object AnnClusteredStress {
           f""""pq_adc_relerr_fixed":$pqErrFixed%.4f,""" +
           f""""pq_adc_relerr_adaptive":$pqErrAdaptive%.4f,""" +
           f""""pq256_adc_relerr_raw":$err256Raw%.4f,""" +
-          f""""pq256_adc_relerr_res":$err256Res%.4f}""")
+          f""""pq256_adc_relerr_res":$err256Res%.4f,""" +
+          f""""pq256_top5_recall_adc":$pqRecallAdc%.3f,""" +
+          f""""pq256_top5_recall_rerank":$pqRecallRerank%.3f,""" +
+          f""""ivfpq_rerank_recall5_full":$pqRerankFull%.3f,""" +
+          f""""ivfpq_adaptive_recall5_full":$pqAdaptiveFull%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -832,6 +899,13 @@ object AnnClusteredStress {
     val err256RawByTag = massOf("pq256_adc_relerr_raw")
     val pqRes256Breach = massOf("pq256_adc_relerr_res").collect {
       case (tag, e) if e > 1.25 * err256RawByTag(tag) => tag }.toSeq.sorted
+    // exact re-rank (r12, q_ann_ivfpq_rerank): the re-ranked top-5
+    // may never recall LESS than the raw ADC top-5 against the exact
+    // same-cell truth — both ratios share the identical deterministic
+    // truth set, so exact ≥ holds; the epsilon covers float printing
+    val adcR5ByTag = massOf("pq256_top5_recall_adc")
+    val pqRerankBreach = massOf("pq256_top5_recall_rerank").collect {
+      case (tag, r) if r < adcR5ByTag(tag) - 0.0005 => tag }.toSeq.sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     // the L3 gates: the three-level build must keep every row (an
@@ -930,6 +1004,8 @@ object AnnClusteredStress {
         s""""pq_adaptive_worse":${pqBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         s""""pq_res256_worse":${pqRes256Breach.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""pq_rerank_below_adc":${pqRerankBreach.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
         """"pq_res256_note":"measured negative: with occupancy-125 """ +
         """trained cells the residual blob is near-isotropic and """ +

@@ -33,6 +33,13 @@ object SimilarityQueries {
   private val NearDupThreshold = 0.4
   private val TopK = 5
 
+  /** ADC-shortlist size of the exact re-rank stage
+    * (q_ann_ivfpq_rerank): the FAISS k_factor convention — re-score
+    * k_factor·K candidates exactly, return K. 3 is the conservative
+    * end of the usual 2-10 band; the stress measures what it buys
+    * (`pq256_top5_recall_rerank` vs `_adc`). */
+  private[graft] val RerankR = 3 * TopK
+
   /** Loud scale guard for the two DECLARED brute-force recall oracles
     * (`q_dedup_embedding`, `q_ann_cosine`). Their all-pairs /
     * corpus-scan plans are deliberate — they are the exactness oracle
@@ -2228,7 +2235,14 @@ object SimilarityQueries {
     * seed), and measured head-to-head in AnnClusteredStress. Returns
     * (query_id, vec_id, est_d2) for the PqQueries sampled queries;
     * [[pq256TopK]] adds the declared queries' top-K window. */
-  private[graft] def pq256Est(s: SparkSession, v0: DataFrame): DataFrame = {
+  /** Optional multi-probe query side: (query_id, qcell) one row per
+    * probed cell — [[pq256Est]]'s default is the home-cell frame
+    * (nprobe=1); q_ann_ivfpq_adaptive passes the margin-law probe
+    * set. Candidate rows still carry ONE home cell each, and a
+    * query's probe cells are distinct by construction, so the est
+    * join stays (query, candidate)-unique at any nprobe. */
+  private[graft] def pq256Est(s: SparkSession, v0: DataFrame,
+      qprobes: Option[DataFrame] = None): DataFrame = {
     val v = ScratchCache.scratch(v0)
     val n = v.count()
     val st = math.max(1L, (n + PqTrainCap - 1) / PqTrainCap)
@@ -2305,9 +2319,10 @@ object SimilarityQueries {
     val codes = v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
       .select(col("vec_id"), col("cell"),
         expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
-    val qdist = pqQdist(s, v, book)
-      .join(v.filter(col("vec_id") < PqQueries)
-        .selectExpr("vec_id AS query_id", "cell AS qcell"), "query_id")
+    val qcells = qprobes.getOrElse(
+      v.filter(col("vec_id") < PqQueries)
+        .selectExpr("vec_id AS query_id", "cell AS qcell"))
+    val qdist = pqQdist(s, v, book).join(qcells, "query_id")
     val est = codes.join(broadcast(qdist),
         codes("ss") === qdist("ss") && codes("code") === qdist("cid") &&
           codes("cell") === qdist("qcell"))
@@ -2319,6 +2334,53 @@ object SimilarityQueries {
         org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     est
   }
+
+  /** Exact re-rank tail shared by q_ann_ivfpq_rerank and
+    * q_ann_ivfpq_adaptive: per-query top-[[RerankR]] ADC shortlist →
+    * exact integer d2 over the full quantized vectors (two join-backs
+    * into `v`; the shortlist is |Q|·R rows so AQE broadcasts it) →
+    * final top-K by the exact distance. O(|Q|·R·d) past the ADC scan —
+    * corpus-size-free. */
+  private[graft] def pqRerankTopK(v: DataFrame, est: DataFrame): DataFrame = {
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("est_d2").asc, col("vec_id").asc)
+    val short = est.withColumn("sr", row_number().over(ws))
+      .filter(col("sr") <= RerankR)
+      .select("query_id", "vec_id")
+    val exact = short
+      .join(v.selectExpr("vec_id", "v AS cv"), "vec_id")
+      .join(v.selectExpr("vec_id AS query_id", "v AS qv"), "query_id")
+      .selectExpr("query_id", "vec_id",
+        s"${SparkSql.dist2Big("qv", "cv")} AS d2")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .selectExpr("query_id", "vec_id AS neighbor_id", "d2", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** DuckDB twin of [[pqRerankTopK]] — appended after a WITH-prefix
+    * whose last CTE is `est(query_id, vec_id, est_d2)` over quantized
+    * vectors `v(vec_id, v)`. */
+  private def duckPqRerankSql(prefix: String): String =
+    s"""WITH $prefix,
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY est_d2, vec_id) AS sr
+       |    FROM est) WHERE sr <= $RerankR)
+       |SELECT query_id, neighbor_id, d2, rn FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    ${DuckSql.dist2Big("qv.v", "cv.v")} AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${DuckSql.dist2Big("qv.v", "cv.v")}, s.vec_id) AS rn
+       |  FROM short s
+       |  JOIN v cv ON cv.vec_id = s.vec_id
+       |  JOIN v qv ON qv.vec_id = s.query_id
+       |) WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
 
   /** Declared-query tail of the 256-code family: per-query top-K by
     * (est_d2, neighbor_id). */
@@ -3689,6 +3751,90 @@ object SimilarityQueries {
          |      ORDER BY est_d2, vec_id) AS rn
          |  FROM est) WHERE rn <= $TopK
          |ORDER BY query_id, rn""".stripMargin),
+
+    // EXACT RE-RANK on the production IVF-PQ (r12) — the final stage
+    // of the FAISS query pipeline the family was missing (Jégou et
+    // al. TPAMI'11 §V.C; reference parity: the ANN serving story's
+    // ADC shortlist → exact-rescore recipe): the trained coarse
+    // quantizer routes, the k=256 byte-code ADC scan RANKS the cell's
+    // candidates (4 lookup adds per candidate — bytes/candidate
+    // bounded), the per-query top-[[RerankR]] shortlist — and ONLY
+    // it — is re-scored with the exact integer d2 over the full
+    // quantized vectors, and the final top-K orders by that exact
+    // distance. ADC error now affects SHORTLIST MEMBERSHIP only,
+    // never the returned ordering; at 100 TB the re-rank reads
+    // R = 3·K full vectors per query via the cell-partitioned
+    // layout (file-pruned point lookups — TrainedWriteSpec's law)
+    // while the scan stage still touches 4 bytes/candidate. The
+    // shortlist is |Q|·R rows, so AQE broadcasts it into both
+    // vector join-backs; the whole rerank stage is
+    // O(|Q|·R·d) — corpus-size-free. Measured in AnnClusteredStress
+    // (`pq256_top5_recall_adc` vs `pq256_top5_recall_rerank` against
+    // the exact same-cell truth, gate `pq_rerank_below_adc` empty):
+    // re-ranking may never lose recall vs the raw ADC ordering at
+    // matched candidate mass.
+    "q_ann_ivfpq_rerank" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(trainedCells(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        pqRerankTopK(v, pq256Est(s, v))
+      },
+      duckPqRerankSql(
+        s"""$duckTrainedEbCte,
+           |v AS (
+           |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+           |  FROM embeddings),
+           |$pqOracleTail256,
+           |est AS (
+           |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+           |  FROM codes k
+           |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+           |  JOIN eb ck ON ck.vec_id = k.vec_id
+           |  JOIN eb cq ON cq.vec_id = q.query_id
+           |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+           |  GROUP BY q.query_id, k.vec_id)""".stripMargin)),
+
+    // The COMPLETE production ANN serving query (r12) — all three
+    // levers composed exactly as FAISS ships them: the margin-law
+    // ADAPTIVE probe set picks WHICH cells each query scans (interior
+    // queries one, boundary queries up to the cap — the recall
+    // lever), the k=256 byte-code ADC scan bounds BYTES per scanned
+    // candidate (the bandwidth lever), and the exact re-rank of the
+    // top-R shortlist restores the returned ORDERING to exact
+    // distances (the fidelity lever). Query cost at 100 TB:
+    // probes·(corpus/cells)·4 lookup adds + R·d exact — nothing
+    // touches a full vector outside the R-row shortlist. The probe
+    // law, codebooks, ADC estimator, and re-rank tail are all
+    // byte-shared with their standalone declared queries; the oracle
+    // composes the same three relational fragments (aprobes ×
+    // pqOracleTail256 × the rerank tail).
+    "q_ann_ivfpq_adaptive" -> QueryDef(
+      (s, d) => {
+        val e = ScratchCache.scratch(trainedAdaptiveCells(s, d,
+          AdaptNSupers, AdaptMaxProbes, AdaptEpsNum, AdaptEpsDen,
+          interleave = true))
+        val v = ScratchCache.scratch(e.selectExpr("vec_id",
+          s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        val qprobes = e.filter(col("vec_id") < PqQueries)
+          .selectExpr("vec_id AS query_id", "explode(probes) AS qcell")
+        pqRerankTopK(v, pq256Est(s, v, Some(qprobes)))
+      },
+      duckPqRerankSql(
+        s"""$duckAdaptiveProbesCte,
+           |v AS (
+           |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+           |  FROM embeddings),
+           |$pqOracleTail256,
+           |est AS (
+           |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+           |  FROM codes k
+           |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+           |  JOIN eb ck ON ck.vec_id = k.vec_id
+           |  JOIN (SELECT vec_id, cell FROM aprobes) pq
+           |    ON pq.vec_id = q.query_id AND pq.cell = ck.cell
+           |  WHERE q.query_id <> k.vec_id
+           |  GROUP BY q.query_id, k.vec_id)""".stripMargin)),
 
     // IVF-PQ with nprobe=2 — the recall knob of the composed index
     // (the q_ann_ivf_probe2 axis applied to the PQ path): each query

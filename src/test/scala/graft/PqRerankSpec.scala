@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact re-rank stage of the production IVF-PQ (q_ann_ivfpq_rerank):
+  * the ADC scan orders each query's same-cell candidates with 4
+  * byte-code lookups, the top-RerankR shortlist is re-scored with the
+  * exact integer d2, and the returned top-5 orders by that exact
+  * distance. Two contracts, both deterministic on the fixture:
+  *
+  *  1. the returned d2 column IS the exact quantized distance (spot
+  *     re-derived here from the raw frames — the oracle proves the
+  *     relational replay, this proves the semantics label), and
+  *  2. recall@5 against the exact same-cell truth may never drop
+  *     below the raw ADC ordering's (q_ann_ivfpq_trained256) — a
+  *     mathematical invariant, not a tuning claim: adc5 ⊆ shortlist,
+  *     and any true-top-5 member inside the shortlist survives an
+  *     exact re-sort by definition of "true top 5".
+  */
+class PqRerankSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact re-rank returns exact distances and never loses recall vs ADC") {
+    val vq = ops.SimilarityQueries.trainedCells(spark, sf)
+      .selectExpr("vec_id",
+        s"${oracle.SparkSql.quantVec("embedding", 1000000L)} AS v", "cell")
+      .persist()
+    try {
+      // exact same-cell truth for the 20 sampled queries (the
+      // PqQueries law shared by the whole PQ family)
+      val q = vq.filter(col("vec_id") < 20)
+        .selectExpr("vec_id AS query_id", "cell AS qcell", "v AS qv")
+      val ex = vq.selectExpr("vec_id", "v AS cv", "cell")
+        .join(broadcast(q), col("cell") === col("qcell") &&
+          col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${oracle.SparkSql.dist2Big("qv", "cv")} AS d2")
+        .persist()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      val truth = ex.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val rr = SparkEntry.queries("q_ann_ivfpq_rerank")(spark, sf)
+        .collect()
+      val adc = SparkEntry.queries("q_ann_ivfpq_trained256")(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // contract 1: every returned d2 equals the independently
+      // re-derived exact distance for that pair
+      val exact = ex.select("query_id", "vec_id", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      rr.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(exact(key) == r.getLong(2),
+          s"pair $key: declared d2 ${r.getLong(2)} != exact ${exact(key)}")
+      }
+      // and the rn ordering is the exact-(d2, vec_id) ordering
+      rr.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val byRn = rows.sortBy(_.getInt(3)).map(r => (r.getLong(2), r.getLong(1)))
+        assert(byRn.sorted.sameElements(byRn),
+          s"rn order is not the exact (d2, vec_id) order: ${byRn.toSeq}")
+      }
+
+      // contract 2: recall@5 rerank >= ADC, both vs the exact truth
+      val rrPairs = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rAdc = (adc & truth).size.toDouble / truth.size
+      val rRr = (rrPairs & truth).size.toDouble / truth.size
+      info(f"recall@5 adc=$rAdc%.3f rerank=$rRr%.3f truth=${truth.size}")
+      assert(rRr >= rAdc, "exact re-rank must not lose recall vs raw ADC")
+      ex.unpersist()
+    } finally {
+      vq.unpersist()
+      ScratchCache.release()
+    }
+  }
+
+  test("adaptive composition reaches across cell boundaries") {
+    // FULL-corpus exact truth (quantized d2, all candidates — the
+    // user-facing recall where cell exclusion costs): the adaptive
+    // probe set is the composition's recall lever, so it is measured
+    // against the home-cell composition on the identical truth
+    val vq = ops.SimilarityQueries.trainedCells(spark, sf)
+      .selectExpr("vec_id",
+        s"${oracle.SparkSql.quantVec("embedding", 1000000L)} AS v", "cell")
+      .persist()
+    try {
+      val q = vq.filter(col("vec_id") < 20)
+        .selectExpr("vec_id AS query_id", "v AS qv")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      val truth = vq.selectExpr("vec_id", "v AS cv")
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${oracle.SparkSql.dist2Big("qv", "cv")} AS d2")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      def pairsOf(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, sf)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val home = pairsOf("q_ann_ivfpq_rerank")
+      val adp = pairsOf("q_ann_ivfpq_adaptive")
+      val rHome = (home & truth).size.toDouble / truth.size
+      val rAdp = (adp & truth).size.toDouble / truth.size
+      info(f"recall@5 vs full truth: home=$rHome%.3f adaptive=$rAdp%.3f")
+      // deterministic fixture values — measured 0.170 home / 0.370
+      // adaptive at sf0.001 (absolute numbers are low because a
+      // 16-cell fixture book leaves ~15/16 of the corpus outside any
+      // one cell; the margin-law probes more than DOUBLE what the
+      // home cell alone reaches). Floor pinned just below the
+      // deterministic adaptive value.
+      assert(rAdp >= rHome,
+        "adaptive probes lost recall vs the home-cell composition")
+      assert(rAdp >= 0.33, f"adaptive composition recall collapsed: $rAdp%.3f")
+    } finally {
+      vq.unpersist()
+      ScratchCache.release()
+    }
+  }
+}
