@@ -3836,6 +3836,39 @@ object SimilarityQueries {
            |  WHERE q.query_id <> k.vec_id
            |  GROUP BY q.query_id, k.vec_id)""".stripMargin)),
 
+    // The POST-CAP production composition (r12): the same ADC scan +
+    // exact re-rank, routed by the THREE-LEVEL book — the regime past
+    // the two-level 2^24-cell cap (~2.1×10⁹ rows), where FAISS runs
+    // IVFPQ on a huge nlist. The PQ estimator is cell-law-agnostic
+    // (any (vec_id, v, cell) frame), so the L3 arm reuses
+    // [[pq256Est]]/[[pqRerankTopK]] verbatim over [[trainedCellsL3]]'s
+    // beamed assignment, and the oracle swaps only the routing
+    // fragment (ebl3 for eb). With this the serving matrix is closed:
+    // {two-level, L3} routing × {flat, PQ-ADC} scoring × {fixed,
+    // margin-law adaptive, exact re-rank} probing, every arm declared
+    // and oracle-gated.
+    "q_ann_ivfpq_l3_rerank" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(trainedCellsL3(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        pqRerankTopK(v, pq256Est(s, v))
+      },
+      duckPqRerankSql(
+        s"""$duckTrainedL3Cte,
+           |v AS (
+           |  SELECT vec_id, ${DuckSql.quantVec("embedding", 1000000L)} AS v
+           |  FROM embeddings),
+           |$pqOracleTail256,
+           |est AS (
+           |  SELECT q.query_id, k.vec_id, CAST(sum(q.qd2) AS BIGINT) AS est_d2
+           |  FROM codes k
+           |  JOIN qd q ON q.ss = k.ss AND q.cid = k.code
+           |  JOIN ebl3 ck ON ck.vec_id = k.vec_id
+           |  JOIN ebl3 cq ON cq.vec_id = q.query_id
+           |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
+           |  GROUP BY q.query_id, k.vec_id)""".stripMargin)),
+
     // IVF-PQ with nprobe=2 — the recall knob of the composed index
     // (the q_ann_ivf_probe2 axis applied to the PQ path): each query
     // probes its nearest AND second-nearest coarse cell
