@@ -503,6 +503,26 @@ object AnnClusteredStress {
         vq, ops.SimilarityQueries.pq256Est(spark, vq, Some(pqProbes))))
       pqProbes.unpersist()
       est256Raw.unpersist()
+      // SCALAR QUANTIZATION (r12, q_ann_ivf_sq8(_rerank)): the third
+      // quantizer family, measured on the identical sampled pairs and
+      // truth — per-dim min/max codec, 64 B/vector, decode-and-score.
+      // Same invariant gate class as PQ: re-ranking the SQ shortlist
+      // may never recall less than the SQ est ordering.
+      val sq8E = ops.SimilarityQueries.sq8EstFrom(spark, vq).persist()
+      val sq8RelErr = relErr256Of(sq8E)
+      val sq8Est5 = top5Pairs(sq8E, "est_d2")
+      val sq8Rerank5 = {
+        val ws = Window.partitionBy("query_id")
+          .orderBy(col("est_d2").asc, col("vec_id").asc)
+        val short = sq8E.withColumn("sr", row_number().over(ws))
+          .filter(col("sr") <= ops.SimilarityQueries.RerankR)
+          .select("query_id", "vec_id")
+        top5Pairs(short.join(pqTrue, Seq("query_id", "vec_id")), "d2")
+      }
+      val sq8RecallEst = (sq8Est5 & pqTruth5).size.toDouble / pqTruth5.size
+      val sq8RecallRerank =
+        (sq8Rerank5 & pqTruth5).size.toDouble / pqTruth5.size
+      sq8E.unpersist()
       // residual wrt the cell MEAN (the declared query's law): a seed
       // vector is itself a noisy member — seed-residuals measured
       // WORSE than raw here (0.212 vs 0.189 at 1×, the r11 finding
@@ -847,7 +867,10 @@ object AnnClusteredStress {
           f""""pq256_top5_recall_adc":$pqRecallAdc%.3f,""" +
           f""""pq256_top5_recall_rerank":$pqRecallRerank%.3f,""" +
           f""""ivfpq_rerank_recall5_full":$pqRerankFull%.3f,""" +
-          f""""ivfpq_adaptive_recall5_full":$pqAdaptiveFull%.3f}""")
+          f""""ivfpq_adaptive_recall5_full":$pqAdaptiveFull%.3f,""" +
+          f""""sq8_adc_relerr":$sq8RelErr%.4f,""" +
+          f""""sq8_top5_recall_est":$sq8RecallEst%.3f,""" +
+          f""""sq8_top5_recall_rerank":$sq8RecallRerank%.3f}""")
     }
     // the scale verdicts: candidate mass must grow ~linearly (ratio ≲
     // factor × 1.5, same slack as ScaleStress), recall must not collapse
@@ -904,8 +927,12 @@ object AnnClusteredStress {
     // same-cell truth — both ratios share the identical deterministic
     // truth set, so exact ≥ holds; the epsilon covers float printing
     val adcR5ByTag = massOf("pq256_top5_recall_adc")
-    val pqRerankBreach = massOf("pq256_top5_recall_rerank").collect {
-      case (tag, r) if r < adcR5ByTag(tag) - 0.0005 => tag }.toSeq.sorted
+    val sq8R5ByTag = massOf("sq8_top5_recall_est")
+    val pqRerankBreach = (massOf("pq256_top5_recall_rerank").collect {
+      case (tag, r) if r < adcR5ByTag(tag) - 0.0005 => tag }.toSeq ++
+      massOf("sq8_top5_recall_rerank").collect {
+        case (tag, r) if r < sq8R5ByTag(tag) - 0.0005 => s"$tag(sq8)" }
+        .toSeq).sorted
     val distBreach = massOf("trained_dist_cell_diff").collect {
       case (tag, d) if d != 0.0 => tag }.toSeq.sorted
     // the L3 gates: the three-level build must keep every row (an

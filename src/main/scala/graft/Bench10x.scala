@@ -199,7 +199,7 @@ object Bench10x {
       "q_dedup_embedding_adaptive", "q_dedup_semantic_adaptive",
       "q_ann_ivf_trained_adaptive", "q_ann_ivf_trained_l3_adaptive",
       "q_ann_ivfpq_rerank", "q_ann_ivfpq_adaptive",
-      "q_ann_ivfpq_l3_rerank")
+      "q_ann_ivfpq_l3_rerank", "q_ann_ivf_sq8", "q_ann_ivf_sq8_rerank")
       .filter(SparkEntry.queries.contains)
     val cdir = s"${ProcScratch.base}/bench10x_clustered"
     println(s"[bench10x] generating ${Factor}x clustered corpus at $cdir")

@@ -2335,6 +2335,72 @@ object SimilarityQueries {
     est
   }
 
+  /** SQ8 same-cell estimator over a (vec_id, v, cell) frame: per-dim
+    * corpus (min, max) train the codec (64 bounded rows → driver,
+    * embedded as array literals — the broadcast-scalar pattern), each
+    * candidate decodes inline to recon_d = mn + (code·(mx−mn)) div 255
+    * with code = (255·(x−mn)) div (mx−mn), and est_d2 is the exact
+    * integer d2 of the query's TRUE vector against the reconstruction.
+    * Operands are nonnegative by construction so `div` floors
+    * identically in both engines. Returns (query_id, vec_id, est_d2)
+    * for the PqQueries sampled queries. */
+  private[graft] def sq8EstFrom(s: SparkSession, v: DataFrame): DataFrame = {
+    val stats = v.selectExpr("posexplode(v) AS (dim, x)")
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mnA = stats.map(_.getLong(1)).mkString("array(", "L,", "L)")
+    val mxA = stats.map(_.getLong(2)).mkString("array(", "L,", "L)")
+    def mn = s"element_at($mnA, dd)"
+    def mx = s"element_at($mxA, dd)"
+    val recon = s"transform(sequence(1, 64), dd -> " +
+      s"$mn + ((CASE WHEN $mx = $mn THEN 0L " +
+      s"ELSE (255 * (element_at(v, dd) - $mn)) div ($mx - $mn) END) " +
+      s"* ($mx - $mn)) div 255)"
+    val cand = v.selectExpr("vec_id", "cell", s"$recon AS rv")
+    val q = v.filter(col("vec_id") < PqQueries)
+      .selectExpr("vec_id AS query_id", "cell AS qcell", "v AS qv")
+    cand.join(broadcast(q), col("cell") === col("qcell") &&
+        col("query_id") =!= col("vec_id"))
+      .selectExpr("query_id", "vec_id",
+        s"${SparkSql.dist2Big("qv", "rv")} AS est_d2")
+  }
+
+  private[graft] def sq8Est(s: SparkSession, d: String): DataFrame =
+    sq8EstFrom(s, ScratchCache.scratch(trainedCells(s, d)
+      .selectExpr("vec_id",
+        s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell")))
+
+  /** DuckDB twin of [[sq8EstFrom]] over the trained cells — ends in
+    * `est(query_id, vec_id, est_d2)` with `v(vec_id, v)` in scope, the
+    * exact prefix shape [[duckPqRerankSql]] consumes. */
+  private lazy val duckSq8EstCtes: String = {
+    val d = DuckSql
+    s"""$duckTrainedEbCte,
+       |v AS (
+       |  SELECT vec_id, ${d.quantVec("embedding", 1000000L)} AS v
+       |  FROM embeddings),
+       |sqst AS MATERIALIZED (
+       |  SELECT t.dd, min(vv.v[t.dd]) AS mn, max(vv.v[t.dd]) AS mx
+       |  FROM v vv CROSS JOIN generate_series(1, 64) t(dd)
+       |  GROUP BY t.dd),
+       |sqr AS (
+       |  SELECT vv.vec_id,
+       |    list(s.mn + ((CASE WHEN s.mx = s.mn THEN 0
+       |      ELSE (255 * (vv.v[t.dd] - s.mn)) // (s.mx - s.mn) END)
+       |      * (s.mx - s.mn)) // 255 ORDER BY t.dd) AS rv
+       |  FROM v vv CROSS JOIN generate_series(1, 64) t(dd)
+       |  JOIN sqst s ON s.dd = t.dd
+       |  GROUP BY vv.vec_id),
+       |est AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    ${d.dist2Big("q.v", "c.rv")} AS est_d2
+       |  FROM v q
+       |  JOIN eb eq ON eq.vec_id = q.vec_id
+       |  JOIN eb ec ON ec.cell = eq.cell
+       |  JOIN sqr c ON c.vec_id = ec.vec_id
+       |  WHERE q.vec_id < $PqQueries AND c.vec_id <> q.vec_id)""".stripMargin
+  }
+
   /** Exact re-rank tail shared by q_ann_ivfpq_rerank and
     * q_ann_ivfpq_adaptive: per-query top-[[RerankR]] ADC shortlist →
     * exact integer d2 over the full quantized vectors (two join-backs
@@ -3868,6 +3934,46 @@ object SimilarityQueries {
            |  JOIN ebl3 cq ON cq.vec_id = q.query_id
            |  WHERE ck.cell = cq.cell AND q.query_id <> k.vec_id
            |  GROUP BY q.query_id, k.vec_id)""".stripMargin)),
+
+    // SCALAR QUANTIZATION (r12) — the THIRD quantizer family beside
+    // flat and PQ (FAISS IndexIVFScalarQuantizer, QT_8bit): per-dim
+    // corpus min/max train the codec (64 (mn, mx) pairs — the whole
+    // "codebook" is 1 KB, vs PQ's 4×256×16), each candidate stores one
+    // byte per dimension (64 B/vector — 4× under float32, no
+    // subspace training), and scoring DECODES inline: est d2 =
+    // Σ(q_d − recon_d)² against the exact query vector. All integer:
+    // code = (255·(x−mn)) div (mx−mn), recon = mn + (code·(mx−mn))
+    // div 255 — identical div semantics both engines (operands
+    // nonnegative by construction). Training is one 64-group
+    // aggregation; the bounded (mn, mx) table rides the
+    // broadcast-scalar pattern (64 rows to the driver, embedded as
+    // array literals — the q_kmeans device). Scale story: SQ is what
+    // FAISS ships when PQ's subspace training is unaffordable or
+    // recall-critical — byte-bounded candidates with NO codebook
+    // drift risk on ingest (min/max only widen); scoring stays a
+    // same-cell hash join exactly like the flat family.
+    "q_ann_ivf_sq8" -> QueryDef(
+      (s, d) => pq256TopK(sq8Est(s, d)),
+      s"""WITH $duckSq8EstCtes
+         |SELECT query_id, neighbor_id, est_d2, rn FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, est_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est_d2, vec_id) AS rn
+         |  FROM est) WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin),
+
+    // SQ8 with the exact re-rank tail — [[pqRerankTopK]] and the
+    // oracle tail are estimator-agnostic (any est(query_id, vec_id,
+    // est_d2) over v(vec_id, v)), so the SQ arm reuses them verbatim:
+    // byte-coded scan, exact top-R re-score, exact final ordering.
+    "q_ann_ivf_sq8_rerank" -> QueryDef(
+      (s, d) => {
+        val v = ScratchCache.scratch(trainedCells(s, d)
+          .selectExpr("vec_id",
+            s"${SparkSql.quantVec("embedding", 1000000L)} AS v", "cell"))
+        pqRerankTopK(v, sq8EstFrom(s, v))
+      },
+      duckPqRerankSql(duckSq8EstCtes)),
 
     // IVF-PQ with nprobe=2 — the recall knob of the composed index
     // (the q_ann_ivf_probe2 axis applied to the PQ path): each query

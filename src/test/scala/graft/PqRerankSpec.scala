@@ -72,6 +72,23 @@ class PqRerankSpec extends AnyFunSuite {
       val rRr = (rrPairs & truth).size.toDouble / truth.size
       info(f"recall@5 adc=$rAdc%.3f rerank=$rRr%.3f truth=${truth.size}")
       assert(rRr >= rAdc, "exact re-rank must not lose recall vs raw ADC")
+
+      // the SQ8 family on the same truth: 8 bits PER DIMENSION keeps
+      // far more geometry than 4 subspace bytes, so the est ordering
+      // should sit well above PQ's ADC and the re-rank may only add
+      // (same superset invariant). Measured 0.970 est / 1.000 rerank.
+      def pairsOf(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, sf)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sq = pairsOf("q_ann_ivf_sq8")
+      val sqr = pairsOf("q_ann_ivf_sq8_rerank")
+      val rSq = (sq & truth).size.toDouble / truth.size
+      val rSqr = (sqr & truth).size.toDouble / truth.size
+      info(f"recall@5 sq8_est=$rSq%.3f sq8_rerank=$rSqr%.3f")
+      assert(rSqr >= rSq, "SQ8 re-rank must not lose recall vs SQ8 est")
+      assert(rSq >= rAdc,
+        "8-bit-per-dim SQ must beat 4-subspace-byte PQ on the same truth")
       ex.unpersist()
     } finally {
       vq.unpersist()
