@@ -49,6 +49,13 @@ object BinaryPipeline {
   if (System.getProperty("java.awt.headless") == null)
     System.setProperty("java.awt.headless", "true")
 
+  // ImageIO defaults every read/write to a DISK-cache-backed
+  // ImageInputStream — one temp file created and deleted per payload.
+  // The payloads here are KB-sized in-memory byte arrays; the memory
+  // cache is strictly cheaper (r12 optimization: the per-row temp-file
+  // churn dominated the decode stage wall).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed output of the REAL image decode: dims + per-channel pixel
     * sums — the fixed-width stats a curation filter consumes (aspect /
     * brightness gates). */
@@ -71,6 +78,13 @@ object BinaryPipeline {
     val h = 8 + (id % 16).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // write the packed pixels straight into the INT_RGB raster buffer:
+    // same values as per-pixel setRGB (TYPE_INT_RGB stores packed sRGB
+    // with scanline stride = w on a fresh image), without w·h calls
+    // through the ColorModel (r12 optimization; stats downstream depend
+    // only on pixel values, which are unchanged)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var x = 0
     while (x < w) {
       var y = 0
@@ -78,7 +92,7 @@ object BinaryPipeline {
         val r = ((id + x + y) % 256).toInt
         val g = ((id + 2 * x + 3 * y + 7) % 256).toInt
         val b = ((3 * id + 5 * x + 11 * y + 13) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        buf(y * w + x) = (r << 16) | (g << 8) | b
         y += 1
       }
       x += 1
@@ -97,17 +111,40 @@ object BinaryPipeline {
     val w = img.getWidth
     val h = img.getHeight
     var rs = 0L; var gs = 0L; var bs = 0L
-    var x = 0
-    while (x < w) {
-      var y = 0
-      while (y < h) {
-        val p = img.getRGB(x, y)
+    // ImageIO decodes RGB PNGs to TYPE_3BYTE_BGR with a packed,
+    // padding-free byte raster; summing it directly skips w·h
+    // ColorModel conversions. Any other layout falls back to ONE bulk
+    // getRGB call (still far cheaper than per-pixel calls). Values are
+    // identical either way — PNG is lossless and the channels are
+    // 8-bit exact (r12 optimization).
+    val raster = img.getRaster
+    val direct = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+      (raster.getDataBuffer match {
+        case db: java.awt.image.DataBufferByte =>
+          db.getData.length == w * h * 3
+        case _ => false
+      })
+    if (direct) {
+      val a = raster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      val n = w * h * 3
+      while (i < n) {
+        bs += a(i) & 0xff
+        gs += a(i + 1) & 0xff
+        rs += a(i + 2) & 0xff
+        i += 3
+      }
+    } else {
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
         rs += (p >> 16) & 0xff
         gs += (p >> 8) & 0xff
         bs += p & 0xff
-        y += 1
+        i += 1
       }
-      x += 1
     }
     (w, h, rs, gs, bs)
   }
@@ -118,8 +155,15 @@ object BinaryPipeline {
     * downstream is unchanged). */
   def mediaPng(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fan the id list out before the codec work: the fixture table is a
+    // single parquet file → one scan partition, which would serialize
+    // every encode on one core (Tables.documentsParallel's rationale;
+    // the repartition shuffles only a LongType column). On a many-file
+    // corpus the scan is already parallel and this costs one narrow
+    // pass over 8-byte rows.
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => (id, synthPng(id))))
       .toDF("media_id", "payload")
   }
@@ -130,7 +174,7 @@ object BinaryPipeline {
     val enc = RowEncoder.encoderFor(imageStatSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, rs, gs, bs) = decodeImage(r.getAs[Array[Byte]]("payload"))
+        val (w, h, rs, gs, bs) = decodeImage(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), w, h, rs, gs, bs)
       }
     }(enc)
@@ -254,8 +298,10 @@ object BinaryPipeline {
     * partition-local ([[mediaPng]]'s shape for the audio modality). */
   def mediaWav(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same single-file → single-core hazard as mediaPng: fan out first
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => (id, synthWav(id))))
       .toDF("media_id", "payload")
   }
@@ -267,7 +313,7 @@ object BinaryPipeline {
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val (rate, ch, nf, sum, abs) =
-          decodeAudio(r.getAs[Array[Byte]]("payload"))
+          decodeAudio(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), rate, ch, nf, sum, abs)
       }
     }(enc)

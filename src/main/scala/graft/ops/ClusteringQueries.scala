@@ -296,7 +296,7 @@ object ClusteringQueries {
     * switch point. */
   private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val v = ScratchCache.scratch(Tables.embeddings(s, d)
+    val v = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
       .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
     val k = adaptiveSemK(v.count())
     val budget = s.conf.get(SimilarityQueries.MaxDriverSeedsKey,
@@ -357,7 +357,7 @@ object ClusteringQueries {
     "q_dedup_semantic" -> QueryDef(
       (s, d) => {
         val clusters = semClusters(s, d)
-        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+        val e = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2")
           .join(clusters, "vec_id")
@@ -403,7 +403,7 @@ object ClusteringQueries {
 
     "q_kmeans" -> QueryDef(
       (s, d) => {
-        val v = ScratchCache.scratch(Tables.embeddings(s, d)
+        val v = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", s"${quantCol(SparkSql)} AS v"))
         // deterministic init: the first K vectors are the centroids
         // (cid = vec_id; the fixture ids are contiguous from 0)

@@ -212,7 +212,12 @@ object SimilarityQueries {
     * double-cache it. */
   private def trainedVecs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    graft.ScratchCache.scratch(Tables.embeddings(s, d)
+    // embeddingsParallel, not embeddings: the fixture is one parquet
+    // file → one scan partition, and this frame fronts the family's
+    // heavy per-row kernels (dot, quantize) AND is scratch-cached, so a
+    // single-partition cache would serialize every downstream stage too
+    // (r12 optimization, guide §2.5 input skew).
+    graft.ScratchCache.scratch(Tables.embeddingsParallel(s, d)
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS qv"))
@@ -1650,7 +1655,7 @@ object SimilarityQueries {
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     GraftFunctions.register(s)
     graft.functions.TextHashFunctions.register(s)
-    Tables.embeddings(s, d)
+    Tables.embeddingsParallel(s, d)
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
         s"graft_lsh_bucket(embedding, $nPlanes) AS bucket")
@@ -1700,7 +1705,7 @@ object SimilarityQueries {
     GraftFunctions.register(s)
     graft.functions.TextHashFunctions.register(s)
     val np = adaptivePlanes(corpusN(s, d))
-    val e = ScratchCache.scratch(Tables.embeddings(s, d)
+    val e = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
       .selectExpr("vec_id", "embedding",
         "graft_vec_dot(embedding, embedding) AS n2",
         s"graft_lsh_bucket(embedding, $np) AS bucket",
@@ -1983,7 +1988,7 @@ object SimilarityQueries {
   private def pqQuantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     graft.functions.TextHashFunctions.register(s)
-    ScratchCache.scratch(Tables.embeddings(s, d)
+    ScratchCache.scratch(Tables.embeddingsParallel(s, d)
       .selectExpr("vec_id",
         s"${SparkSql.quantVec("embedding", 1000000L)} AS v",
         s"CAST(graft_ivf_cell(embedding, $NCells) AS INT) AS cell",
@@ -2464,7 +2469,7 @@ object SimilarityQueries {
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
-        val e = guardBrute(Tables.embeddings(s, d)
+        val e = guardBrute(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2"),
           "q_dedup_embedding")
@@ -2740,7 +2745,7 @@ object SimilarityQueries {
     "q_ann_cosine" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
-        val e = guardBrute(Tables.embeddings(s, d)
+        val e = guardBrute(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2"),
           "q_ann_cosine")
@@ -2870,7 +2875,7 @@ object SimilarityQueries {
         GraftFunctions.register(s)
         graft.functions.TextHashFunctions.register(s)
         val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
-        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+        val e = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
             s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell"))
@@ -3058,7 +3063,7 @@ object SimilarityQueries {
         // native two-level argmin kernel (bit-identical to the SQL CTE
         // chain) + persist so the self-join doesn't assign cells twice
         val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
-        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+        val e = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
             s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell"))
@@ -3472,7 +3477,7 @@ object SimilarityQueries {
         // super and rescans — bit-identical to the oracle's +inf-mask
         // CTE chain, one codegen'd call instead of a HOF pile)
         val (sc, mc) = superSplit(adaptiveCells(corpusN(s, d)))
-        val e = ScratchCache.scratch(Tables.embeddings(s, d)
+        val e = ScratchCache.scratch(Tables.embeddingsParallel(s, d)
           .selectExpr("vec_id", "embedding",
             "graft_vec_dot(embedding, embedding) AS n2",
             s"CAST(graft_ivf_cell_h(embedding, $sc, $mc) AS INT) AS cell1",
