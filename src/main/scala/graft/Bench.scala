@@ -67,6 +67,20 @@ object Bench {
       // rows well past their first-recorded times). Sized to hold the
       // whole suite's generated classes once.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+      // Measured both ways (r12): letting AQE re-coalesce CACHED plans
+      // sizes partitions by bytes, which serializes the CPU-heavy,
+      // byte-light cached vector frames (q_ann_ivf_trained_adaptive
+      // 1.05s → 1.83s isolated warm) for a sub-noise gain elsewhere.
+      // driver-side planning dominates the ANN/book-learning family
+      // (measured: q_ann_ivfpq_trained256 ~2.6s driver vs ~1.3s stages
+      // per warm run). Constraint propagation is quadratic-ish in the
+      // alias/predicate count of the big literal-codebook plans and
+      // infers nothing these queries need (their null/range predicates
+      // are explicit); off halves the family's wall (3.95s → 1.93s
+      // warm, isolated). Results are conf-independent — the oracle
+      // gate re-ran green under this setting.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query stage breakdown (tez-tools job-analyzer parity):

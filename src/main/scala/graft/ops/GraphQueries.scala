@@ -51,16 +51,22 @@ object GraphQueries {
         // 2-column projection) and explode the per-order pairs map-side.
         // Per-order fan-out is bounded by order size, so the generator
         // is cheap and never quadratic in the table.
-        val byOrder = Tables.lineitem(s, d)
+        val byOrder = Tables.lineitemParallel(s, d)
           .select("l_orderkey", "l_partkey")
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
-        val edges = byOrder
+        // edges + deg are BOTH scratch-cached (r12): edgeDeg's build and
+        // the r0 rank frame each consume them, and without the caches
+        // the whole lineitem→collect_set→explode→distinct prefix ran
+        // TWICE per execution (measured: ~0.8s of duplicated stages per
+        // pass at sf0.1 — guide §2.4, share one exchange/computation).
+        val edges = ScratchCache.scratch(byOrder
           .select(explode(col("parts")).as("src"), col("parts"))
           .select(col("src"), explode(col("parts")).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .distinct()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .distinct())
+        val deg = ScratchCache.scratch(
+          edges.groupBy("src").agg(count(lit(1)).as("deg")))
         // (src, dst, deg) cached once, HASH-PARTITIONED ON src: the
         // cached distribution satisfies each round's join requirement
         // (at 100 TB: write the edge table bucketed by src for the same
@@ -136,7 +142,7 @@ object GraphQueries {
     //    triangle participation plus the Doulion-scaled estimate.
     "q_triangles" -> QueryDef(
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val li = Tables.lineitemParallel(s, d).select("l_orderkey", "l_partkey")
         val byOrder = li.groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
         // undirected edge set (a < b), then the deterministic 1/5
@@ -228,7 +234,7 @@ object GraphQueries {
     "q_shortest_path" -> QueryDef(
       (s, d) => {
         val MaxHops = 3
-        val byOrder = Tables.lineitem(s, d)
+        val byOrder = Tables.lineitemParallel(s, d)
           .select("l_orderkey", "l_partkey")
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
@@ -297,7 +303,7 @@ object GraphQueries {
       (s, d) => {
         val K = 8
         val Rounds = 3
-        val byOrder = Tables.lineitem(s, d)
+        val byOrder = Tables.lineitemParallel(s, d)
           .select("l_orderkey", "l_partkey")
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
@@ -373,7 +379,7 @@ object GraphQueries {
     "q_cc_largestar" -> QueryDef(
       (s, d) => {
         val Rounds = 6
-        val byOrder = Tables.lineitem(s, d)
+        val byOrder = Tables.lineitemParallel(s, d)
           .select("l_orderkey", "l_partkey")
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_partkey")).as("parts"))
