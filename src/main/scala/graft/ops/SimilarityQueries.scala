@@ -1995,6 +1995,35 @@ object SimilarityQueries {
         s"CAST(graft_ivf_cell2(embedding, $NCells) AS INT) AS cell2"))
   }
 
+  /** Per-subspace flat broadcast-argmin temp functions over a codebook
+    * — the r12 replacement for the literal [[pqCidExpr]] at the
+    * 16-code family's two hot call sites (train assignment + encode):
+    * the literal form is an interpreted higher-order-function pile
+    * evaluated per row (measured ~1.7 ms/row on the 128-task encode
+    * stage), while [[graft.functions.SuperArgminBroadcast]] is the
+    * same exact-integer (d2, ascending-id) first-min law in compiled
+    * form — the device pq256Est already uses, property-tested against
+    * the naive mirror in ArgminKernelProps. */
+  private def pqArgminFns(s: SparkSession,
+      book: Int => Seq[(Int, Seq[Long])]): IndexedSeq[String] = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    (0 until PqSubSpaces).map { ss =>
+      val sv = book(ss)
+      val bc = s.sparkContext.broadcast(
+        (sv.map(_._1.toLong).toArray, sv.map(_._2.toArray).toArray))
+      val fn = s"graft_pq_argmin_${ss}_$tag"
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+        exprs => graft.functions.SuperArgminBroadcast(bc, exprs(0)),
+        "scala_udf")
+      fn
+    }
+  }
+
+  /** `CAST(fn(slice(v, ...)) AS INT)` — the argmin call for subspace
+    * `ss` through a [[pqArgminFns]] function. */
+  private def pqArgminCall(fn: String, ss: Int): String =
+    s"CAST($fn(slice(v, ${ss * PqSubDims + 1}, $PqSubDims)) AS INT)"
+
   /** Map-side first-position-argmin code expression for subspace `ss`
     * under centroid literals (cid-ascending dists array → ties take the
     * smallest cid). */
@@ -2021,8 +2050,9 @@ object SimilarityQueries {
       (r.getLong(0).toInt,
         r.getSeq[Long](1).slice(ss * PqSubDims, (ss + 1) * PqSubDims))
     }
+    val fns = pqArgminFns(v.sparkSession, seeds)
     val perSs = (0 until PqSubSpaces).map { ss =>
-      v.selectExpr(s"${pqCidExpr(seeds(ss), ss)} AS cid",
+      v.selectExpr(s"${pqArgminCall(fns(ss), ss)} AS cid",
           s"slice(v, ${ss * PqSubDims + 1}, $PqSubDims) AS vs")
         .select(lit(ss).as("ss"), col("cid"),
           posexplode(col("vs")).as(Seq("dim", "x")))
@@ -2044,8 +2074,9 @@ object SimilarityQueries {
     * map over the cached frame (4 argmin projections + a stack). */
   private[graft] def pqCodes(v: DataFrame,
       book: Int => Seq[(Int, Seq[Long])]): DataFrame = {
+    val fns = pqArgminFns(v.sparkSession, book)
     val codeCols = (0 until PqSubSpaces)
-      .map(ss => s"${pqCidExpr(book(ss), ss)} AS code$ss")
+      .map(ss => s"${pqArgminCall(fns(ss), ss)} AS code$ss")
     val stackArgs = (0 until PqSubSpaces)
       .map(ss => s"$ss, code$ss").mkString(", ")
     v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
