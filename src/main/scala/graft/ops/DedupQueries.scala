@@ -276,10 +276,17 @@ object DedupQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val dl = SparkSql
+        graft.functions.TextHashFunctions.register(s)
+        // graft_token_hashes, not the literal transform(polyHash) HOF:
+        // InferFiltersFromGenerate clones the generator input into a
+        // size()>0 filter that predicate-pushdown moves below the
+        // repartition — with the interpreted HOF pile that re-evaluated
+        // the whole token hash on the single-task scan (measured 1.03s
+        // of a 1.7s query); the compiled kernel is the same per-token
+        // polyHash-12 law (TextHashProps pins equality) at ~HOF/50 cost.
         val toks = Tables.documentsParallel(s, d)
-          .selectExpr("doc_id", s"${dl.tokens("text")} AS toks")
           .selectExpr("doc_id",
-            s"${dl.transform("toks", "t", dl.polyHash("t", 12))} AS hs")
+            s"graft_token_hashes(${dl.tokens("text")}, 12) AS hs")
           .selectExpr("doc_id", "posexplode(hs) AS (pos, h)")
         val w = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, -1)
