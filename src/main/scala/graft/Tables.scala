@@ -93,10 +93,20 @@ object Tables {
     * these: an explicit round-robin repartition buys full parallelism for
     * one cheap narrow-input shuffle. On a real many-file 100 TB corpus the
     * scan already yields thousands of partitions and this is a no-op cost. */
+  /** HASH repartition on the table key, not round-robin: a keyless
+    * repartition(n) pays a local sort of its whole input inside the
+    * exchange (spark.sql.execution.sortBeforeRepartition — retried
+    * tasks must reproduce the assignment), which lands on the single
+    * scan task here; hashing a deterministic unique key needs no sort
+    * and stays retry-deterministic at any scale (guide §2.5). */
   def documentsParallel(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    documents(spark, dir).repartition(
+      spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    embeddings(spark, dir).repartition(
+      spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("vec_id"))
 
   /** lineitem with the scan fanned out — same rationale as
     * documentsParallel: the fixture is ONE parquet row group (atomic:
@@ -105,6 +115,13 @@ object Tables {
     * pay one cheap narrow shuffle to use every core. Only for
     * compute-heavy consumers — plain scans/joins/aggs read `lineitem`
     * directly (their first shuffle distributes anyway). */
+  /** Keyed on l_orderkey alone: the graph consumers immediately
+    * groupBy(l_orderkey), so the hash exchange here IS their
+    * aggregation exchange — one shuffle instead of round-robin + hash
+    * (guide §2.4 share the exchange). ~150k distinct keys over the
+    * core count spread evenly for the per-row consumers too. */
   def lineitemParallel(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    lineitem(spark, dir).repartition(
+      spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("l_orderkey"))
 }

@@ -163,7 +163,7 @@ object BinaryPipeline {
     // pass over 8-byte rows.
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(_.map(id => (id, synthPng(id))))
       .toDF("media_id", "payload")
   }
@@ -301,7 +301,7 @@ object BinaryPipeline {
     // same single-file → single-core hazard as mediaPng: fan out first
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(_.map(id => (id, synthWav(id))))
       .toDF("media_id", "payload")
   }
