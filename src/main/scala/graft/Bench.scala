@@ -81,6 +81,16 @@ object Bench {
       // warm, isolated). Results are conf-independent — the oracle
       // gate re-ran green under this setting.
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // Spark 4.1 turned on checksum SIDECAR files for every streaming
+      // checkpoint write; each state-store/commit-log close() then
+      // blocks on the checksum write (thread dump: tasks parked in
+      // ChecksumCancellableFSDataOutputStream.close). Measured 46% of
+      // the stream-stream join wall (7.3s → 3.9s isolated warm) with
+      // identical results — it is corruption DETECTION for checkpoint
+      // files, not correctness of query output. Off for the bench
+      // (local disk); production on object stores can re-enable.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query stage breakdown (tez-tools job-analyzer parity):

@@ -66,6 +66,12 @@ object Bench10x {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // same two bench-session settings as graft.Bench (r12): driver
+      // planning + streaming checkpoint checksum sidecars — see
+      // Bench.scala for the measurements; results conf-independent
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"${ProcScratch.base}/bench10x"

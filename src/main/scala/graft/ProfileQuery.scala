@@ -34,6 +34,11 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // mirror graft.Bench's session settings so isolated profiles
+      // measure the same configuration the bench runs (r12)
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = dirArg.toIntOption match {
