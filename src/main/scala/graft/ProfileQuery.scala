@@ -39,6 +39,10 @@ object ProfileQuery {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         "false")
+      .config("spark.local.dir", sys.env.getOrElse(
+        "SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = dirArg.toIntOption match {

@@ -298,10 +298,15 @@ object BinaryPipeline {
     * partition-local ([[mediaPng]]'s shape for the audio modality). */
   def mediaWav(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // same single-file → single-core hazard as mediaPng: fan out first
+    // NO fanout here, unlike mediaPng: WAV/PCM encode is header+copy
+    // (~50 µs/row vs the PNG encoder's compress), and the r12 measure
+    // showed the exchange costing more than it buys at fixture scale
+    // (q_multimodal_audio 0.56s single-task vs 1.12s fanned out — the
+    // only query this round pushed NEAR its 2x anchor). On a many-file
+    // corpus the scan parallelizes by itself; a caller that needs the
+    // fanout repartitions before audioStats per the class doc.
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(_.map(id => (id, synthWav(id))))
       .toDF("media_id", "payload")
   }
