@@ -53,60 +53,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle scratch placement (guide §2.1/§9: local disk bandwidth
-    // and file-create latency bound the shuffle) — parameterised via
-    // SPARK_GRAFT_LOCAL_DIR; the local default prefers /dev/shm when
-    // present because this sandbox's root fs has pathologically slow
-    // file creates (thread dumps: half of all task samples inside
-    // FileOutputStream.open0 on tiny-shuffle stages; tmpfs measured
-    // q_ann_lsh_adaptive 2.4s → 1.5s isolated warm). The sf0.1 suite
-    // shuffles a few hundred MB total — far under the 126 GB tmpfs; a
-    // production cluster sets this to its NVMe scratch array, and the
-    // 10×/100× stress mains keep the disk default.
-    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
-      else System.getProperty("java.io.tmpdir"))
+    val cpus = GraftSession.cpus
     val loadStart = loadAvg()
     val spinStart = spinProbe()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", localDir)
-      .config("spark.ui.enabled", "false")
-      // static conf, default 100: the suite compiles ~450 distinct
-      // whole-stage-codegen units, so the default Janino class cache
-      // evicts everything each pass and every query re-pays 50-200ms
-      // of compilation per stage on every run (inflates the sub-second
-      // rows well past their first-recorded times). Sized to hold the
-      // whole suite's generated classes once.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
-      // NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
-      // Measured both ways (r12): letting AQE re-coalesce CACHED plans
-      // sizes partitions by bytes, which serializes the CPU-heavy,
-      // byte-light cached vector frames (q_ann_ivf_trained_adaptive
-      // 1.05s → 1.83s isolated warm) for a sub-noise gain elsewhere.
-      // driver-side planning dominates the ANN/book-learning family
-      // (measured: q_ann_ivfpq_trained256 ~2.6s driver vs ~1.3s stages
-      // per warm run). Constraint propagation is quadratic-ish in the
-      // alias/predicate count of the big literal-codebook plans and
-      // infers nothing these queries need (their null/range predicates
-      // are explicit); off halves the family's wall (3.95s → 1.93s
-      // warm, isolated). Results are conf-independent — the oracle
-      // gate re-ran green under this setting.
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      // Spark 4.1 turned on checksum SIDECAR files for every streaming
-      // checkpoint write; state-store/commit-log close() blocks on the
-      // checksum write (thread dump: tasks parked in
-      // ChecksumCancellableFSDataOutputStream.close). HONEST numbers:
-      // isolated warm runs of q_stream_join improved 7.3s → 2.8s, but
-      // the full-suite A/B is within noise (stream family 37.0s vs
-      // 37.3s) — the block is real yet intermittent. Kept off here as
-      // a pure-overhead remover on local disk (results identical;
-      // oracle re-ran green); production on object stores re-enables.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        "false")
-      .getOrCreate()
+    // The session-conf contract lives in GraftSession (r13): one
+    // builder shared by Bench, Verify, ProfileQuery and ExplainDump,
+    // so benchmarked, verified and plan-dumped configurations cannot
+    // drift. Per-conf rationale (constraint propagation, checkpoint
+    // checksums, tmpfs scratch, codegen cache) is documented there.
+    // NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+    // Measured both ways (r12): letting AQE re-coalesce CACHED plans
+    // sizes partitions by bytes, which serializes the CPU-heavy,
+    // byte-light cached vector frames (q_ann_ivf_trained_adaptive
+    // 1.05s → 1.83s isolated warm) for a sub-noise gain elsewhere.
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query stage breakdown (tez-tools job-analyzer parity):
     // stages are attributed to the query the loop labels; only the
@@ -386,7 +346,39 @@ object Bench {
     // SIZE-BOUNDED summary — true total + errors + the slowest queries
     // that fit a fixed budget + queries_omitted — with the complete
     // per-query map in the committed BENCH_DETAIL.json.
-    val budget = 1500 // line budget; + ~80 chars of sbt epilogue < 2000
+    val budget = 1750 // line budget; sticky entries + the ~80-char sbt
+    // epilogue must stay inside the driver's 2000-char stdout tail
+    // STICKY PRINTED SET (r13, the r12 verdict's item 7): the budgeted
+    // map used to print only the CURRENT slowest queries, so a query
+    // that got FASTER fell out of the printed map and the driver's
+    // round-over-round comparator misread it as dropped_from_bench
+    // (15 phantom drops in PERF_r12). Every query the PREVIOUS round's
+    // committed contract line printed (the newest BENCH_r*.json's
+    // parsed queries map) is therefore printed UNCONDITIONALLY; the
+    // remaining budget fills slowest-first as before. The printed set
+    // can only grow until the budget saturates — a cosmetic cap on new
+    // entries, never a phantom drop.
+    val prevPrinted: Set[String] =
+      (try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        Seq(".", "/root/repo").map(new java.io.File(_))
+          .find(d => new java.io.File(d, "BASELINE.md").exists())
+          .flatMap { repo =>
+            val arts = Option(repo.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+            if (arts.isEmpty) None
+            else {
+              val newest = arts.maxBy(
+                _.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+              JsonMethods.parse(java.nio.file.Files.readString(
+                newest.toPath)) \ "parsed" \ "queries" match {
+                case JObject(fields) => Some(fields.map(_._1).toSet)
+                case _ => None
+              }
+            }
+          }
+      } catch { case _: Throwable => None }).getOrElse(Set.empty)
     val slowest = reported.toSeq.filter(_._2 >= 0).sortBy(-_._2)
     val fixed = s"""{"metric":"total","value":$total,""" +
       f""""value_load_normalized":$totalNorm%.1f,"unit":"sec",""" +
@@ -398,7 +390,10 @@ object Bench {
     var used = fixed.length
     slowest.foreach { case (q, t) =>
       val e = f""""$q":$t%.2f"""
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      val sticky = prevPrinted.contains(q)
+      if (sticky || used + e.length + 1 <= budget) {
+        entries += e; used += e.length + 1
+      }
     }
     println(s"""{"metric":"total","value":$total,""" +
       f""""value_load_normalized":$totalNorm%.1f,"unit":"sec",""" +

@@ -15,13 +15,10 @@ object ExplainDump {
     val outDir = new java.io.File(args(2))
     val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     outDir.mkdirs()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
-      .getOrCreate()
+    // the SHARED session contract (GraftSession, r13) — same defaults
+    // as the bench, so plan evidence is captured under the benchmarked
+    // configuration (the r12 advisor's ExplainDump-drift item)
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -27,23 +27,9 @@ object ProfileQuery {
     val dirArg = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
     val mode = args.lift(3).getOrElse("default")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
-      // mirror graft.Bench's session settings so isolated profiles
-      // measure the same configuration the bench runs (r12)
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        "false")
-      .config("spark.local.dir", sys.env.getOrElse(
-        "SPARK_GRAFT_LOCAL_DIR",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
-        else System.getProperty("java.io.tmpdir")))
-      .getOrCreate()
+    // the SHARED session contract (GraftSession, r13): isolated
+    // profiles measure the same configuration the bench runs
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = dirArg.toIntOption match {
       case Some(factor) =>

@@ -99,14 +99,24 @@ object Tables {
     * tasks must reproduce the assignment), which lands on the single
     * scan task here; hashing a deterministic unique key needs no sort
     * and stays retry-deterministic at any scale (guide §2.5). */
+  /** CONDITIONAL since r13 (the r12 verdict's item 1): the fanout
+    * exchange only pays when the scan is actually starved (fewer
+    * partitions than half the cores). On a many-file 100 TB corpus the
+    * scan already yields thousands of partitions and the fanout IS the
+    * documented no-op — this makes that claim executable instead of a
+    * comment, and keeps micro-batch consumers of these frames from
+    * paying a pointless exchange per trigger. Costs one physical-plan
+    * build (`rdd.getNumPartitions`) per reader call, driver-side. */
+  private def fanned(spark: SparkSession, df: DataFrame,
+      key: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
   def documentsParallel(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).repartition(
-      spark.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("doc_id"))
+    fanned(spark, documents(spark, dir), "doc_id")
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir).repartition(
-      spark.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("vec_id"))
+    fanned(spark, embeddings(spark, dir), "vec_id")
 
   /** lineitem with the scan fanned out — same rationale as
     * documentsParallel: the fixture is ONE parquet row group (atomic:
@@ -121,7 +131,5 @@ object Tables {
     * (guide §2.4 share the exchange). ~150k distinct keys over the
     * core count spread evenly for the per-row consumers too. */
   def lineitemParallel(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).repartition(
-      spark.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("l_orderkey"))
+    fanned(spark, lineitem(spark, dir), "l_orderkey")
 }

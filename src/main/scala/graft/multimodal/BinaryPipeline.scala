@@ -369,6 +369,29 @@ object BinaryPipeline {
       .withColumnRenamed("col", "frame_hash")
   }
 
+  /** Scale-adaptive container split size (guide §6 input split sizing;
+    * r13, the r12 verdict's item 5): the ingest read-backs used a
+    * FIXED 8 KiB splitSize, which produced 600+ ~100 ms tasks at sf0.1
+    * (the whole query wall) and would produce millions at corpus
+    * scale. Size splits from the written bytes instead — ~2 splits per
+    * core — floored at the legacy 8 KiB so small fixtures still plan
+    * multiple byte ranges per file and the sync-marker split-repair
+    * path stays exercised on every SF (split boundaries remain
+    * arbitrary byte offsets; record recovery is the reader's repair
+    * contract, swept in BinaryRecordSourceSpec, so results are
+    * split-size-invariant by construction). */
+  def adaptiveSplitSize(spark: SparkSession, dir: String,
+      floor: Long = 8192L): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    val target = math.max(1L, 2L * spark.sparkContext.defaultParallelism)
+    math.max(floor, (bytes + target - 1) / target)
+  }
+
   /** 8-byte big-endian id framing for container transport — the
     * in-band id the graft-binrec ingest path carries (binary-safe,
     * unlike a text separator: PNG bytes are arbitrary). */

@@ -315,8 +315,17 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_contaminated"))
           .selectExpr("doc_id", "n_shingles", "n_contaminated",
             "(CAST(n_contaminated AS DOUBLE) / n_shingles) AS contamination_ratio")
+        // explicit checkpoint on the process scratch tree, deleted
+        // before start (StreamQueries.runToTable's rationale: the
+        // tmpdir default's file creates are the micro-batch floor; a
+        // leftover checkpoint would resume past the re-read input)
+        val ckpt =
+          s"${graft.ProcScratch.base}/ckpt/graft_stream_contamination"
+        val cp = new org.apache.hadoop.fs.Path(ckpt)
+        cp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(cp, true)
         val q = stream.writeStream.format("memory")
           .queryName("graft_stream_contamination")
+          .option("checkpointLocation", ckpt)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

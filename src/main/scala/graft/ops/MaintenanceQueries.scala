@@ -264,24 +264,26 @@ object MaintenanceQueries {
         val mxKey = base.agg(org.apache.spark.sql.functions.max("o_orderkey"))
           .collect()(0).getLong(0) // bounded scalar
         val cuts = Seq(mxKey / 3, 2 * mxKey / 3)
-        // persist: the change feed is a 3-way union of base scans and
-        // feeds 3 chunk writes — build it once
-        val changes = cdcChanges(base).persist()
+        // ONE partitioned write stages all 3 chunks (r13: this was 3
+        // coalesce(1) jobs over a persisted union — 3 scans + the
+        // persist; the chunk column is write-layout only, partitionBy
+        // drops it from the file bytes, and chunk content is identical:
+        // same key-range predicate, merge semantics are row-order
+        // invariant)
+        val stage = s"$root/_chg_stage"
+        cdcChanges(base)
+          .withColumn("__chunk", expr(
+            s"CASE WHEN o_orderkey < ${cuts(0)} THEN 0 " +
+              s"WHEN o_orderkey < ${cuts(1)} THEN 1 ELSE 2 END"))
+          .repartition(col("__chunk"))
+          .write.mode("overwrite").partitionBy("__chunk").parquet(stage)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
         (0 until 3).foreach { i =>
-          val pred = i match {
-            case 0 => s"o_orderkey < ${cuts(0)}"
-            case 1 => s"o_orderkey >= ${cuts(0)} AND o_orderkey < ${cuts(1)}"
-            case _ => s"o_orderkey >= ${cuts(1)}"
-          }
-          val tmp = s"$root/_chg_stage/$i"
-          changes.filter(expr(pred)).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          val part = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$stage/__chunk=$i"))
             .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
           fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"chg_$i.parquet"))
         }
-        changes.unpersist()
         val chgSchema = s.read.parquet(watch).schema
         val q = s.readStream.schema(chgSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)

@@ -157,7 +157,9 @@ object MultimodalQueries {
           .write.mode("overwrite").option("syncIntervalBytes", "2048")
           .format("graft-binrec").save(out)
         val media = s.read.format("graft-binrec")
-          .option("splitSize", "8192").load(out)
+          .option("splitSize", graft.multimodal.BinaryPipeline
+            .adaptiveSplitSize(s, out).toString)
+          .load(out)
           .select("value").as[Array[Byte]]
           .mapPartitions(_.map(v =>
             (graft.multimodal.BinaryPipeline.unframeId(v),
@@ -225,7 +227,9 @@ object MultimodalQueries {
         .write.mode("overwrite").option("syncIntervalBytes", "2048")
         .format("graft-binrec").save(out)
       val media = s.read.format("graft-binrec")
-        .option("splitSize", "8192").load(out)
+        .option("splitSize", graft.multimodal.BinaryPipeline
+          .adaptiveSplitSize(s, out).toString)
+        .load(out)
         .selectExpr("CAST(value AS STRING) AS v")
         .selectExpr(
           "CAST(substring_index(v, '|', 1) AS BIGINT) AS media_id",

@@ -2062,6 +2062,12 @@ object SimilarityQueries {
       .agg(sum("x").as("sx"), count(lit(1)).as("n"))
       .selectExpr("ss", "cid", "dim", "sx div n AS c")
       .collect()
+    // temp functions resolved at analysis time; drop them so a
+    // long-lived session building PQ queries repeatedly doesn't grow
+    // the registry without bound (r12 advisor item — pq256Est already
+    // proves the drop-after-construction pattern under the oracle)
+    fns.foreach(f => v.sparkSession.sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     val m = c1.groupBy(_.getInt(0)).map { case (ss, rows) =>
       ss -> rows.groupBy(_.getInt(1)).map { case (cid, rs) =>
         cid -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
@@ -2079,9 +2085,14 @@ object SimilarityQueries {
       .map(ss => s"${pqArgminCall(fns(ss), ss)} AS code$ss")
     val stackArgs = (0 until PqSubSpaces)
       .map(ss => s"$ss, code$ss").mkString(", ")
-    v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
+    val out = v.selectExpr(("vec_id" +: "cell" +: codeCols): _*)
       .select(col("vec_id"), col("cell"),
         expr(s"stack($PqSubSpaces, $stackArgs)").as(Seq("ss", "code")))
+    // analysis is eager on DataFrame construction — the expressions are
+    // already bound; drop the temp functions (r12 advisor item)
+    fns.foreach(f => v.sparkSession.sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    out
   }
 
   /** Per-query ADC lookup table (query_id, ss, cid, qd2): |Q|×4×16
@@ -2993,19 +3004,24 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 10 =!= 0)
           .select("vec_id", "embedding", "n2", "cell")
           .write.partitionBy("cell").parquet(s"$root/corpus")
-        // the arrival feed: 3 key-disjoint chunks (vec_id/10 mod 3)
-        val arrivals = e.filter(col("vec_id") % 10 === 0)
-          .select("vec_id", "embedding", "n2", "cell").persist()
+        // the arrival feed: 3 key-disjoint chunks (vec_id/10 mod 3),
+        // staged by ONE partitioned write (r13: was 3 coalesce(1) jobs
+        // over a persisted frame; the chunk column is write-layout
+        // only — partitionBy drops it from the file bytes, and chunk
+        // content is the identical key predicate)
+        val arrStage = s"$root/_arr_stage"
+        e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding", "n2", "cell")
+          .withColumn("__chunk", expr("(vec_id div 10) % 3"))
+          .repartition(col("__chunk"))
+          .write.mode("overwrite").partitionBy("__chunk").parquet(arrStage)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
         (0 until 3).foreach { i =>
-          val tmp = s"$root/_arr_stage/$i"
-          arrivals.filter(expr(s"(vec_id div 10) % 3 = $i")).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          val part = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$arrStage/__chunk=$i"))
             .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
           fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
         }
-        arrivals.unpersist()
         val arrSchema = s.read.parquet(watch).schema
         val q = s.readStream.schema(arrSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
@@ -3363,19 +3379,22 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 10 =!= 0)
           .select("vec_id", "embedding", "n2", "cell")
           .write.partitionBy("cell").parquet(s"$root/corpus")
-        val arrivals = e.filter(col("vec_id") % 10 === 0)
-          .select("vec_id", "embedding", "n2", "cell").persist()
+        // one partitioned write stages all 3 key-disjoint chunks — the
+        // q_stream_ann_ingest staging treatment (r13)
+        val arrStage = s"$root/_arr_stage"
+        e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding", "n2", "cell")
+          .withColumn("__chunk", expr("(vec_id div 10) % 3"))
+          .repartition(col("__chunk"))
+          .write.mode("overwrite").partitionBy("__chunk").parquet(arrStage)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
         (0 until 3).foreach { i =>
-          val tmp = s"$root/_arr_stage/$i"
-          arrivals.filter(expr(s"(vec_id div 10) % 3 = $i")).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          val part = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$arrStage/__chunk=$i"))
             .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
           fs.rename(part,
             new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
         }
-        arrivals.unpersist()
         val arrSchema = s.read.parquet(watch).schema
         val q = s.readStream.schema(arrSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)

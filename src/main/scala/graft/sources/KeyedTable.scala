@@ -306,24 +306,28 @@ object KeyedTable {
       val hasGaps = slots.exists(_ < 0)
       val touchedSet = touched.toSet
 
-      val rewritten: Seq[FileEntry] =
-        if (touched.isEmpty) Seq.empty
+      // ONE WRITE JOB for both work items (r13, the r12 verdict's
+      // item 3 — a merge used to submit separate rewrite and append
+      // write jobs; at steady-feed batch sizes each extra job is pure
+      // driver/scheduler overhead): the rewrite frame (touched files
+      // merged with their slice of the batch) and the append frame
+      // (gap-keyed inserts merged into an empty current) are UNIONED
+      // and staged in a single partitionBy("__slot") write. Slots are
+      // disjoint (file index ≥ 0, gap index < 0), so each staged file
+      // still holds exactly one slot's rows and every span-nesting
+      // guarantee is unchanged.
+      val rewriteFrame: Option[DataFrame] =
+        if (touched.isEmpty) None
         else {
           val curTouched = spark.read.parquet(
             touched.map(i => s"$td/${entries(i).relPath}").toIndexedSeq: _*)
           val chTouched = slotted.filter(col("__slot") >= 0).drop("__slot")
-          val merged = mergeFn(curTouched, chTouched)
+          Some(mergeFn(curTouched, chTouched)
             .withColumn("__slot", org.apache.spark.sql.functions
-              .expr(s"$slotFn($keyCol)"))
-          stageIn(spark, root, table, keyCol, "rw") { dir =>
-            merged.repartition(touched.length, col("__slot"))
-              .sortWithinPartitions("__slot", keyCol)
-              .write.mode("overwrite").partitionBy("__slot").parquet(dir)
-          }
+              .expr(s"$slotFn($keyCol)")))
         }
-
-      val appended: Seq[FileEntry] =
-        if (!hasGaps) Seq.empty
+      val appendFrame: Option[DataFrame] =
+        if (!hasGaps) None
         else {
           // no data files yet → the change frame's schema stands in for
           // the table schema (insert-only merge into an empty table)
@@ -333,15 +337,28 @@ object KeyedTable {
           val emptyCur = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
           val chGap = slotted.filter(col("__slot") < 0)
-          val fresh = mergeFn(emptyCur, chGap.drop("__slot"))
+          Some(mergeFn(emptyCur, chGap.drop("__slot"))
             .withColumn("__slot", org.apache.spark.sql.functions
-              .expr(s"$slotFn($keyCol)"))
-          stageIn(spark, root, table, keyCol, "app") { dir =>
-            fresh.repartition(col("__slot"))
+              .expr(s"$slotFn($keyCol)")))
+        }
+      val staged: Seq[FileEntry] = (rewriteFrame, appendFrame) match {
+        case (None, None) => Seq.empty
+        case (a, b) =>
+          val all = (a.toSeq ++ b.toSeq).reduce(_ unionByName _)
+          stageIn(spark, root, table, keyCol, "mrg") { dir =>
+            all.repartition(math.max(1, slots.length), col("__slot"))
               .sortWithinPartitions("__slot", keyCol)
               .write.mode("overwrite").partitionBy("__slot").parquet(dir)
           }
-        }
+      }
+      // classify staged files for the stats contract: a rewrite file's
+      // span nests inside its predecessor's span (slot ≥ 0), an append
+      // file's inside a gap — so minKey-inside-an-old-range IS the
+      // rewrite test (ranges are non-overlapping; DeltaMergeSpec pins
+      // the exact counts)
+      def isRewrite(e: FileEntry): Boolean =
+        entries.exists(en => e.minKey >= en.minKey && e.minKey <= en.maxKey)
+      val (rewritten, appended) = staged.partition(isRewrite)
 
       val carried = entries.zipWithIndex
         .filterNot { case (_, i) => touchedSet(i) }.map(_._1)
