@@ -3023,6 +3023,12 @@ object SimilarityQueries {
           fs.rename(part, new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
         }
         val arrSchema = s.read.parquet(watch).schema
+        // hoisted OUT of the trigger body (r13): the served table is
+        // immutable across triggers, so its directory listing + schema
+        // inference need to run once, not once per micro-batch; the
+        // per-batch cell filter below still partition-prunes this frame
+        val corpusBase = s.read.parquet(s"$root/corpus")
+          .withColumn("cell", col("cell").cast("long"))
         val q = s.readStream.schema(arrSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
           .writeStream
@@ -3032,8 +3038,7 @@ object SimilarityQueries {
             // partition-pruning predicate for the served-table scan
             val cells = batch.select("cell").distinct()
               .collect().map(_.getLong(0))
-            val corpus = s.read.parquet(s"$root/corpus")
-              .withColumn("cell", col("cell").cast("long"))
+            val corpus = corpusBase
               .filter(col("cell").isin(cells: _*))
               .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
                 "n2 AS cn2", "cell")
@@ -3396,6 +3401,10 @@ object SimilarityQueries {
             new org.apache.hadoop.fs.Path(watch, f"arr_$i.parquet"))
         }
         val arrSchema = s.read.parquet(watch).schema
+        // hoisted corpus read — one listing/inference for all triggers
+        // (q_stream_ann_ingest's rationale)
+        val corpusBase = s.read.parquet(s"$root/corpus")
+          .withColumn("cell", col("cell").cast("long"))
         val q = s.readStream.schema(arrSchema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
           .writeStream
@@ -3403,8 +3412,7 @@ object SimilarityQueries {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val cells = batch.select("cell").distinct()
               .collect().map(_.getLong(0))
-            val corpus = s.read.parquet(s"$root/corpus")
-              .withColumn("cell", col("cell").cast("long"))
+            val corpus = corpusBase
               .filter(col("cell").isin(cells: _*))
               .selectExpr("vec_id AS neighbor_id", "embedding AS ce",
                 "n2 AS cn2", "cell")

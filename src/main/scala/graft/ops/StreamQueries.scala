@@ -51,13 +51,14 @@ object StreamQueries {
     val prev = s.conf.getOption(key)
     s.conf.set(key, StatefulPartitions)
     // Explicit checkpoint on the process scratch tree (r13): the
-    // memory-sink default is a temp dir under java.io.tmpdir, whose
-    // slow file creates (offsets/commits WAL + one state dir per
-    // stateful partition per batch) are a fixed per-query tax — the
-    // micro-batch floor the r12 verdict's item 2 names. Deleted BEFORE
-    // every start: each invocation re-runs the finite stream from
-    // scratch, and a leftover checkpoint would make a restarted query
-    // "resume" past its input and return an empty sink table.
+    // memory-sink default is a temp dir under java.io.tmpdir; placing
+    // the WAL + state deltas on the scratch tree keeps them on the
+    // parameterised fast storage. Measured NEUTRAL at fixture scale
+    // (isolated A/B within noise) — kept for placement control, not
+    // claimed as a win. Deleted BEFORE every start: each invocation
+    // re-runs the finite stream from scratch, and a leftover
+    // checkpoint would make a restarted query "resume" past its
+    // re-staged input and return an empty sink table.
     val ckpt = s"${graft.ProcScratch.base}/ckpt/$name"
     val p = new org.apache.hadoop.fs.Path(ckpt)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
