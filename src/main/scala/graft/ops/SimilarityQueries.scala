@@ -913,24 +913,36 @@ object SimilarityQueries {
         s"seedWhere=$seedWhere) — widen seedWhere")
     val tb = (1 to 4096).find(z => z.toLong * z * z >= k).getOrElse(4096)
     val superSrc = ScratchCache.scratch(
-      rankStride(s, childSrc, tb).selectExpr("vec_id", "qv"))
-    val grandSrc = rankStride(s, superSrc, tb).selectExpr("vec_id", "qv")
+      rankStride(s, childSrc, tb, k).selectExpr("vec_id", "qv"))
+    val grandSrc = rankStride(s, superSrc, tb, k).selectExpr("vec_id", "qv")
     trainedCellsL3Build(s, v, grandSrc, superSrc, childSrc, probe2)
   }
 
-  /** Every tb-th row of `seeds(vec_id, qv)` by vec_id-rank, DERIVED
-    * DISTRIBUTIVELY: range-sort + per-partition counts and offsets
-    * (the standard zipWithIndex device) instead of a no-partition
-    * Window.orderBy, which funnels all k = ⌈n/125⌉ seed rows through
-    * ONE task — at the 10⁹+-row regime the L3 book exists for, that
-    * is a single-task O(k) stage, the same growing-with-corpus
-    * single-point class the r10/r11 driver-collect work removed
-    * (ADVICE r11). Rank 0 is always kept, so the recursive
-    * non-emptiness invariant is untouched, and the rank law is
-    * byte-identical to the oracle's ROW_NUMBER () OVER (ORDER BY
-    * vec_id) − 1 (vec_ids are distinct → the sort is total). */
+  /** Every tb-th row of `seeds(vec_id, qv)` by vec_id-rank. The rank
+    * law is byte-identical to the oracle's ROW_NUMBER () OVER (ORDER
+    * BY vec_id) − 1 (vec_ids are distinct → the sort is total), and
+    * rank 0 is always kept, so the recursive non-emptiness invariant
+    * holds on both routes.
+    *
+    * SIZE SWITCH (r13, the trainedCells pattern): when the caller's
+    * seed count fits the driver-seed budget, a no-partition window is
+    * the cheaper plan — it is LAZY (no extra Spark actions) and its
+    * single-task sort ranks only the ≤ budget seed rows. Past the
+    * budget, rank derivation goes DISTRIBUTIVE: range-sort +
+    * zipWithIndex (per-partition counts and offsets) — two extra jobs,
+    * but no single task ever holds the k = ⌈n/125⌉ seed mass that the
+    * 10⁹+-row regime implies (the growing-with-corpus single-point
+    * class the r10/r11 driver-collect work removed, ADVICE r11).
+    * `nHint` is the caller's already-computed seed count (an upper
+    * bound is fine — it only picks the route, never the rows). */
   private def rankStride(s: SparkSession, seeds: DataFrame,
-      tb: Int): DataFrame = {
+      tb: Int, nHint: Long): DataFrame = {
+    if (nHint <= maxDriverSeeds(s)) {
+      val w = Window.orderBy("vec_id")
+      return seeds
+        .withColumn("j", row_number().over(w).cast("long") - 1)
+        .filter(col("j") % tb === 0)
+    }
     val sorted = seeds.orderBy("vec_id")
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
