@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, struct, sum}
 
 import graft.oracle.{Dialect, DuckSql, SparkSql}
 import graft.{QueryDef, Tables}
@@ -522,17 +522,21 @@ object PrepQueries {
             .selectExpr("lang", s"explode(${SparkSql.tokensRe("text")}) AS t")
             .groupBy("lang", "t").agg(count(lit(1)).as("cnt")))
         val rounds = (1 to sentinels.size).map { r =>
+          // per-lang argmax as min(struct(-cnt, pair)) — the identical
+          // (cnt DESC, pair ASC) tie law as the oracle's ROW_NUMBER,
+          // but MAP-COMBINABLE: the winner reduces partially before the
+          // per-lang exchange instead of sorting every (lang, pair)
+          // count through a window per round (r13, guide §2.3)
           val top = graft.ScratchCache.scratch(voc
             .filter(length(col("t")) >= 2)
             .selectExpr("lang", "cnt",
               "explode(transform(sequence(1, length(t) - 1)," +
                 " i -> substring(t, i, 2))) AS pair")
             .groupBy("lang", "pair").agg(sum("cnt").as("cnt"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("lang")
-                .orderBy(col("cnt").desc, col("pair").asc)))
-            .filter(col("rn") === 1)
-            .select(col("lang"), col("pair").as("merge_pair"), col("cnt")))
+            .groupBy("lang")
+            .agg(min(struct((-col("cnt")).as("nc"), col("pair"))).as("w"))
+            .select(col("lang"), col("w.pair").as("merge_pair"),
+              (-col("w.nc")).as("cnt")))
           voc = graft.ScratchCache.scratch(
             voc.join(broadcast(top.select("lang", "merge_pair")), "lang")
               .selectExpr("lang",
